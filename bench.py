@@ -1,0 +1,70 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via count() on its final plan (no
+collect of wide rows; mirrors what the driver measures).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from notion_vector_store_etl_pipeline_spark import get_spark
+from notion_vector_store_etl_pipeline_spark.plans import load_registry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the heavy/representative operators per SURVEY.md §2.
+HEADLINE = [
+    "agg_group_sum",
+    "join_inner_equi",
+    "join_broadcast_dim",
+    "topk_per_group",
+    "window_tumbling_counts",
+    "join_range_theta",
+    "join_asof_latest",
+    "graph_reachability",
+    "chunk_explode",
+    "chunk_explode_words",
+    "knn_topk",
+    "similarity_selfjoin",
+    "minhash_lsh_neardup",
+    "ngram_jaccard_selfjoin",
+    "dedup_exact_hash",
+    "text_token_stats",
+    "multimodal_decode_stub",
+    "incremental_changed",
+]
+
+
+def main() -> None:
+    registry = load_registry()
+    spark = get_spark(app_name="nve-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + parquet footer caches with a trivial action
+    registry["agg_group_sum"].fn(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.perf_counter()
+        q.fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

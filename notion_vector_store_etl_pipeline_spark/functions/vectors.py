@@ -1,0 +1,38 @@
+"""Vector math over ARRAY<FLOAT>/ARRAY<DOUBLE> columns using Spark's
+higher-order array functions — everything stays JVM-side (no Python),
+so similarity scoring is a narrow map over the scan with zero shuffle.
+
+Float arrays are cast element-wise to double before any arithmetic so
+results are reproducible against a double-precision oracle;
+accumulation is sequential left-to-right (``aggregate``), matching how
+a C++/DuckDB loop sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays; NULL on zero norms."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def cosine_f(a: Column, b: Column) -> Column:
+    """Cosine over raw float arrays (casts to double first)."""
+    return cosine(as_double(a), as_double(b))

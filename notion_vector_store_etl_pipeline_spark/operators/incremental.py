@@ -1,0 +1,96 @@
+"""Incremental-state engine (SURVEY.md §4 row 1, §7 phase 2) — the one
+genuinely custom piece of the reference: skip-unchanged / re-vectorize /
+delete-stale planning over a keyed state table (the "manifest",
+`Notion_openai_vector_etl.py:684-731`), re-expressed as joins.
+
+Semantics mirrored:
+- cache-hit skip (`:691-694`): skip iff a state entry exists AND
+  last_edited_time is unchanged AND it already has vector file ids;
+- needs-vector (`:702-706`): re-vectorize iff no vector ids OR content
+  hash changed OR edit time changed;
+- stale-vector delete set (`:609-614`): ids held by entries being
+  re-vectorized.
+
+All comparisons are null-safe (``eqNullSafe``) because either side can
+be absent — the reference's ``.get(..., default)`` tolerance (§1.3).
+
+Scale notes: state is keyed by block_id; the snapshot⋈state join is a
+plain equi join — broadcast while the state is small, sort-merge (or
+bucketed storage co-location) at 100 TB. The expensive downstream
+stages (download/extract/embed UDFs) run only on ``to_process``, i.e.
+the filter is ordered before the UDFs, which is the whole optimization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STATE_COLUMNS = ("block_id", "prior_let", "prior_hash", "vector_file_ids")
+
+
+def _n_ids(col: Column) -> Column:
+    return F.when(col.isNull(), F.lit(0)).otherwise(F.size(col))
+
+
+@dataclass
+class IncrementPlan:
+    joined: DataFrame      # snapshot left-joined to state
+    to_process: DataFrame  # new or changed rows
+    to_skip: DataFrame     # cache hits
+    needs_vector: DataFrame  # rows with needs_vector flag
+    stale_vectors: DataFrame  # (block_id, stale_vector_id) to delete
+
+
+def plan_increment(snapshot: DataFrame, state: DataFrame) -> IncrementPlan:
+    """snapshot: (block_id, let, content_hash, ...); state: STATE_COLUMNS."""
+    joined = snapshot.join(state, "block_id", "left_outer")
+
+    has_state = F.col("prior_hash").isNotNull()
+    let_unchanged = F.col("prior_let").eqNullSafe(F.col("let"))
+    has_ids = _n_ids(F.col("vector_file_ids")) > 0
+
+    # cache hit (`:691-694`)
+    skip = has_state & let_unchanged & has_ids
+    # needs re-vectorization (`:702-706`); rows without state always need it
+    needs = (
+        ~has_state
+        | ~has_ids
+        | ~F.col("prior_hash").eqNullSafe(F.col("content_hash"))
+        | ~let_unchanged
+    )
+
+    flagged = joined.withColumn("to_skip", skip).withColumn("needs_vector", needs)
+    to_process = flagged.filter(~F.col("to_skip"))
+    to_skip = flagged.filter(F.col("to_skip"))
+    stale = (
+        flagged.filter(F.col("needs_vector") & (_n_ids(F.col("vector_file_ids")) > 0))
+        .select("block_id", F.explode("vector_file_ids").alias("stale_vector_id"))
+    )
+    return IncrementPlan(
+        joined=joined,
+        to_process=to_process,
+        to_skip=to_skip,
+        needs_vector=flagged,
+        stale_vectors=stale,
+    )
+
+
+def commit_state(new_state: DataFrame, path: str) -> None:
+    """Atomic-enough state commit: write to a temp dir, then swap.
+
+    The reference saves the manifest after every file (`:731`); in Spark
+    the unit of commit is the batch. Parquet overwrite of a directory is
+    the local analogue; on a real deployment this would be a Delta/
+    Iceberg MERGE for true atomicity.
+    """
+    new_state.write.mode("overwrite").parquet(path)
+
+
+def upsert_state(state: DataFrame, processed: DataFrame) -> DataFrame:
+    """Next-state = processed entries replacing their old rows, plus
+    untouched old rows (the manifest upsert, `:719-730`)."""
+    untouched = state.join(processed, "block_id", "left_anti")
+    return untouched.unionByName(processed.select(*STATE_COLUMNS))

@@ -1,0 +1,60 @@
+"""Named-query registry — the contract surface consumed by
+``__spark_entry__.py``.
+
+Every operator from SURVEY.md §2 lands here as a ``Query``: a PySpark
+callable ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible)
+the equivalent DuckDB oracle SQL over the pre-registered fixture views
+(region nation customer supplier part orders lineitem events documents
+embeddings). Column names/aliases MUST match between the two sides —
+the driver sorts columns by name and hashes values.
+"""
+
+from __future__ import annotations
+
+import importlib
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL, or None -> driver does a rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: Optional[str] = None, doc: str = ""):
+    def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+_MODULES = (
+    "relational",
+    "strings_queries",
+    "chunk_queries",
+    "incremental_queries",
+    "vector_queries",
+    "event_queries",
+    "graph_queries",
+    "text_queries",
+    "dedup_queries",
+    "multimodal_queries",
+)
+
+
+def load_registry() -> dict[str, Query]:
+    """Import all query modules (idempotent) and return the registry."""
+    for mod in _MODULES:
+        importlib.import_module(f"notion_vector_store_etl_pipeline_spark.plans.{mod}")
+    return REGISTRY

@@ -1,0 +1,94 @@
+"""Deduplication queries (north star, SURVEY.md §2.11): exact hash
+dedup, exact n-gram Jaccard self-join, MinHash-LSH near-dup, SimHash
+buckets. MinHash/SimHash rely on xxhash64 (engine-specific) so they are
+rows-only for the oracle and verified against exact Jaccard in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from notion_vector_store_etl_pipeline_spark.operators import dedup as D
+from notion_vector_store_etl_pipeline_spark.plans import register
+from notion_vector_store_etl_pipeline_spark.sources import load_table
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT content_hash, min(doc_id) AS doc_id, count(*) AS group_size
+    FROM (
+      SELECT doc_id,
+             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+      FROM documents
+    )
+    GROUP BY content_hash
+    """,
+    doc="Exact dedup on normalized-content hash; first (min-id) row wins.",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = D.exact_dedup(docs, "text", "doc_id")
+    return survivors.select("content_hash", "doc_id", F.col("group_size").cast("bigint").alias("group_size"))
+
+
+_SHINGLES_CTE = """
+WITH words AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)
+), sh AS (
+  SELECT DISTINCT w1.doc_id AS sid, w1.w || ' ' || w2.w || ' ' || w3.w AS shingle
+  FROM words w1
+  JOIN words w2 ON w1.doc_id = w2.doc_id AND w2.i = w1.i + 1
+  JOIN words w3 ON w1.doc_id = w3.doc_id AND w3.i = w1.i + 2
+), sizes AS (
+  SELECT sid, count(*) AS n FROM sh GROUP BY sid
+)
+"""
+
+
+@register(
+    "ngram_jaccard_selfjoin",
+    oracle=_SHINGLES_CTE
+    + """
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT i.a_id, i.b_id,
+             round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+      FROM (
+        SELECT a.sid AS a_id, b.sid AS b_id, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+        GROUP BY 1, 2
+      ) i
+      JOIN sizes sa ON sa.sid = i.a_id
+      JOIN sizes sb ON sb.sid = i.b_id
+    ) WHERE jaccard >= 0.2
+    """,
+    doc="Exact 3-gram Jaccard near-dup self-join: explode distinct shingles, "
+    "join on shingle (candidate pairs only), group per pair.",
+)
+def ngram_jaccard_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
+
+
+@register(
+    "minhash_lsh_neardup",
+    oracle=None,  # xxhash64-based; validated vs exact Jaccard in pytest
+    doc="MinHash(32 perms) + LSH(8 bands x 4 rows) candidates, verified "
+    "with exact Jaccard — the sub-quadratic near-dup path for 100 TB.",
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_neardup(docs, "text", "doc_id", threshold=0.2)
+
+
+@register(
+    "simhash_buckets",
+    oracle=None,  # xxhash64-based; determinism + bucket behavior in pytest
+    doc="64-bit SimHash fingerprints bucketed by the top 16 bits.",
+)
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
+    return sh.withColumn("bucket", F.shiftrightunsigned("simhash", 48))

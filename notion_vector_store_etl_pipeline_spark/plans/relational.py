@@ -1,0 +1,327 @@
+"""Relational core queries over the star schema (SURVEY.md §2.3, §2.6-2.8,
+§2.12): joins (inner/broadcast/semi/anti), grouped + rollup aggregation,
+sorts/limits/top-k, set ops, point lookups, first-wins dedup.
+
+All pure Catalyst built-ins — predicate pushdown, column pruning and
+join-strategy selection (broadcast for dims, sort-merge at scale, AQE
+skew splitting) come for free. Floating-point aggregates are rounded in
+BOTH engines so partial-aggregation order can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from notion_vector_store_etl_pipeline_spark.plans import register
+from notion_vector_store_etl_pipeline_spark.sources import load_table
+
+
+# --- A: grouped aggregation (TPC-H Q1 shape; reference A1 counters analogue) ---
+
+@register(
+    "agg_group_sum",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Pricing-summary aggregation (map-side partial agg; one shuffle on the 2-col key).",
+)
+def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1999-12-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- J: joins ---
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*)                                              AS n_rows,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="3-way equi join fact->fact->dim; AQE picks broadcast for customer side.",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT r.r_name,
+           count(*)                  AS n_customers,
+           round(sum(c.c_acctbal), 2) AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="Explicit broadcast of the small dims: zero-shuffle map-side join chain.",
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "semi_join_filter",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+    """,
+    doc="Left-semi join: the reference's page-id filter (F2/J3) as a relational op.",
+)
+def semi_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "point_lookup",
+    oracle="""
+    SELECT k.lookup_key, o.o_orderstatus, round(o.o_totalprice, 2) AS o_totalprice
+    FROM (VALUES (CAST(1 AS BIGINT)), (CAST(7 AS BIGINT)), (CAST(999999999 AS BIGINT))) k(lookup_key)
+    LEFT JOIN orders o ON k.lookup_key = o.o_orderkey
+    """,
+    doc="Broadcast key lookup with error-skip-as-null (reference S4 skip-on-error).",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = spark.createDataFrame([(1,), (7,), (999999999,)], "lookup_key: bigint")
+    orders = load_table(spark, sf_dir, "orders")
+    return F.broadcast(keys).join(
+        orders, keys.lookup_key == orders.o_orderkey, "left_outer"
+    ).select("lookup_key", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+# --- L/S: sorts, limits, top-k ---
+
+@register(
+    "sort_topk",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 15
+    """,
+    doc="Global top-k: Spark runs per-partition top-k then merges (TakeOrderedAndProject).",
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal, rn
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rn
+      FROM customer
+    )
+    WHERE rn <= 5
+    """,
+    doc="Per-group top-k via ranking window; one shuffle on the group key.",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "rn")
+    )
+
+
+@register(
+    "limit_pages",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 50
+    """,
+    doc="Deterministic limit (MAX_PAGES analogue, reference L1/L2 early exit).",
+)
+def limit_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy("o_orderkey")
+        .limit(50)
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+    )
+
+
+# --- set ops / union-with-seed / dedup ---
+
+@register(
+    "scan_union_seed",
+    oracle="""
+    SELECT DISTINCT r_regionkey, r_name FROM (
+      SELECT r_regionkey, r_name FROM region
+      UNION ALL
+      SELECT CAST(-1 AS INTEGER) AS r_regionkey, 'SEED-REGION' AS r_name
+    )
+    """,
+    doc="Scan unioned with a seed row (reference S1 seed-page append).",
+)
+def scan_union_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    seed = spark.createDataFrame([(-1, "SEED-REGION")], "r_regionkey: int, r_name: string")
+    return region.unionByName(seed).dropDuplicates()
+
+
+@register(
+    "setop_except",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    doc="Set difference: positive-balance customers with no orders.",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
+    have = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return cust.exceptAll(have).dropDuplicates()
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(*)                    AS n_customers,
+           round(sum(c.c_acctbal), 2)  AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    doc="Hierarchical rollup (region -> nation -> grand total).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                   AS n_orders,
+           count(DISTINCT o_custkey)  AS n_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Distinct aggregation (reference A2 crawl counters).",
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; driver does rows-only check
+    doc="approx_count_distinct (HLL) — the 100 TB path for A2-style counters.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
+    )
+
+
+@register(
+    "dedup_first_wins",
+    oracle="""
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Order-sensitive first-wins dedup (reference A4 visited-sets).",
+)
+def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )

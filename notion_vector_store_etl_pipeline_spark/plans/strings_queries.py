@@ -1,0 +1,223 @@
+"""Scalar string/projection queries (SURVEY.md §2.4 P1-P9): coalesce
+projections, title fallback, url basename, uuid normalization, regex id
+extraction, safe filenames, bool/int parsing, sha256 hashing.
+
+URL-ish inputs are synthesized deterministically from `documents`
+columns with identical expressions on both engines, so the oracle is
+self-contained over the registered views.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from notion_vector_store_etl_pipeline_spark.functions import strings as S
+from notion_vector_store_etl_pipeline_spark.plans import register
+from notion_vector_store_etl_pipeline_spark.sources import load_table
+
+
+@register(
+    "hash_sha2",
+    oracle="""
+    SELECT doc_id, sha256(text) AS text_sha FROM documents
+    """,
+    doc="Content hashing (reference A3 hash_file) — sha2 is bit-identical to hashlib.",
+)
+def hash_sha2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2("text", 256).alias("text_sha"))
+
+
+@register(
+    "url_basename",
+    oracle="""
+    SELECT doc_id,
+           url,
+           replace(regexp_extract(regexp_replace(string_split(url, '?')[1], '/+$', ''),
+                                  '([^/]*)$', 1), '%20', ' ') AS display_name
+    FROM (
+      SELECT doc_id,
+             'https://files.example.com/' || source || '/doc%20' || CAST(doc_id AS VARCHAR)
+               || '.pdf?sig=abc&x=1' AS url
+      FROM documents
+    )
+    """,
+    doc="Display-name derivation (reference P4 `:63-69`): strip query, basename, decode.",
+)
+def url_basename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://files.example.com/"),
+        F.col("source"),
+        F.lit("/doc%20"),
+        F.col("doc_id").cast("string"),
+        F.lit(".pdf?sig=abc&x=1"),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        S.url_basename(url).alias("display_name"),
+    )
+
+
+@register(
+    "uuid_normalize",
+    oracle="""
+    SELECT doc_id, raw_id,
+           CASE WHEN regexp_matches(bare, '^[0-9a-f]{32}$') THEN
+             substr(bare,1,8) || '-' || substr(bare,9,4) || '-' || substr(bare,13,4)
+               || '-' || substr(bare,17,4) || '-' || substr(bare,21,12)
+           END AS normalized_id
+    FROM (
+      SELECT doc_id, raw_id, lower(replace(raw_id, '-', '')) AS bare FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN substr(sha256(text), 1, 30)
+                    ELSE upper(substr(sha256(text),1,8)) || '-' || substr(sha256(text),9,24)
+               END AS raw_id
+        FROM documents
+      )
+    )
+    """,
+    doc="UUID re-hyphenation with invalid->NULL error channel (reference P5 `:72-76`).",
+)
+def uuid_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.sha2("text", 256)
+    raw = F.when(
+        F.col("doc_id") % 10 == 0, F.substring(h, 1, 30)
+    ).otherwise(
+        F.concat(F.upper(F.substring(h, 1, 8)), F.lit("-"), F.substring(h, 9, 24))
+    )
+    return docs.select(
+        "doc_id", raw.alias("raw_id"), S.normalize_uuid(raw).alias("normalized_id")
+    )
+
+
+@register(
+    "regex_extract_id",
+    oracle="""
+    SELECT doc_id, nullif(regexp_extract(replace(url, '-', ''), '([0-9a-fA-F]{32})', 1), '')
+             AS page_id
+    FROM (
+      SELECT doc_id,
+             'https://notion.example.com/Page-' || substr(sha256(text),1,8) || '-'
+               || substr(sha256(text),9,24) || CASE WHEN doc_id % 9 = 0 THEN 'zz' ELSE '' END
+               AS url
+      FROM documents
+    )
+    """,
+    doc="32-hex id extraction from de-hyphenated url (reference P6 `:79-84`).",
+)
+def regex_extract_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.sha2("text", 256)
+    url = F.concat(
+        F.lit("https://notion.example.com/Page-"),
+        F.substring(h, 1, 8),
+        F.lit("-"),
+        F.substring(h, 9, 24),
+        F.when(F.col("doc_id") % 9 == 0, F.lit("zz")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", S.extract_id_from_url(url).alias("page_id"))
+
+
+@register(
+    "safe_filename",
+    oracle="""
+    SELECT doc_id, name,
+           coalesce(nullif(string_split(trim(name), '/')[-1], ''), 'file') AS filename
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN '  /downloads/' || source || '/  '
+                  WHEN doc_id % 4 = 1 THEN 'report-' || CAST(doc_id AS VARCHAR) || '.pdf'
+                  WHEN doc_id % 4 = 2 THEN '/a/b/c/img' || CAST(doc_id AS VARCHAR) || '.png'
+                  ELSE '' END AS name
+      FROM documents
+    )
+    """,
+    doc="Safe-filename fallback chain (reference P7 `:152-154`).",
+)
+def safe_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    name = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("  /downloads/"), F.col("source"), F.lit("/  ")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("report-"), F.col("doc_id").cast("string"), F.lit(".pdf")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/a/b/c/img"), F.col("doc_id").cast("string"), F.lit(".png")))
+        .otherwise(F.lit(""))
+    )
+    return docs.select("doc_id", name.alias("name"), S.safe_filename(name).alias("filename"))
+
+
+@register(
+    "parse_bool_int",
+    oracle="""
+    SELECT doc_id,
+           lower(trim(flag_str)) IN ('1','true','yes','y','on') AS flag,
+           coalesce(TRY_CAST(trim(int_str) AS BIGINT), 42) AS int_val
+    FROM (
+      SELECT doc_id,
+             CASE doc_id % 5 WHEN 0 THEN 'TRUE' WHEN 1 THEN ' on ' WHEN 2 THEN 'no'
+                             WHEN 3 THEN '1' ELSE 'off' END AS flag_str,
+             CASE doc_id % 3 WHEN 0 THEN CAST(doc_id AS VARCHAR) WHEN 1 THEN ' 17 '
+                             ELSE 'not-a-number' END AS int_str
+      FROM documents
+    )
+    """,
+    doc="Env-style bool/int parsing with defaults (reference P8 `:52-55`, `:639-646`).",
+)
+def parse_bool_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flag_str = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("TRUE"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" on "))
+        .when(F.col("doc_id") % 5 == 2, F.lit("no"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("1"))
+        .otherwise(F.lit("off"))
+    )
+    int_str = (
+        F.when(F.col("doc_id") % 3 == 0, F.col("doc_id").cast("string"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" 17 "))
+        .otherwise(F.lit("not-a-number"))
+    )
+    return docs.select(
+        "doc_id",
+        S.parse_bool(flag_str).alias("flag"),
+        S.parse_int(int_str, 42).alias("int_val"),
+    )
+
+
+@register(
+    "project_coalesce",
+    oracle="""
+    SELECT doc_id,
+           coalesce(page_id, database_id, block_id) AS parent_id,
+           coalesce(nullif(trim(title), ''), 'doc-' || CAST(doc_id AS VARCHAR)) AS title,
+           source AS src,
+           n_chars
+    FROM (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN doc_id % 3 = 0 THEN 'pg-' || CAST(doc_id AS VARCHAR) END AS page_id,
+             CASE WHEN doc_id % 3 = 1 THEN 'db-' || CAST(doc_id AS VARCHAR) END AS database_id,
+             'blk-' || CAST(doc_id AS VARCHAR) AS block_id,
+             CASE WHEN doc_id % 7 = 0 THEN '   ' ELSE substr(text, 1, 24) END AS title
+      FROM documents
+    )
+    """,
+    doc="Source-record projection with coalesce fallback chains "
+    "(reference P1 `:550-579`, P3 title fallback `:131-138`).",
+)
+def project_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    page_id = F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("pg-"), sid))
+    database_id = F.when(F.col("doc_id") % 3 == 1, F.concat(F.lit("db-"), sid))
+    block_id = F.concat(F.lit("blk-"), sid)
+    title = F.when(F.col("doc_id") % 7 == 0, F.lit("   ")).otherwise(F.substring("text", 1, 24))
+    return docs.select(
+        "doc_id",
+        F.coalesce(page_id, database_id, block_id).alias("parent_id"),
+        F.coalesce(F.nullif(F.trim(title), F.lit("")), F.concat(F.lit("doc-"), sid)).alias("title"),
+        F.col("source").alias("src"),
+        "n_chars",
+    )

@@ -1,0 +1,147 @@
+"""Vector similarity queries (SURVEY.md §2.11 north star): brute-force
+cosine top-k, threshold self-join, and an IVF-bucketed ANN variant (the
+100 TB scale path: candidate generation via centroid buckets instead of
+the full cross product).
+
+Determinism: all math in double, sequential accumulation, `round(_, 6)`
+in both engines, ties broken by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from notion_vector_store_etl_pipeline_spark.functions import vectors as V
+from notion_vector_store_etl_pipeline_spark.plans import register
+from notion_vector_store_etl_pipeline_spark.sources import load_table
+
+_COS_SQL = (
+    "round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6)"
+)
+
+
+@register(
+    "knn_topk",
+    oracle=f"""
+    SELECT query_id, cand_id, score, rn FROM (
+      SELECT query_id, cand_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id)
+                  AS INTEGER) AS rn
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_COS_SQL} AS score
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      )
+    ) WHERE rn <= 10
+    """,
+    doc="Brute-force cosine top-k per query vector (broadcast query side; "
+    "per-partition partial top-k via ranking window).",
+)
+def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), V.as_double("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), V.as_double("embedding").alias("c_emb"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(V.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
+@register(
+    "similarity_selfjoin",
+    oracle=f"""
+    SELECT a_id, b_id, score FROM (
+      SELECT q.vec_id AS a_id, c.vec_id AS b_id, {_COS_SQL} AS score
+      FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+    ) WHERE score >= 0.8
+    """,
+    doc="All-pairs cosine threshold self-join (near-dup by embedding). "
+    "Quadratic by construction — the IVF/LSH variants are the scale path.",
+)
+def similarity_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), V.as_double("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("b_id"), V.as_double("embedding").alias("b_emb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(V.cosine(F.col("a_emb"), F.col("b_emb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= 0.8)
+    )
+
+
+@register(
+    "knn_ivf_approx",
+    oracle=None,  # approximate by design; driver records rows-only
+    doc="IVF-style ANN: deterministic centroid set (vec_id % 97 == 0), "
+    "assign vectors to nearest centroid, probe the query's 4 nearest "
+    "lists, exact rerank inside. Candidate set is bucket-local — at "
+    "100 TB the inverted lists are the partition key.",
+)
+def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
+    cents = vecs.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent_emb")
+    )
+
+    def nearest(df: DataFrame, id_col: str, emb_col: str, topn: int, out: str) -> DataFrame:
+        scored = df.join(F.broadcast(cents)).select(
+            id_col,
+            emb_col,
+            "cent_id",
+            F.round(V.cosine(F.col(emb_col), F.col("cent_emb")), 6).alias("cscore"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("cent_id").asc())
+        return (
+            scored.withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") <= topn)
+            .select(id_col, emb_col, F.col("cent_id").alias(out))
+        )
+
+    assigned = nearest(vecs, "vec_id", "emb", 1, "list_id")
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    probes = nearest(queries, "query_id", "q_emb", 4, "list_id")
+    cands = probes.join(assigned, "list_id").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(V.cosine(F.col("q_emb"), F.col("emb")), 6).alias("score"),
+    ).dropDuplicates(["query_id", "cand_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+    FROM embeddings
+    """,
+    doc="Per-vector L2 norm via array HOFs — narrow, zero-shuffle scoring.",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.round(V.norm(V.as_double("embedding")), 6).alias("l2_norm")
+    )
