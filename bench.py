@@ -44,8 +44,11 @@ def main() -> None:
     registry = load_registry()
     spark = get_spark(app_name="nve-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM + parquet footer caches with a trivial action
+    # warm the JVM, parquet footer caches, and the Python/Arrow workers
+    # (pandas UDF executor processes fork lazily on first use)
     registry["agg_group_sum"].fn(spark, SF_DIR).count()
+    registry["chunk_explode"].fn(spark, "/root/testdata/sf0.001").count()
+    registry["multimodal_decode_stub"].fn(spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -53,6 +56,9 @@ def main() -> None:
         t0 = time.perf_counter()
         q.fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop persisted intermediates so queries don't contend with the
+        # previous query's cache residue (each query measured standalone)
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -1,0 +1,106 @@
+"""Distributed HTTP fetch stage (reference S5, `Notion_openai_vector_etl.py:219-235`):
+download a URL column to binary payloads with retry/backoff, as an
+Arrow-batched ``mapInPandas`` stage.
+
+The reference's sequential download loop becomes per-partition
+parallelism; its retry policy is mirrored exactly:
+
+- backoff schedule 0/1/2/4 s (4 attempts) — reference `:50`;
+- retry only HTTP status in {429, 500, 502, 503, 504}, raise otherwise
+  — reference `:231-234`;
+- on exhausted retries the row fails (status = last error) rather than
+  killing the task: at 100 TB a single dead URL must not fail a
+  500k-row partition. Spark task retries (`spark.task.maxFailures`)
+  still cover infrastructure faults.
+
+The transport is injectable; there is no network in this environment,
+so the default transport raises NotImplementedError and tests inject a
+deterministic fake.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+BACKOFF_DELAYS = (0, 1, 2, 4)  # reference `:50`
+RETRYABLE_STATUSES = frozenset({429, 500, 502, 503, 504})  # reference `:233`
+
+# transport: url -> (status_code, payload bytes)
+Transport = Callable[[str], Tuple[int, bytes]]
+
+FETCHED_SCHEMA = StructType(
+    [
+        StructField("block_id", LongType()),
+        StructField("url", StringType()),
+        StructField("status", IntegerType()),
+        StructField("attempts", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _default_transport(url: str) -> Tuple[int, bytes]:
+    raise NotImplementedError(
+        "no network access in this environment; inject a transport "
+        "(requests.get wrapper) via fetch_urls(transport=...)"
+    )
+
+
+def fetch_with_retry(
+    url: str,
+    transport: Transport,
+    delays: tuple = BACKOFF_DELAYS,
+    sleep: Callable[[float], None] = time.sleep,
+) -> Tuple[int, int, bytes | None]:
+    """Returns (final_status, attempts, payload-or-None). Non-retryable
+    error statuses return immediately; retryable ones exhaust the
+    backoff schedule."""
+    last_status = -1
+    for attempt, delay in enumerate(delays, start=1):
+        if delay:
+            sleep(delay)
+        status, payload = transport(url)
+        last_status = status
+        if status == 200:
+            return status, attempt, payload
+        if status not in RETRYABLE_STATUSES:
+            return status, attempt, None
+    return last_status, len(delays), None
+
+
+def fetch_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "block_id",
+    transport: Transport = _default_transport,
+    delays: tuple = BACKOFF_DELAYS,
+    sleep: Callable[[float], None] = time.sleep,
+) -> DataFrame:
+    """(id, url) -> (id, url, status, attempts, payload) via mapInPandas."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"block_id": [], "url": [], "status": [], "attempts": [], "payload": []}
+            for bid, url in zip(pdf[id_col], pdf[url_col]):
+                status, attempts, payload = fetch_with_retry(url, transport, delays, sleep)
+                out["block_id"].append(bid)
+                out["url"].append(url)
+                out["status"].append(status)
+                out["attempts"].append(attempts)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, url_col).mapInPandas(batches, FETCHED_SCHEMA)

@@ -1,0 +1,48 @@
+"""Sinks (SURVEY.md §2.2): chunk JSONL (K1), state parquet/json commit
+(K2), stale-delete set (K4 — computed relationally in
+``operators.incremental``; the actual delete is a connector
+``foreachPartition`` call).
+
+JSONL is Spark's native JSON output (one object per line, one file per
+partition) — at 100 TB the sink parallelism IS the partitioning, so
+``repartition(n)`` before write controls file count/size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_chunks_jsonl(chunks: DataFrame, path: str, partitions: int | None = None) -> None:
+    """Serialize chunk records `{"text", **metadata}` as JSONL
+    (reference `:329-344`): one JSON object per line."""
+    out = chunks
+    if partitions is not None:
+        out = out.repartition(partitions)
+    out.write.mode("overwrite").json(path)
+
+
+def read_chunks_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def chunk_records(chunks: DataFrame, ingested_at: str) -> DataFrame:
+    """Shape chunk rows like the reference's upload records
+    (`:310-326`): id, chunk_index, source, text, nested metadata.
+    ``ingested_at`` is injected (not utcnow()) so output is
+    deterministic and oracle-checkable."""
+    return chunks.select(
+        F.col("chunk_id").alias("id"),
+        "chunk_index",
+        F.col("source").alias("source_path"),
+        F.col("content_hash").alias("source_hash"),
+        F.col("chunk_text").alias("text"),
+        F.struct(
+            F.col("source").alias("source_file"),
+            F.lit(ingested_at).alias("ingested_at"),
+        ).alias("metadata"),
+    )

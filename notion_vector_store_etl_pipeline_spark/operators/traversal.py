@@ -28,27 +28,35 @@ def bfs_reachability(
 ) -> DataFrame:
     """Return (node, depth) for every node reachable from seeds,
     depth = first-discovery level (seeds at 0)."""
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)  # scanned every level
     frontier = seeds.select("node").dropDuplicates()
-    visited = frontier.withColumn("depth", F.lit(0))
-    visited.persist(StorageLevel.MEMORY_AND_DISK)
+    frontier.persist(StorageLevel.MEMORY_AND_DISK)
+    levels = [frontier.withColumn("depth", F.lit(0))]
+    visited = frontier  # union of all levels' nodes
 
     for depth in range(1, max_depth + 1):
-        children = (
+        frontier = (
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .dropDuplicates()
+            .join(visited, "node", "left_anti")
         )
-        frontier = children.join(visited.select("node"), "node", "left_anti")
         frontier.persist(StorageLevel.MEMORY_AND_DISK)
-        if frontier.isEmpty():
+        # count() (not isEmpty) so the persist is FULLY materialized —
+        # isEmpty touches one partition and leaves the rest to be
+        # recomputed by the next level's join
+        if frontier.count() == 0:
             break
-        new_visited = visited.unionByName(frontier.withColumn("depth", F.lit(depth)))
-        new_visited.persist(StorageLevel.MEMORY_AND_DISK)
-        # cut lineage growth so plan size stays O(1) per iteration
-        new_visited = new_visited.localCheckpoint(eager=True)
-        visited.unpersist()
-        visited = new_visited
-    return visited
+        levels.append(frontier.withColumn("depth", F.lit(depth)))
+        visited = visited.unionByName(frontier)
+        # bounded-depth loops keep lineage shallow; cut it only when deep
+        if depth % 8 == 0:
+            visited = visited.localCheckpoint(eager=True)
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out
 
 
 def expand_frontier(frontier: DataFrame, edges: DataFrame) -> DataFrame:

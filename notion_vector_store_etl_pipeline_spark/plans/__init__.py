@@ -50,6 +50,8 @@ _MODULES = (
     "text_queries",
     "dedup_queries",
     "multimodal_queries",
+    "tpch_queries",
+    "extended_queries",
 )
 
 

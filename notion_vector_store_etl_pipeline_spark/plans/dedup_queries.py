@@ -92,3 +92,29 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
     return sh.withColumn("bucket", F.shiftrightunsigned("simhash", 48))
+
+
+@register(
+    "simhash_neardup",
+    oracle=None,  # xxhash64-based; determinism checked in pytest
+    doc="SimHash near-dup: bucket by top-16 bits, pair within bucket, "
+    "keep Hamming distance <= 12 of 64 — sub-quadratic because only "
+    "bucket collisions are compared.",
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
+    sh = sh.withColumn("bucket", F.shiftrightunsigned("simhash", 48))
+    a = sh.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a"), "bucket"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b"), "bucket"
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", D.hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= 12)
+        .select("a_id", "b_id", "hamming")
+    )

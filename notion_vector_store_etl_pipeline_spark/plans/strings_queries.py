@@ -221,3 +221,41 @@ def project_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("src"),
         "n_chars",
     )
+
+
+@register(
+    "title_coalesce",
+    oracle="""
+    SELECT doc_id,
+           coalesce(nullif(trim(array_to_string(list_transform(list_filter(props,
+                      x -> x['type'] = 'title'), x -> x['text']), ' ')), ''),
+                    CAST(doc_id AS VARCHAR)) AS title
+    FROM (
+      SELECT doc_id,
+             [{'type': 'rich_text', 'text': source},
+              {'type': 'title', 'text': CASE WHEN doc_id % 6 = 0 THEN '  ' ELSE substr(text, 1, 12) END},
+              {'type': 'title', 'text': 'pt2'}] AS props
+      FROM documents
+    )
+    """,
+    doc="Title extraction from a rich-property array (reference P3 `:131-138`): "
+    "filter array-of-structs to type='title', concat fragments, trim, "
+    "fall back to the id — array HOFs end to end.",
+)
+def title_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frag = F.when(F.col("doc_id") % 6 == 0, F.lit("  ")).otherwise(F.substring("text", 1, 12))
+    props = F.array(
+        F.struct(F.lit("rich_text").alias("type"), F.col("source").alias("text")),
+        F.struct(F.lit("title").alias("type"), frag.alias("text")),
+        F.struct(F.lit("title").alias("type"), F.lit("pt2").alias("text")),
+    )
+    titles = F.transform(
+        F.filter(props, lambda x: x.getField("type") == "title"),
+        lambda x: x.getField("text"),
+    )
+    title = F.coalesce(
+        F.nullif(F.trim(F.array_join(titles, " ")), F.lit("")),
+        F.col("doc_id").cast("string"),
+    )
+    return docs.select("doc_id", title.alias("title"))

@@ -42,19 +42,15 @@ _COS_SQL = (
     "per-partition partial top-k via ranking window).",
 )
 def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), V.as_double("embedding").alias("q_emb")
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        collect_vectors,
+        cosine_scores_vs,
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), V.as_double("embedding").alias("c_emb"))
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(V.cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("score"),
-        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_ids, q_mat = collect_vectors(emb.filter(F.col("vec_id") < 5))
+    scored = cosine_scores_vs(emb, q_ids, q_mat).filter(
+        F.col("cand_id") != F.col("query_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id").asc())
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
@@ -66,24 +62,18 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a_id, b_id, score FROM (
       SELECT q.vec_id AS a_id, c.vec_id AS b_id, {_COS_SQL} AS score
       FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
-    ) WHERE score >= 0.8
+    ) WHERE score >= 0.35
     """,
     doc="All-pairs cosine threshold self-join (near-dup by embedding). "
     "Quadratic by construction — the IVF/LSH variants are the scale path.",
 )
 def similarity_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), V.as_double("embedding").alias("a_emb"))
-    b = emb.select(F.col("vec_id").alias("b_id"), V.as_double("embedding").alias("b_emb"))
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            F.round(V.cosine(F.col("a_emb"), F.col("b_emb")), 6).alias("score"),
-        )
-        .filter(F.col("score") >= 0.8)
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        cosine_selfjoin_pairs,
     )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_selfjoin_pairs(emb, threshold=0.35)
 
 
 @register(

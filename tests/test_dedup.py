@@ -1,0 +1,89 @@
+"""Dedup-operator validation (SURVEY.md §5): MinHash-LSH recall against
+exact Jaccard ground truth, SimHash determinism + near-dup behavior,
+exact-dedup first-wins semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from notion_vector_store_etl_pipeline_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, BASE.replace("lazy", "sleepy")),  # near-dup of 1
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "completely different text about spark dataframes and shuffles today"),
+        (6, "unrelated short note"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_exact_dedup_first_wins(spark):
+    df = _corpus(spark)
+    out = D.exact_dedup(df)
+    survivors = {r.doc_id: r.group_size for r in out.collect()}
+    assert survivors[1] == 2  # 1 and 2 collapse, min id wins
+    assert 2 not in survivors
+    assert set(survivors) == {1, 3, 4, 5, 6}
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " HELLO   WORLD ")],
+        "doc_id: long, text: string",
+    )
+    out = D.exact_dedup(df)
+    assert [r.doc_id for r in out.collect()] == [1]
+
+
+def test_minhash_lsh_recall_on_high_jaccard_pairs(spark):
+    df = _corpus(spark)
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in D.jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert (1, 2) in exact and exact[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in exact  # near dup shares most shingles
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in D.minhash_neardup(df, threshold=0.5).collect()
+    }
+    # identical docs always collide in every band -> guaranteed recall
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (2, 3) in got or (1, 3) in got  # high-jaccard near-dups found
+    # verification step: every reported pair is a true >= threshold pair
+    for pair, j in got.items():
+        assert pair in exact and abs(exact[pair] - j) < 1e-9
+
+
+def test_minhash_verification_kills_false_positives(spark):
+    df = _corpus(spark)
+    got = D.minhash_neardup(df, threshold=0.9).collect()
+    pairs = {(r.a_id, r.b_id) for r in got}
+    # only the exact duplicate survives a 0.9 threshold
+    assert pairs == {(1, 2)}
+
+
+def test_simhash_deterministic_and_near(spark):
+    df = _corpus(spark)
+    sh1 = {r.doc_id: r.sh for r in df.select("doc_id", D.simhash64(F.col("text")).alias("sh")).collect()}
+    sh2 = {r.doc_id: r.sh for r in df.select("doc_id", D.simhash64(F.col("text")).alias("sh")).collect()}
+    assert sh1 == sh2  # deterministic
+    assert sh1[1] == sh1[2]  # identical text -> identical fingerprint
+    ham = df.select(
+        D.hamming64(F.lit(sh1[1]).cast("long"), F.lit(sh1[3]).cast("long")).alias("h")
+    ).first().h
+    assert ham <= 12  # near-dup stays within the bucket threshold
+    ham_far = df.select(
+        D.hamming64(F.lit(sh1[1]).cast("long"), F.lit(sh1[4]).cast("long")).alias("h")
+    ).first().h
+    assert ham_far > ham  # unrelated text is farther

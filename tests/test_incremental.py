@@ -1,0 +1,90 @@
+"""Incremental-state lifecycle tests (SURVEY.md §5.3): the
+new/changed/unchanged/resume matrix of the reference manifest
+(`README.md:458-466`), exercised through plan_increment + upsert_state
++ commit_state round-trips.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from notion_vector_store_etl_pipeline_spark.operators.incremental import (
+    commit_state,
+    plan_increment,
+    upsert_state,
+)
+
+
+def _snapshot(spark, rows):
+    return spark.createDataFrame(
+        rows, "block_id: long, let: string, content_hash: string"
+    )
+
+
+def _state(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "block_id: long, prior_let: string, prior_hash: string, "
+        "vector_file_ids: array<string>",
+    )
+
+
+def test_first_run_everything_processes(spark):
+    snap = _snapshot(spark, [(1, "t1", "h1"), (2, "t2", "h2")])
+    state = _state(spark, [])
+    plan = plan_increment(snap, state)
+    assert sorted(r.block_id for r in plan.to_process.collect()) == [1, 2]
+    assert plan.to_skip.count() == 0
+    assert plan.stale_vectors.count() == 0
+    nv = {r.block_id: r.needs_vector for r in plan.needs_vector.collect()}
+    assert nv == {1: True, 2: True}
+
+
+def test_unchanged_skips_changed_processes(spark):
+    snap = _snapshot(spark, [(1, "t1", "h1"), (2, "t2-NEW", "h2"), (3, "t3", "h3")])
+    state = _state(
+        spark,
+        [
+            (1, "t1", "h1", ["v1"]),        # unchanged -> skip
+            (2, "t2", "h2", ["v2"]),        # edit time moved -> process
+            (3, "t3", "h3", []),            # no vectors -> process
+        ],
+    )
+    plan = plan_increment(snap, state)
+    assert [r.block_id for r in plan.to_skip.collect()] == [1]
+    assert sorted(r.block_id for r in plan.to_process.collect()) == [2, 3]
+    # block 2 holds old vectors while needing re-vectorization -> stale
+    stale = {(r.block_id, r.stale_vector_id) for r in plan.stale_vectors.collect()}
+    assert stale == {(2, "v2")}
+
+
+def test_hash_change_needs_vector_even_if_let_same(spark):
+    snap = _snapshot(spark, [(1, "t1", "h1-CHANGED")])
+    state = _state(spark, [(1, "t1", "h1", ["v1"])])
+    plan = plan_increment(snap, state)
+    # cache-hit skip is let-based (reference F3) -> skipped
+    assert [r.block_id for r in plan.to_skip.collect()] == [1]
+    # but needs_vector flags the hash change (reference F4)
+    nv = {r.block_id: r.needs_vector for r in plan.needs_vector.collect()}
+    assert nv == {1: True}
+
+
+def test_upsert_and_resume_roundtrip(spark, tmp_path):
+    state = _state(spark, [(1, "t1", "h1", ["v1"]), (2, "t2", "h2", ["v2"])])
+    processed = _state(spark, [(2, "t2-NEW", "h2b", ["v2b"]), (3, "t3", "h3", ["v3"])])
+    merged = upsert_state(state, processed)
+    got = {r.block_id: (r.prior_let, r.vector_file_ids) for r in merged.collect()}
+    assert got == {
+        1: ("t1", ["v1"]),
+        2: ("t2-NEW", ["v2b"]),
+        3: ("t3", ["v3"]),
+    }
+    # commit + reload = resume (interrupted-run semantics)
+    path = str(tmp_path / "state")
+    commit_state(merged, path)
+    reloaded = spark.read.parquet(path)
+    snap = _snapshot(spark, [(1, "t1", "hx"), (2, "t2-NEW", "h2b"), (3, "t3", "h3")])
+    plan = plan_increment(snap, reloaded)
+    assert plan.to_skip.count() == 3  # all lets match and all have ids

@@ -29,6 +29,8 @@ def _duck():
 
 
 def _norm(v):
+    if v is None:
+        return "\x00<null>"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -36,7 +38,7 @@ def _norm(v):
         return f"{v:.9g}"
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
-    return v
+    return str(v)
 
 
 def _rows_to_set(cols, rows):
