@@ -24,27 +24,42 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: the reference's per-file micro-pipeline
-    (`process_source`, SURVEY.md §3.3) as one DataFrame pipeline —
-    documents -> greedy chunking -> deterministic chunk ids ->
-    join embeddings (doc_id = vec_id) -> per-language rollup."""
+    """Flagship: the reference's full `run_etl` lifecycle (SURVEY.md §3)
+    over sf0.001 — snapshot vs prior state -> incremental plan ->
+    chunking -> deterministic chunk ids -> per-language rollup of the
+    processed/skipped/chunk outcomes (the reference's run summary,
+    `:771-776`), joined to embeddings coverage."""
+    from notion_vector_store_etl_pipeline_spark.pipeline import run_pipeline
+    from notion_vector_store_etl_pipeline_spark.plans.incremental_queries import (
+        build_snapshot,
+        build_state,
+    )
+
     docs = load_table(spark, SF0001, "documents")
     emb = load_table(spark, SF0001, "embeddings")
-    chunks = explode_chunks(docs, text_col="text", max_len=1200)
-    with_ids = chunks.withColumn(
-        "chunk_id",
-        chunk_id(F.col("source"), F.sha2("text", 256), F.col("chunk_index")),
+    snapshot = build_snapshot(spark, SF0001).join(
+        docs.select(F.col("doc_id").alias("block_id"), "text", "lang"), "block_id"
     )
-    return (
-        with_ids.join(emb, with_ids.doc_id == emb.vec_id, "left_outer")
+    result = run_pipeline(snapshot, build_state(spark, SF0001), max_len=1200)
+
+    chunk_stats = (
+        result.chunks.join(emb, result.chunks.block_id == emb.vec_id, "left_outer")
         .groupBy("lang")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("block_id").alias("n_docs_processed"),
             F.count(F.lit(1)).alias("n_chunks"),
             F.countDistinct("chunk_id").alias("n_chunk_ids"),
             F.round(F.avg(F.length("chunk_text")), 2).alias("avg_chunk_chars"),
             F.count("vec_id").alias("n_vectors"),
         )
+    )
+    skipped = result.plan.to_skip.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_skipped")
+    )
+    return (
+        chunk_stats.join(skipped, "lang", "full_outer")
+        .na.fill(0, ["n_docs_processed", "n_chunks", "n_chunk_ids", "n_vectors", "n_docs_skipped"])
+        .orderBy("lang")
     )
 
 
