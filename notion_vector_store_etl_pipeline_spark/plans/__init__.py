@@ -52,6 +52,7 @@ _MODULES = (
     "multimodal_queries",
     "tpch_queries",
     "extended_queries",
+    "grouped_queries",
 )
 
 
