@@ -325,3 +325,56 @@ def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type")
     )
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    """,
+    doc="Set intersection: big-spending customers that are in good standing.",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    good = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return big.intersect(good)
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Skew-salted join (operators.skew.salted_join): identical semantics "
+    "to the plain equi join — the oracle IS the unsalted query — while the "
+    "shuffle key is (key, salt) so a hot key spreads over N reducers.",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from notion_vector_store_etl_pipeline_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = salted_join(orders, cust, "o_custkey", "c_custkey", salt_buckets=8)
+    return (
+        joined.join(nation, joined.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
