@@ -70,8 +70,12 @@ def cosine_scores_vs(
     q_ids, q_unit = _unit_matrix(
         np.asarray(query_ids, dtype=np.int64), np.asarray(query_mat, dtype=np.float64)
     )
+    # ship the query matrix once per executor (broadcast), not once per
+    # task via closure pickling
+    bc = candidates.sparkSession.sparkContext.broadcast((q_ids, q_unit))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_unit = bc.value
         for pdf in it:
             if pdf.empty:
                 continue
@@ -117,8 +121,10 @@ def cosine_selfjoin_pairs(
     a_ids, a_unit = _unit_matrix(ids, mat)
     order = np.argsort(a_ids)
     a_ids, a_unit = a_ids[order], a_unit[order]
+    bc = df.sparkSession.sparkContext.broadcast((a_ids, a_unit))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a_ids, a_unit = bc.value
         for pdf in it:
             if pdf.empty:
                 continue
