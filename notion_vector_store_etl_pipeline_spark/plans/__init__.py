@@ -51,6 +51,7 @@ _MODULES = (
     "dedup_queries",
     "multimodal_queries",
     "tpch_queries",
+    "tpch_more",
     "extended_queries",
     "grouped_queries",
 )

@@ -2,7 +2,7 @@
 mirrors the driver's CORRECTNESS comparison (row count + columns +
 order-insensitive values) for every registered query.
 
-Usage: python scripts/parity_check.py [sf_dir]
+Usage: python scripts/parity_check.py [sf_dir] [name_prefix]
 """
 
 from __future__ import annotations
@@ -41,8 +41,11 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
+    prefix = sys.argv[2] if len(sys.argv) > 2 else ""
     failures = []
     for name in sorted(registry):
+        if not name.startswith(prefix):
+            continue
         q = registry[name]
         if q.oracle is None:
             n = q.fn(spark, sf_dir).count()
