@@ -41,6 +41,7 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 
 _MODULES = (
     "relational",
+    "relational_more",
     "strings_queries",
     "chunk_queries",
     "incremental_queries",
