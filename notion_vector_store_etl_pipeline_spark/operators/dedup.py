@@ -189,7 +189,15 @@ def jaccard_verify_pairs(
     """Exact Jaccard computed ONLY for the given candidate pairs: join
     each side to its (distinct) shingle array, then set math per pair —
     O(candidates · shingles), never all-pairs."""
-    sets_df = df.select(
+    # shingle only the docs that appear in a candidate pair — a semi-join
+    # keeps the (Python) shingle UDF off the rest of the corpus; at LSH
+    # candidate rates of <<1% this is the difference between re-scanning
+    # 100 TB and touching a few GB (AQE broadcasts the id set when small)
+    cand_ids = pairs.select(F.col("a_id").alias("cand_id")).unionByName(
+        pairs.select(F.col("b_id").alias("cand_id"))
+    )  # no dropDuplicates: the left-semi join dedups by construction
+    base = df.join(cand_ids, df[id_col] == cand_ids.cand_id, "left_semi")
+    sets_df = base.select(
         F.col(id_col).alias("sid"), word_shingles(F.col(text_col), k).alias("sh")
     ).persist()  # consumed by both join sides
     a = sets_df.select(F.col("sid").alias("a_id"), F.col("sh").alias("sh_a"))
@@ -218,7 +226,10 @@ def minhash_neardup(
     never all-pairs."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
-    candidates = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    # persisted: verification reads candidates twice (the candidate-id
+    # semi-join and the pair join) — without this the whole signature +
+    # bucket-join pipeline would recompute
+    candidates = minhash_lsh_candidates(sigs, bands, rows_per_band).persist()
     return jaccard_verify_pairs(
         df, candidates, text_col, id_col, threshold=threshold
     )
