@@ -2,5 +2,16 @@ from notion_vector_store_etl_pipeline_spark.streaming.windows import stream_tumb
 from notion_vector_store_etl_pipeline_spark.streaming.incremental_stream import (
     incremental_foreach_batch,
 )
+from notion_vector_store_etl_pipeline_spark.streaming.enrich import (
+    stream_dedup_first_wins,
+    stream_static_enrich,
+    stream_status_counts,
+)
 
-__all__ = ["stream_tumbling_counts", "incremental_foreach_batch"]
+__all__ = [
+    "stream_tumbling_counts",
+    "incremental_foreach_batch",
+    "stream_static_enrich",
+    "stream_dedup_first_wins",
+    "stream_status_counts",
+]

@@ -1,0 +1,48 @@
+"""Stream-static join and streaming dedup (SURVEY.md §2.10).
+
+Two more streaming shapes the reference's incremental semantics map to:
+
+- **stream-static enrich**: each micro-batch of events joins a static
+  dimension snapshot — the streaming twin of the manifest key-lookup
+  (`Notion_openai_vector_etl.py:684`). The static side is re-planned per
+  batch, so Catalyst broadcasts it when small; no stream state needed.
+- **streaming dedup**: `dropDuplicates` over a watermarked stream — the
+  reference's visited-set / skip-already-processed semantics
+  (`:492-494`, `:691-694`) on an unbounded input. The watermark bounds
+  the dedup state exactly like the manifest bounds reprocessing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_static_enrich(
+    events: DataFrame,  # streaming: (event_id, ts, user_id, event_type, value)
+    users: DataFrame,  # static dim: (user_id, ...)
+) -> DataFrame:
+    """Per-batch left join of the event stream against a static dim."""
+    return events.join(users, "user_id", "left_outer")
+
+
+def stream_dedup_first_wins(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """First event per key wins; duplicates within the watermark horizon
+    are dropped. State is evicted past the watermark (bounded memory on
+    an unbounded stream)."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def stream_status_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of the reference's run-outcome tallies
+    (`:673-676`): global counts per event_type, update mode."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
