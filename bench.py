@@ -19,6 +19,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the heavy/representative operators per SURVEY.md §2.
 HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q21_waiting_supplier",
     "agg_group_sum",
     "join_inner_equi",
     "join_broadcast_dim",
