@@ -1,0 +1,38 @@
+"""ANN quality gate: the IVF probe (`knn_ivf_approx`) must recover a
+meaningful fraction of the exact brute-force top-k (`knn_topk`) — an
+approximate index that returns arbitrary rows would still pass a
+rows-only check, so recall against the exact oracle is the real test
+(same role as the MinHash-LSH recall test in test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from notion_vector_store_etl_pipeline_spark.plans import load_registry
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    reg = load_registry()
+    exact = {
+        (r.query_id, r.cand_id): r.rn
+        for r in reg["knn_topk"].fn(spark, SF).collect()
+    }
+    approx = {(r.query_id, r.cand_id) for r in reg["knn_ivf_approx"].fn(spark, SF).collect()}
+    assert exact, "exact top-k returned nothing"
+
+    hits = sum(1 for pair in exact if pair in approx)
+    recall = hits / len(exact)
+    # 4-of-N probes on synthetic embeddings: expect well above chance.
+    # (measured ~0.5-0.9 on the fixtures; chance is ~probes/centroids)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall:.2f} ({hits}/{len(exact)})"
+
+    # the approximate scores it does return must be EXACT cosine values:
+    # rerank inside the probed lists is not allowed to approximate
+    exact_scores = {
+        (r.query_id, r.cand_id): r.score for r in reg["knn_topk"].fn(spark, SF).collect()
+    }
+    for r in reg["knn_ivf_approx"].fn(spark, SF).collect():
+        key = (r.query_id, r.cand_id)
+        if key in exact_scores:
+            assert abs(r.score - exact_scores[key]) < 1e-9, f"score drift at {key}"
