@@ -1,0 +1,121 @@
+"""Scale smoke: replicate the sf0.1 fixtures 16x (~10M lineitem rows)
+and run the heavy relational queries on the enlarged data, verifying
+(a) they complete, (b) wall-clock grows ~linearly (no quadratic
+surprise), (c) the physical plan keeps partial aggregation / top-k
+pruning at the larger size.
+
+Replication multiplies fact tables by cloning rows with shifted keys
+(preserving join relationships), so join fan-outs stay realistic. This
+derives strictly from the driver-provided fixtures — no new synthetic
+distributions.
+
+Usage: python scripts/scale_smoke.py [multiplier] (default 16)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from notion_vector_store_etl_pipeline_spark import get_spark
+from notion_vector_store_etl_pipeline_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def replicate(df: DataFrame, mult: int, key_cols: dict[str, int]) -> DataFrame:
+    """Union `mult` shifted copies. key_cols maps column -> shift stride
+    (0 = leave unchanged, e.g. dimension FKs that must keep matching)."""
+    reps = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("rep")
+    out = df.select("*", reps)
+    for col, stride in key_cols.items():
+        if stride:
+            out = out.withColumn(col, F.col(col) + F.col("rep") * F.lit(stride))
+    return out.drop("rep")
+
+
+def main() -> int:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+    n_orders = orders.count()
+
+    # shift order keys per replica so orders stay unique and lineitems
+    # still join to exactly one order; customers are reused (fan-in, as
+    # a dimension would be)
+    big_li = replicate(li, mult, {"l_orderkey": n_orders * 10})
+    big_orders = replicate(orders, mult, {"o_orderkey": n_orders * 10})
+
+    base_rows = li.count()
+    big_rows = big_li.count()
+    print(f"lineitem: {base_rows:,} -> {big_rows:,} rows ({mult}x)")
+
+    def q1(li_df):
+        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        return (
+            li_df.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02")))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum(disc), 2).alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    def q3(li_df, o_df):
+        c = cust.filter(F.col("c_mktsegment") == "BUILDING")
+        return (
+            c.join(o_df, c.c_custkey == o_df.o_custkey)
+            .join(li_df, li_df.l_orderkey == o_df.o_orderkey)
+            .groupBy("l_orderkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"))
+            .orderBy(F.col("rev").desc(), F.col("l_orderkey"))
+            .limit(10)
+        )
+
+    def topk(li_df):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("l_suppkey").orderBy(F.col("l_extendedprice").desc(), "l_orderkey")
+        return (
+            li_df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+        )
+
+    cases = {
+        "q1_scan_agg": (lambda: q1(li), lambda: q1(big_li)),
+        "q3_join_topk": (lambda: q3(li, orders), lambda: q3(big_li, big_orders)),
+        "topk_per_group": (lambda: topk(li), lambda: topk(big_li)),
+    }
+    failures = []
+    for name, (small, big) in cases.items():
+        small().count()  # warm
+        t0 = time.perf_counter(); small().count(); t_small = time.perf_counter() - t0
+        t0 = time.perf_counter(); n = big().count(); t_big = time.perf_counter() - t0
+        ratio = t_big / max(t_small, 1e-9)
+        verdict = "OK" if ratio < mult * 2.5 else "SUPRALINEAR"
+        if verdict != "OK":
+            failures.append(name)
+        print(
+            f"{verdict:12s} {name}: {t_small:.2f}s -> {t_big:.2f}s "
+            f"({ratio:.1f}x time for {mult}x data; rows={n})"
+        )
+
+    plan = q1(big_li)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan, "partial aggregation missing at scale"
+    print("plan check: partial HashAggregate present at scale")
+    spark.stop()
+    print(f"{len(failures)} supralinear cases: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
