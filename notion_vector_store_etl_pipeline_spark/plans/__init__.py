@@ -53,6 +53,8 @@ _MODULES = (
     "multimodal_queries",
     "tpch_queries",
     "tpch_more",
+    "tpch_rest",
+    "analytic_queries",
     "extended_queries",
     "grouped_queries",
 )
