@@ -77,3 +77,67 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Derive an opaque binary column from text (fixtures carry no real
     media; the cast exercises BinaryType end-to-end)."""
     return df.withColumn("payload", F.col(text_col).cast("binary"))
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+    ]
+)
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("tail_bytes", LongType()),
+    ]
+)
+
+
+def resize_stub(decoded: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-preserving fit-into-target resize of decoded dims.
+
+    The pixel resampling itself would live in the decode kernel (PIL /
+    cv2 slot); the dimension arithmetic — what the planner must carry —
+    is exact integer math: ``out = max(1, floor(side * target / longest))``.
+    Pure JVM-side expressions, no Python stage needed.
+    """
+    longest = F.greatest("width", "height")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(F.lit(1), F.floor(F.col("width") * target / longest)).cast("int").alias("out_w"),
+        F.greatest(F.lit(1), F.floor(F.col("height") * target / longest)).cast("int").alias("out_h"),
+    )
+
+
+def audio_features_stub(df: DataFrame, payload_col: str = "payload", frame_bytes: int = 160) -> DataFrame:
+    """Frame-level audio feature extraction over raw bytes (mapInPandas).
+
+    The spectral kernel is stubbed (no audio libs in this container);
+    the framing arithmetic — 20 ms frames of ``frame_bytes`` bytes,
+    leftover tail — runs on the real byte payloads in Arrow batches,
+    which is the exact shape a real torchaudio/librosa stage would use.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf[payload_col].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "n_frames": n // frame_bytes,
+                    "duration_ms": (n // frame_bytes) * 20,
+                    "tail_bytes": n % frame_bytes,
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(batches, AUDIO_SCHEMA)

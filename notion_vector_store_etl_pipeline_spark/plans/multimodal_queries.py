@@ -33,3 +33,51 @@ from notion_vector_store_etl_pipeline_spark.sources import load_table
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_image_stub(with_binary_payload(docs))
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH decoded AS (
+      SELECT doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INTEGER) AS width,
+             CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS INTEGER) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(greatest(1, floor(width  * 224.0 / greatest(width, height))) AS INTEGER) AS out_w,
+           CAST(greatest(1, floor(height * 224.0 / greatest(width, height))) AS INTEGER) AS out_h
+    FROM decoded
+    """,
+    doc="Aspect-preserving fit-into-224 resize of decoded dims — the "
+    "dimension arithmetic stays JVM-side (exact integer math); pixel "
+    "resampling slots into the decode kernel.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from notion_vector_store_etl_pipeline_spark.operators.multimodal import resize_stub
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_stub(decode_image_stub(with_binary_payload(docs)))
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(CAST(text AS BLOB)) // 160 AS BIGINT) AS n_frames,
+           CAST((octet_length(CAST(text AS BLOB)) // 160) * 20 AS BIGINT) AS duration_ms,
+           CAST(octet_length(CAST(text AS BLOB)) % 160 AS BIGINT) AS tail_bytes
+    FROM documents
+    """,
+    doc="Audio feature-extraction plumbing: 20ms/160B framing over raw "
+    "bytes in Arrow-batched mapInPandas (spectral kernel stubbed; framing "
+    "math is real and oracle-checked).",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from notion_vector_store_etl_pipeline_spark.operators.multimodal import (
+        audio_features_stub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_features_stub(with_binary_payload(docs))
