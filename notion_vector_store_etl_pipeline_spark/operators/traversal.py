@@ -25,30 +25,52 @@ def bfs_reachability(
     edges: DataFrame,  # (src, dst)
     seeds: DataFrame,  # (node)
     max_depth: int = 20,
+    broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """Return (node, depth) for every node reachable from seeds,
-    depth = first-discovery level (seeds at 0)."""
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)  # scanned every level
+    depth = first-discovery level (seeds at 0).
+
+    Join strategy is chosen per level from the frontier/visited row
+    counts (known exactly — each level is counted to test the
+    fixpoint): a frontier under ``broadcast_rows`` is broadcast into
+    the expand join so the big edge relation never shuffles, and the
+    visited set is broadcast into the cycle-detection anti-join the
+    same way. BFS frontiers on hierarchical data are usually tiny
+    relative to edges, so the common case runs one shuffle per level
+    (the dedup) instead of three; a frontier that outgrows the
+    threshold falls back to shuffle joins automatically.
+    """
+    # One upfront hash-partition on src, then persist: every level's
+    # expand join reads the cached layout at full parallelism (a raw
+    # union of file scans can cache with very few partitions), and if a
+    # level falls back to a shuffle join, edges are already on the key.
+    edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     frontier = seeds.select("node").dropDuplicates()
     frontier.persist(StorageLevel.MEMORY_AND_DISK)
+    frontier_n = frontier.count()
     levels = [frontier.withColumn("depth", F.lit(0))]
     visited = frontier  # union of all levels' nodes
+    visited_n = frontier_n
 
     for depth in range(1, max_depth + 1):
+        f = F.broadcast(frontier) if frontier_n <= broadcast_rows else frontier
+        v = F.broadcast(visited) if visited_n <= broadcast_rows else visited
         frontier = (
-            frontier.join(edges, frontier.node == edges.src)
+            f.join(edges, f.node == edges.src)
             .select(F.col("dst").alias("node"))
             .dropDuplicates()
-            .join(visited, "node", "left_anti")
+            .join(v, "node", "left_anti")
         )
         frontier.persist(StorageLevel.MEMORY_AND_DISK)
         # count() (not isEmpty) so the persist is FULLY materialized —
         # isEmpty touches one partition and leaves the rest to be
         # recomputed by the next level's join
-        if frontier.count() == 0:
+        frontier_n = frontier.count()
+        if frontier_n == 0:
             break
         levels.append(frontier.withColumn("depth", F.lit(depth)))
         visited = visited.unionByName(frontier)
+        visited_n += frontier_n
         # bounded-depth loops keep lineage shallow; cut it only when deep
         if depth % 8 == 0:
             visited = visited.localCheckpoint(eager=True)
