@@ -55,6 +55,7 @@ _MODULES = (
     "tpch_more",
     "tpch_rest",
     "analytic_queries",
+    "training_queries",
     "extended_queries",
     "grouped_queries",
 )
