@@ -21,6 +21,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q21_waiting_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tfidf_top_terms",
+    "time_rollup_multi",
     "agg_group_sum",
     "join_inner_equi",
     "join_broadcast_dim",

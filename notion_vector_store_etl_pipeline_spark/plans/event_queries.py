@@ -129,6 +129,37 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "from_json_schema_read",
+    oracle="""
+    SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN props->>'$.tag' IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_tag,
+           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Schema-on-read with a DECLARED StructType via from_json "
+    "(SURVEY §1.3): fields absent from the payload (`tag`) come back "
+    "null instead of erroring — the engine-side analogue of the "
+    "reference's .get(key, default) tolerance (`:684-685`, `:691`).",
+)
+def from_json_schema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        F.from_json("props", "k BIGINT, tag STRING").alias("p")
+    )
+    return (
+        parsed.select((F.col("p.k") % 10).alias("k_mod"), F.col("p.tag").alias("tag"), F.col("p.k").alias("k"))
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("tag").isNull(), 1).otherwise(0)).cast("long").alias("n_missing_tag"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+@register(
     "join_range_theta",
     oracle="""
     SELECT a.user_id,
