@@ -33,6 +33,7 @@ HEADLINE = [
     "join_range_theta",
     "join_asof_latest",
     "graph_reachability",
+    "graph_reachability_sql",
     "chunk_explode",
     "chunk_explode_words",
     "knn_topk",

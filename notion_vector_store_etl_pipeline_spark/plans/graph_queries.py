@@ -72,6 +72,41 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_reachability_sql",
+    oracle=_EDGES_CTE
+    + """
+    , walk(node, depth) AS (
+      SELECT node, 0 FROM (VALUES ('R0'), ('R1')) s(node)
+      UNION ALL
+      SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.depth < 10
+    )
+    SELECT node, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY node
+    """,
+    doc="Same reachability as `graph_reachability`, but via Spark 4's "
+    "native WITH RECURSIVE (UnionLoop execution) instead of the "
+    "driver-side iterative loop — the declarative path once recursive "
+    "CTEs are available; the loop variant stays as the portable/tunable "
+    "one (broadcast-frontier control, per-level persist).",
+)
+def graph_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build_edges(spark, sf_dir).createOrReplaceTempView("crawl_edges")
+    _seeds(spark).createOrReplaceTempView("crawl_seeds")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(node, depth) AS (
+          SELECT node, 0 FROM crawl_seeds
+          UNION ALL
+          SELECT e.dst, w.depth + 1
+          FROM walk w JOIN crawl_edges e ON e.src = w.node
+          WHERE w.depth < 10
+        )
+        SELECT node, CAST(min(depth) AS INT) AS depth FROM walk GROUP BY node
+        """
+    )
+
+
+@register(
     "traversal_step",
     oracle=_EDGES_CTE
     + """
