@@ -5,6 +5,7 @@ from notion_vector_store_etl_pipeline_spark.streaming.incremental_stream import 
 from notion_vector_store_etl_pipeline_spark.streaming.enrich import (
     stream_dedup_first_wins,
     stream_static_enrich,
+    stream_stream_interval_join,
     stream_status_counts,
 )
 
@@ -12,6 +13,7 @@ __all__ = [
     "stream_tumbling_counts",
     "incremental_foreach_batch",
     "stream_static_enrich",
+    "stream_stream_interval_join",
     "stream_dedup_first_wins",
     "stream_status_counts",
 ]

@@ -39,6 +39,40 @@ def stream_dedup_first_wins(
     return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
 
 
+def stream_stream_interval_join(
+    clicks: DataFrame,  # streaming: (user_id, ts, ...)
+    purchases: DataFrame,  # streaming: (user_id, ts, ...)
+    max_gap: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: purchases within ``max_gap`` after a
+    click by the same user — the streaming twin of the batch
+    `join_range_theta` query. Both sides are watermarked so the join
+    state (buffered rows awaiting matches) is evicted once the event
+    time passes the horizon; without watermarks a stream-stream join
+    buffers forever. The equi key (user_id) keeps it a hash join;
+    the time bound is the state-eviction condition.
+    """
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c.user_id = p.user_id AND
+            p.ts > c.ts AND
+            p.ts <= c.ts + INTERVAL {max_gap}
+            """
+        ),
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.ts").alias("purchase_ts"),
+    )
+
+
 def stream_status_counts(events: DataFrame) -> DataFrame:
     """Streaming twin of the reference's run-outcome tallies
     (`:673-676`): global counts per event_type, update mode."""
