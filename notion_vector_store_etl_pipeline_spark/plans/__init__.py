@@ -56,6 +56,7 @@ _MODULES = (
     "tpch_rest",
     "analytic_queries",
     "training_queries",
+    "timeseries_queries",
     "extended_queries",
     "grouped_queries",
 )

@@ -1,0 +1,107 @@
+"""Time-series operators wave 2: Spark's native session_window (the
+state-store-backed sessionizer, vs the gaps-and-islands batch twin in
+`extended_queries.window_session_gap`) and date-spine gap filling
+(every hour present, zero-filled — the shape feature pipelines need
+before resampling/interpolation).
+
+Boundary semantics: session_window merges an event iff it starts
+STRICTLY before current_end = prev_ts + gap, so an exactly-30-min gap
+starts a NEW session — the islands oracle uses `>=` accordingly
+(window_session_gap's `>` convention merges the boundary instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from notion_vector_store_etl_pipeline_spark.plans import register
+from notion_vector_store_etl_pipeline_spark.sources import load_table
+
+
+@register(
+    "session_window_native",
+    oracle="""
+    SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id, us,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN lag(epoch_us(ts))
+                      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts))
+                      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    >= 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    )
+    GROUP BY user_id, session_id
+    """,
+    doc="Native F.session_window (30-min inactivity gap): merge-on-overlap "
+    "sessionization in the aggregation operator itself — in streaming this "
+    "is state-store-backed with watermark eviction; the oracle replays the "
+    "same strict-boundary semantics as gaps-and-islands.",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ),
+    counts AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT strftime(spine.h, '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+           coalesce(counts.n, 0) AS n_errors,
+           coalesce(counts.sum_value, 0.0) AS sum_value
+    FROM spine LEFT JOIN counts ON spine.h = counts.h
+    """,
+    doc="Date-spine gap filling: generate the full hourly spine with "
+    "sequence()+explode (one row -> N, no shuffle), left-join the sparse "
+    "hourly aggregate, zero-fill the holes. The spine generation is O(1) "
+    "input rows regardless of data size; the join key is the truncated "
+    "hour so AQE broadcasts the small side.",
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    counts = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    return spine.join(counts, "h", "left_outer").select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+        F.coalesce("n", F.lit(0)).alias("n_errors"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
