@@ -84,6 +84,40 @@ def chunk_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_explode_udtf",
+    oracle=_WORDS_GREEDY_ORACLE,
+    doc="The same greedy chunker as a NATIVE Python UDTF (Spark 4 "
+    "lateral-join table function) instead of pandas_udf+posexplode — "
+    "one row in, N rows out, yielded directly from the eval generator. "
+    "Same recursive-CTE oracle as chunk_explode_words; the "
+    "pandas_udf+posexplode formulation remains the throughput path "
+    "(Arrow-batched vs per-row eval).",
+)
+def chunk_explode_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    from notion_vector_store_etl_pipeline_spark.operators.chunker import greedy_chunk_text
+
+    @udtf(returnType="chunk_index: int, chunk_text: string")
+    class ChunkTable:
+        def eval(self, text: str):
+            for i, c in enumerate(greedy_chunk_text(text, 80)):
+                yield i, c
+
+    spark.udtf.register("chunk_table", ChunkTable)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        "doc_id", F.translate(F.trim(F.col("text")), " ", "\n").alias("lines")
+    ).createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_index, c.chunk_text
+        FROM docs_for_udtf d, LATERAL chunk_table(d.lines) c
+        """
+    )
+
+
+@register(
     "chunk_ids",
     oracle="""
     SELECT doc_id,

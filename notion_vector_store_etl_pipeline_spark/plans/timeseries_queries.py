@@ -60,6 +60,42 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           event_type AS state,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(lead(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) AS valid_to_us,
+           CASE WHEN lead(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+             THEN TRUE ELSE FALSE END AS is_current
+    FROM events
+    """,
+    doc="SCD type-2 interval construction from a change stream: each "
+    "update becomes a versioned row with [valid_from, valid_to) via "
+    "lead(), open-ended current row flagged — the state-history twin of "
+    "the manifest's last-writer-wins upsert (`state_merge_upsert`). One "
+    "shuffle on the entity key; the as-of lookup against these intervals "
+    "is `join_asof_latest`.",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    nxt = F.lead(us).over(w)
+    return events.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        us.alias("valid_from_us"),
+        nxt.alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
     "timeseries_gapfill",
     oracle="""
     WITH bounds AS (

@@ -90,10 +90,41 @@ def main() -> int:
             li_df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
         )
 
+    supp = load_table(spark, SF_DIR, "supplier")
+    nation = load_table(spark, SF_DIR, "nation")
+
+    def q7_snowflake(li_df, o_df):
+        n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+        return (
+            li_df.join(supp, li_df.l_suppkey == supp.s_suppkey)
+            .join(o_df, li_df.l_orderkey == o_df.o_orderkey)
+            .join(cust, o_df.o_custkey == cust.c_custkey)
+            .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+            .groupBy("supp_nation", F.year("l_shipdate").alias("yr"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"))
+        )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    big_docs = replicate(docs, mult, {"doc_id": 10_000_000})
+
+    def tfidf(docs_df):
+        from pyspark.sql.window import Window
+
+        tok = docs_df.select(
+            "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+        ).filter(F.col("term") != "")
+        tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        scored = tf.join(F.broadcast(dfreq), "term")
+        w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
+        return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
     cases = {
         "q1_scan_agg": (lambda: q1(li), lambda: q1(big_li)),
         "q3_join_topk": (lambda: q3(li, orders), lambda: q3(big_li, big_orders)),
         "topk_per_group": (lambda: topk(li), lambda: topk(big_li)),
+        "q7_snowflake": (lambda: q7_snowflake(li, orders), lambda: q7_snowflake(big_li, big_orders)),
+        "tfidf_window": (lambda: tfidf(docs), lambda: tfidf(big_docs)),
     }
     failures = []
     for name, (small, big) in cases.items():
