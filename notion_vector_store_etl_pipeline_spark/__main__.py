@@ -1,0 +1,138 @@
+"""CLI entry point — the reference's `__main__` / `parse_config` /
+`run_etl` surface (`Notion_openai_vector_etl.py:782-831`) re-expressed
+for the Spark engine: every flag has an env-var default (the
+reference's `os.environ.get` convention), booleans use the same
+truthy-set parsing (`parse_bool`, `:52-55`), and `--dry-run` discovers
+without processing (`:746-748`).
+
+    python -m notion_vector_store_etl_pipeline_spark \
+        --data-dir /root/testdata/sf0.001 \
+        --state-path /tmp/nve-state \
+        --output-dir /tmp/nve-chunks
+
+A second run against the same state path skips everything unchanged
+(the manifest semantics, `README.md:458-466`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRUTHY = {"1", "true", "yes", "y", "on"}  # reference parse_bool (`:52-55`)
+
+
+def parse_bool(v: str | bool | None, default: bool = False) -> bool:
+    if v is None:
+        return default
+    if isinstance(v, bool):
+        return v
+    return v.strip().lower() in TRUTHY
+
+
+def int_env(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, "") or default)
+    except ValueError:  # reference int_env (`:639-646`)
+        return default
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="notion_vector_store_etl_pipeline_spark",
+        description="Incremental document->chunk ETL on Spark",
+    )
+    env = os.environ.get
+    p.add_argument("--data-dir", default=env("NVE_DATA_DIR", "/root/testdata/sf0.001"))
+    p.add_argument("--state-path", default=env("NVE_STATE_PATH"), required=env("NVE_STATE_PATH") is None)
+    p.add_argument("--output-dir", default=env("NVE_OUTPUT_DIR"))
+    p.add_argument("--chunk-char-len", type=int, default=int_env("NVE_CHUNK_CHAR_LEN", 1200))
+    p.add_argument("--max-files", type=int, default=int_env("NVE_MAX_FILES", 0))
+    p.add_argument("--lang-filter", default=env("NVE_LANG_FILTER", ""))
+    p.add_argument("--dry-run", nargs="?", const="true", default=env("NVE_DRY_RUN", "false"))
+    return p
+
+
+def load_state(spark: SparkSession, path: str) -> DataFrame:
+    """Missing state -> empty table with schema (reference `:190-203`:
+    absent manifest means a full run, not an error)."""
+    from notion_vector_store_etl_pipeline_spark.operators.incremental import STATE_COLUMNS
+
+    schema = (
+        "block_id BIGINT, prior_let STRING, prior_hash STRING, "
+        "vector_file_ids ARRAY<STRING>"
+    )
+    try:
+        df = spark.read.parquet(path)
+        return df.select(*STATE_COLUMNS)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def build_snapshot(spark: SparkSession, data_dir: str) -> DataFrame:
+    """The 'crawl': documents as source records. `let` (the change
+    signal, the reference's last_edited_time) derives from content —
+    fixtures carry no edit timestamps."""
+    from notion_vector_store_etl_pipeline_spark.sources import load_table
+
+    docs = load_table(spark, data_dir, "documents")
+    content_hash = F.sha2("text", 256)
+    return docs.select(
+        F.col("doc_id").alias("block_id"),
+        F.col("source").alias("src"),
+        F.substring(content_hash, 1, 16).alias("let"),
+        content_hash.alias("content_hash"),
+        "text",
+        "lang",
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    from notion_vector_store_etl_pipeline_spark import get_spark
+    from notion_vector_store_etl_pipeline_spark.operators.incremental import commit_state
+    from notion_vector_store_etl_pipeline_spark.operators.sinks import write_chunks_jsonl
+    from notion_vector_store_etl_pipeline_spark.pipeline import run_pipeline
+
+    args = build_arg_parser().parse_args(argv)
+    dry_run = parse_bool(args.dry_run)
+    if not dry_run and not args.output_dir:
+        print("error: --output-dir required unless --dry-run", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name="nve-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    snapshot = build_snapshot(spark, args.data_dir)
+    if args.lang_filter:
+        langs = [s.strip() for s in args.lang_filter.split(",") if s.strip()]
+        snapshot = snapshot.filter(F.col("lang").isin(langs))  # F2 semi-filter
+    if args.max_files > 0:
+        snapshot = snapshot.limit(args.max_files)  # L2 MAX_FILES
+
+    state = load_state(spark, args.state_path)
+    result = run_pipeline(snapshot, state, max_len=args.chunk_char_len)
+
+    n_process = result.plan.to_process.count()
+    n_skip = result.plan.to_skip.count()
+    if dry_run:  # discover without processing (`:746-748`)
+        print(f"[dry-run] would process {n_process} files, skip {n_skip} (unchanged)")
+        return 0
+
+    n_chunks = result.records.count()
+    n_stale = result.stale_vectors.count()
+    write_chunks_jsonl(result.records, args.output_dir)
+    commit_state(result.next_state, args.state_path)
+    # the reference's run summary (`:771-776`)
+    print(
+        f"processed={n_process} skipped={n_skip} chunks={n_chunks} "
+        f"stale_vectors={n_stale} state={args.state_path} output={args.output_dir}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

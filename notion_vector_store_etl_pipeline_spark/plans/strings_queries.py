@@ -259,3 +259,48 @@ def title_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
     )
     return docs.select("doc_id", title.alias("title"))
+
+
+@register(
+    "regexp_extract_all_numbers",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract_all(text, '[0-9]+') AS nums,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,
+           coalesce(try_cast(regexp_extract_all(text, '[0-9]+')[1] AS BIGINT), -1) AS first_num
+    FROM documents
+    """,
+    doc="regexp_extract_all into an ARRAY<STRING> column + element access "
+    "with a try_cast/-1 default — multi-match extraction stays one "
+    "JVM-side expression (vs the reference's re.search single match, `:81`).",
+)
+def regexp_extract_all_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nums = F.regexp_extract_all("text", F.lit("[0-9]+"))
+    return docs.select(
+        "doc_id",
+        nums.alias("nums"),
+        F.size(nums).alias("n_nums"),
+        F.coalesce(F.try_element_at(nums, F.lit(1)).cast("bigint"), F.lit(-1)).alias("first_num"),
+    )
+
+
+@register(
+    "map_explode_props",
+    oracle="""
+    SELECT k AS key, count(*) AS n, sum(CAST(props->>'$.k' AS BIGINT)) AS sum_value
+    FROM events, unnest(json_keys(props)) AS t(k)
+    GROUP BY k
+    """,
+    doc="MapType end-to-end: parse the JSON payload into MAP<STRING,BIGINT> "
+    "with from_json, explode to (key, value) rows, aggregate per key — "
+    "schema-on-read for payloads whose keys are data, not schema.",
+)
+def map_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        events.select(F.explode(m).alias("key", "value"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
