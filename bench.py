@@ -60,11 +60,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
-        # two trials, keep the min: single-trial numbers on this host
-        # swing 2-10x from GC/scheduler noise (measured 37s vs 54s for
-        # identical code); min-of-2 is stable to ~10%
+        # min over trials: single-trial numbers on this host swing
+        # 2-10x from external load (measured 4s vs 22s for identical
+        # code at load avg ~6). Two trials normally; if they disagree
+        # by >2x the host was noisy, so take one more.
         trials = []
         for _ in range(2):
+            t0 = time.perf_counter()
+            q.fn(spark, SF_DIR).count()
+            trials.append(time.perf_counter() - t0)
+        if max(trials) > 2 * min(trials):
             t0 = time.perf_counter()
             q.fn(spark, SF_DIR).count()
             trials.append(time.perf_counter() - t0)
