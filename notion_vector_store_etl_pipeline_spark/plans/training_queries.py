@@ -159,3 +159,101 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
     )
+
+
+@register(
+    "curation_funnel",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             round(0.4 * least(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INTEGER) / 100.0, 1.0)
+                 + 0.4 * (len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+                       ['the','a','an','of','and','to','in','is','on','for'])) * 1.0
+                     / greatest(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))), 1))
+                 + 0.2 * least(n_chars / 400.0, 1.0), 6) AS quality
+      FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+          ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT doc_id, lang, quality, qrank FROM (
+      SELECT doc_id, lang, quality,
+             CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY quality DESC, doc_id) AS INTEGER) AS qrank
+      FROM deduped
+    ) WHERE qrank <= 25
+    """,
+    doc="The full curation funnel in ONE declarative pipeline: quality "
+    "scoring -> threshold filter -> exact near-dup removal (normalized "
+    "content hash, first-wins) -> per-language top-25 by quality. Each "
+    "stage shrinks the data before the next shuffle; the expensive "
+    "stages (hash, window) only ever see survivors.",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from notion_vector_store_etl_pipeline_spark.functions import text as T
+    from notion_vector_store_etl_pipeline_spark.operators.dedup import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    dtoks = F.array_distinct(toks)
+    stop_ratio = (
+        F.size(F.filter(dtoks, lambda t: t.isin(*T.STOPWORDS))).cast("double")
+        / F.greatest(F.size(dtoks), F.lit(1)).cast("double")
+    )
+    quality = F.round(
+        0.4 * F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+        + 0.4 * stop_ratio
+        + 0.2 * F.least(F.col("n_chars") / F.lit(400.0), F.lit(1.0)),
+        6,
+    )
+    kept = docs.select("doc_id", "lang", "text", quality.alias("quality")).filter(
+        F.col("quality") >= 0.5
+    )
+    w_dedup = Window.partitionBy(F.sha2(normalized_text(F.col("text")), 256)).orderBy(
+        "doc_id"
+    )
+    deduped = kept.withColumn("rn", F.row_number().over(w_dedup)).filter(F.col("rn") == 1)
+    w_rank = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        deduped.withColumn("qrank", F.row_number().over(w_rank))
+        .filter(F.col("qrank") <= 25)
+        .select("doc_id", "lang", "quality", "qrank")
+    )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    SELECT label, pos, round(avg(component), 6) AS centroid_val, count(*) AS n_vectors
+    FROM (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS component
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    doc="Per-label embedding centroids via posexplode -> (label, dim) "
+    "mean: the reshape that turns array columns into a long form Spark "
+    "can aggregate natively (no Python, one shuffle keyed by label+dim). "
+    "The inverse gather (array_agg ordered by pos) rebuilds vectors; "
+    "centroid tables feed the IVF index (`knn_ivf_approx`).",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "comp"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg(F.col("comp").cast("double")), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
