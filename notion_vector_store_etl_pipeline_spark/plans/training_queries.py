@@ -47,17 +47,23 @@ from notion_vector_store_etl_pipeline_spark.sources import load_table
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # corpus size as a broadcast 1-row scalar inside the SAME plan — no
+    # separate count() action, so the whole thing is one job at any scale
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
     ).filter(F.col("term") != "")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
