@@ -135,3 +135,35 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", "label", F.round(V.norm(V.as_double("embedding")), 6).alias("l2_norm")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         m AS (SELECT vec_id, label, e,
+                      greatest(list_aggregate(list_transform(e, x -> abs(x)), 'max'), 1e-12) AS ma
+               FROM b)
+    SELECT vec_id, label,
+           round(127.0 / ma, 6) AS scale,
+           list_transform(e, x -> CAST(round(x * (127.0 / ma)) AS INTEGER)) AS q
+    FROM m
+    """,
+    doc="Symmetric int8 quantization per vector (scale = 127/max|x|): the "
+    "4x memory compression an ANN index applies before bucketing at scale. "
+    "Pure array HOFs — narrow, zero-shuffle, stays in codegen; the max "
+    "element maps to exactly +/-127 so the round boundary is never hit there.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = V.as_double("embedding")
+    maxabs = F.greatest(
+        F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    scale = F.lit(127.0) / maxabs
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(scale, 6).alias("scale"),
+        F.transform(e, lambda x: F.round(x * scale).cast("int")).alias("q"),
+    )
