@@ -226,3 +226,33 @@ def join_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "last_click_us")
     )
+
+
+@register(
+    "variant_extract_props",
+    oracle="""
+    SELECT CAST(props->>'$.k' AS BIGINT) % 7 AS k_mod,
+           count(*) AS n,
+           min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Spark 4 VARIANT: parse_json once into the binary semi-structured "
+    "type, then typed path access via try_variant_get — the store-once/"
+    "shred-on-read layout for payloads too irregular for a declared "
+    "schema (vs from_json_schema_read's fixed StructType).",
+)
+def variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "bigint")
+    return (
+        v.select((k % 7).alias("k_mod"), k.alias("k"))
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
