@@ -167,3 +167,77 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(scale, 6).alias("scale"),
         F.transform(e, lambda x: F.round(x * scale).cast("int")).alias("q"),
     )
+
+
+@register(
+    "knn_ivf_quantized",
+    oracle=None,  # approximate two-stage retrieval; recall tested in pytest
+    doc="Two-stage ANN, the full 100 TB retrieval shape: IVF probe "
+    "(nearest 4 inverted lists) -> int8-quantized cosine over the "
+    "candidates (4x smaller vectors, integer dot products — the cheap "
+    "first pass) -> exact double-precision rerank of the quantized "
+    "top-30 -> top-10. Candidate generation, coarse scoring, and "
+    "rerank are all candidate-local; the full-precision vectors are "
+    "only touched for 30 rows per query.",
+)
+def knn_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = V.as_double("embedding")
+    maxabs = F.greatest(F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-12))
+    vecs = emb.select(
+        "vec_id",
+        e.alias("emb"),
+        F.transform(e, lambda x: F.round(x * (F.lit(127.0) / maxabs)).cast("long")).alias("q"),
+    )
+    cents = vecs.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent_emb")
+    )
+
+    def nearest(df: DataFrame, id_col: str, emb_col: str, topn: int, out: str, keep) -> DataFrame:
+        scored = df.join(F.broadcast(cents)).select(
+            *keep,
+            id_col,
+            "cent_id",
+            F.round(V.cosine(F.col(emb_col), F.col("cent_emb")), 6).alias("cscore"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("cent_id").asc())
+        return (
+            scored.withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") <= topn)
+            .select(*keep, id_col, F.col("cent_id").alias(out))
+        )
+
+    assigned = nearest(vecs, "vec_id", "emb", 1, "list_id", keep=["emb", "q"])
+    queries = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("q").alias("q_quant"),
+    ).filter(F.col("query_id") < 5)
+    probes = nearest(queries, "query_id", "q_emb", 4, "list_id", keep=["q_emb", "q_quant"])
+
+    cands = (
+        probes.join(assigned, "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    # stage 1: integer dot product over int8 codes (the cheap pass)
+    qdot = F.aggregate(
+        F.zip_with("q_quant", "q", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    qnorm = lambda c: F.sqrt(
+        F.aggregate(F.zip_with(c, c, lambda x, y: (x * y).cast("double")), F.lit(0.0), lambda a, x: a + x)
+    )
+    coarse = cands.withColumn(
+        "qscore", qdot.cast("double") / F.nullif(qnorm(F.col("q_quant")) * qnorm(F.col("q")), F.lit(0.0))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("qscore").desc(), F.col("vec_id").asc())
+    shortlist = coarse.withColumn("qrn", F.row_number().over(w1)).filter(F.col("qrn") <= 30)
+
+    # stage 2: exact rerank of the shortlist only
+    reranked = shortlist.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(V.cosine(F.col("q_emb"), F.col("emb")), 6).alias("score"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id").asc())
+    return reranked.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= 10)

@@ -36,3 +36,26 @@ def test_ivf_recall_vs_brute_force(spark):
         key = (r.query_id, r.cand_id)
         if key in exact_scores:
             assert abs(r.score - exact_scores[key]) < 1e-9, f"score drift at {key}"
+
+
+def test_ivf_quantized_recall_and_exact_rerank(spark):
+    """Two-stage retrieval: int8 coarse pass must not wreck recall, and
+    the final scores must be exact doubles (rerank repairs quantization)."""
+    reg = load_registry()
+    exact = {
+        (r.query_id, r.cand_id): r.score
+        for r in reg["knn_topk"].fn(spark, SF).collect()
+    }
+    quant = list(reg["knn_ivf_quantized"].fn(spark, SF).collect())
+    assert quant, "quantized pipeline returned nothing"
+
+    hits = sum(1 for r in quant if (r.query_id, r.cand_id) in exact)
+    recall = hits / len(exact)
+    # quantized coarse pass sits between the pure-IVF floor and exact;
+    # int8 on 64-dim vectors loses little ordering information
+    assert recall >= 0.3, f"quantized recall collapsed: {recall:.2f}"
+
+    for r in quant:
+        key = (r.query_id, r.cand_id)
+        if key in exact:
+            assert abs(r.score - exact[key]) < 1e-9, f"rerank score drift at {key}"
