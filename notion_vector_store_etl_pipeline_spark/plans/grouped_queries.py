@@ -159,3 +159,60 @@ def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
+
+
+@register(
+    "cogroup_conversion_stats",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*) AS n_clicks, min(epoch_us(ts)) AS first_click_us
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+      SELECT user_id, count(*) AS n_purchases, min(epoch_us(ts)) AS first_purchase_us
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+           CASE WHEN c.first_click_us IS NOT NULL AND p.first_purchase_us IS NOT NULL
+                     AND p.first_purchase_us > c.first_click_us
+                THEN CAST(p.first_purchase_us - c.first_click_us AS BIGINT) END
+             AS first_conversion_us
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+    doc="Co-grouped applyInPandas (SURVEY §2.11 grouped-map surface, the "
+    "two-sided variant): clicks and purchases land as two aligned pandas "
+    "frames per user; either side may be empty (outer-cogroup semantics). "
+    "The same alignment as a full-outer join of two aggregates — which is "
+    "exactly what the oracle computes, so the escape hatch is "
+    "correctness-pinned to the relational equivalent.",
+)
+def cogroup_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", us.alias("us"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("us")
+    )
+
+    def stats(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        (uid,) = key
+        n_c, n_p = len(left), len(right)
+        conv = None
+        if n_c and n_p:
+            fc, fp = int(left["us"].min()), int(right["us"].min())
+            if fp > fc:
+                conv = fp - fc
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_clicks": [n_c],
+                "n_purchases": [n_p],
+                "first_conversion_us": [conv],
+            }
+        )
+
+    return clicks.groupBy("user_id").cogroup(purchases.groupBy("user_id")).applyInPandas(
+        stats,
+        "user_id bigint, n_clicks bigint, n_purchases bigint, first_conversion_us bigint",
+    )
