@@ -1,0 +1,66 @@
+"""Physical-plan property gate — PLANS.md, automated. Each assertion
+pins a scale-critical property of a query's compiled plan (filter
+pushed into the scan, broadcast instead of shuffle, per-partition
+top-k pruning, map-side partial aggregation). If a refactor silently
+trades one of these away, this fails before any benchmark moves.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from notion_vector_store_etl_pipeline_spark.plans import load_registry
+
+from tests.conftest import SF_SMOKE
+
+REGISTRY = load_registry()
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+CASES = [
+    # (query, must-contain fragments, must-NOT-contain fragments)
+    ("agg_group_sum", ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"], []),
+    ("tpch_q1_pricing_summary", ["HashAggregate", "Exchange"], ["SortMergeJoin"]),
+    ("tpch_q6_forecast_revenue", ["GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate"], []),
+    ("sort_topk", ["TakeOrderedAndProject"], ["Sort ["]),
+    ("topk_per_group", ["WindowGroupLimit"], []),
+    ("tfidf_top_terms", ["WindowGroupLimit", "BroadcastHashJoin"], []),
+    ("join_broadcast_dim", ["BroadcastHashJoin"], ["SortMergeJoin"]),
+    ("tpch_q19_or_predicates", ["Or(", "BroadcastHashJoin"], ["CartesianProduct"]),
+    ("filter_isin_notnull", ["In(event_type"], []),
+    ("label_centroids", ["Generate", "posexplode", "HashAggregate"], []),
+    ("curation_funnel", ["WindowGroupLimit"], []),
+    ("tpch_q4_order_priority", ["LeftSemi"], []),
+    ("tpch_q21_waiting_supplier", ["LeftSemi", "LeftAnti"], ["CartesianProduct"]),
+    ("tpch_q16_supplier_count", ["LeftAnti"], []),
+    ("knn_topk", ["MapInPandas"], ["CartesianProduct"]),
+]
+
+
+@pytest.mark.parametrize("name,must,must_not", CASES, ids=[c[0] for c in CASES])
+def test_plan_keeps_scale_properties(spark, name, must, must_not):
+    plan = plan_of(spark, name)
+    for frag in must:
+        assert frag in plan, f"{name}: expected {frag!r} in plan\n{plan[:4000]}"
+    for frag in must_not:
+        assert frag not in plan, f"{name}: unwanted {frag!r} in plan\n{plan[:4000]}"
+
+
+def test_partial_aggregation_before_exchange(spark):
+    """Map-side combine: the partial HashAggregate must appear BELOW the
+    exchange (higher step number in the formatted tree) for the canonical
+    scan-agg query."""
+    plan = plan_of(spark, "tpch_q1_pricing_summary")
+    # formatted plan lists two HashAggregates around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") >= 1
