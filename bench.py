@@ -44,6 +44,8 @@ HEADLINE = [
     "text_token_stats",
     "multimodal_decode_stub",
     "incremental_changed",
+    "curation_funnel",
+    "knn_ivf_quantized",
 ]
 
 
