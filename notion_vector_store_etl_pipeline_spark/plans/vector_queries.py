@@ -184,11 +184,17 @@ def knn_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = V.as_double("embedding")
     maxabs = F.greatest(F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-12))
-    vecs = emb.select(
-        "vec_id",
-        e.alias("emb"),
-        F.transform(e, lambda x: F.round(x * (F.lit(127.0) / maxabs)).cast("long")).alias("q"),
+    quant = F.transform(e, lambda x: F.round(x * (F.lit(127.0) / maxabs)).cast("long"))
+    qnorm = F.sqrt(
+        F.aggregate(
+            F.zip_with(quant, quant, lambda x, y: (x * y).cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
     )
+    # quantized norm computed ONCE per vector in the narrow projection —
+    # after the candidate join it would be recomputed per (query, cand) pair
+    vecs = emb.select("vec_id", e.alias("emb"), quant.alias("q"), qnorm.alias("qn"))
     cents = vecs.filter(F.col("vec_id") % 97 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("emb").alias("cent_emb")
     )
@@ -207,28 +213,28 @@ def knn_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*keep, id_col, F.col("cent_id").alias(out))
         )
 
-    assigned = nearest(vecs, "vec_id", "emb", 1, "list_id", keep=["emb", "q"])
+    assigned = nearest(vecs, "vec_id", "emb", 1, "list_id", keep=["emb", "q", "qn"])
     queries = vecs.select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("q").alias("q_quant"),
+        F.col("qn").alias("q_qn"),
     ).filter(F.col("query_id") < 5)
-    probes = nearest(queries, "query_id", "q_emb", 4, "list_id", keep=["q_emb", "q_quant"])
+    probes = nearest(queries, "query_id", "q_emb", 4, "list_id", keep=["q_emb", "q_quant", "q_qn"])
 
     cands = (
         probes.join(assigned, "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "vec_id"])
     )
-    # stage 1: integer dot product over int8 codes (the cheap pass)
+    # stage 1: integer dot product over int8 codes (the cheap pass);
+    # norms were precomputed per vector, so the per-pair work is ONE
+    # integer zip_with + a divide
     qdot = F.aggregate(
         F.zip_with("q_quant", "q", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, x: a + x
     )
-    qnorm = lambda c: F.sqrt(
-        F.aggregate(F.zip_with(c, c, lambda x, y: (x * y).cast("double")), F.lit(0.0), lambda a, x: a + x)
-    )
     coarse = cands.withColumn(
-        "qscore", qdot.cast("double") / F.nullif(qnorm(F.col("q_quant")) * qnorm(F.col("q")), F.lit(0.0))
+        "qscore", qdot.cast("double") / F.nullif(F.col("q_qn") * F.col("qn"), F.lit(0.0))
     )
     w1 = Window.partitionBy("query_id").orderBy(F.col("qscore").desc(), F.col("vec_id").asc())
     shortlist = coarse.withColumn("qrn", F.row_number().over(w1)).filter(F.col("qrn") <= 30)
