@@ -88,3 +88,54 @@ def expand_frontier(frontier: DataFrame, edges: DataFrame) -> DataFrame:
         .select(F.col("dst").alias("node"))
         .dropDuplicates()
     )
+
+
+def connected_components(
+    edges: DataFrame,  # (src, dst) — treated as undirected
+    nodes: DataFrame,  # (node)
+    max_iters: int = 20,
+    broadcast_rows: int = 500_000,
+) -> DataFrame:
+    """(node, component_id) with component_id = min node id reachable.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; fixpoint after O(graph
+    diameter) rounds. Near-dup graphs are unions of small cliques, so
+    this converges in 2-3 rounds. Labels re-aggregate on the node key
+    each round — one shuffle per round; the label table is broadcast
+    into the propagation join while it stays small.
+    """
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    und = und.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    labels.persist(StorageLevel.MEMORY_AND_DISK)
+    n_nodes = labels.count()
+
+    for _ in range(max_iters):
+        lab = F.broadcast(labels) if n_nodes <= broadcast_rows else labels
+        prop = und.join(lab, und.dst == lab.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        # localCheckpoint (not just persist): each round's plan references
+        # the previous round's, so without truncation the logical plan
+        # doubles per iteration and planning itself OOMs long before the
+        # data does
+        new_labels = new_labels.localCheckpoint(eager=True)
+        # converged when no node's label shrank this round
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component_id"))

@@ -247,3 +247,48 @@ def knn_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cand_id").asc())
     return reranked.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= 10)
+
+
+@register(
+    "neardup_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT q.vec_id AS a_id, c.vec_id AS b_id
+      FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+      WHERE {_COS_SQL} >= 0.35
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs
+    ),
+    walk(node, lab) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS vec_id, CAST(min(lab) AS BIGINT) AS component_id FROM walk GROUP BY node
+    """,
+    doc="Near-dup CLUSTERS: connected components over the cosine-threshold "
+    "pair graph via iterative min-label propagation (keep-one-per-component "
+    "is then a trivial filter component_id == vec_id). The oracle replays "
+    "reachability as a recursive CTE. This is the piece that turns pairwise "
+    "dedup into transitive-closure dedup — A~B and B~C collapse to one "
+    "cluster even when A!~C.",
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        cosine_selfjoin_pairs,
+    )
+    from notion_vector_store_etl_pipeline_spark.operators.traversal import (
+        connected_components,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_selfjoin_pairs(emb, threshold=0.35).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    return connected_components(pairs, nodes).select(
+        F.col("node").alias("vec_id"), "component_id"
+    )
