@@ -121,6 +121,14 @@ def connected_components(
         new_labels = (
             labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
         )
+        # pointer jumping (path halving): follow node -> label -> label's
+        # label in the same round, so convergence is O(log diameter)
+        # rounds instead of O(diameter) — the difference between 4 and 40
+        # shuffles on a long near-dup chain
+        a, b = new_labels.alias("a"), new_labels.alias("b")
+        new_labels = a.join(b, F.col("a.label") == F.col("b.node")).select(
+            F.col("a.node").alias("node"), F.col("b.label").alias("label")
+        )
         # localCheckpoint (not just persist): each round's plan references
         # the previous round's, so without truncation the logical plan
         # doubles per iteration and planning itself OOMs long before the
