@@ -168,3 +168,41 @@ def array_hof_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_token_len"),
     )
+
+
+@register(
+    "lateral_top_item",
+    oracle="""
+    SELECT o.o_orderkey, li.l_linenumber, round(li.l_extendedprice, 2) AS top_price
+    FROM orders o, LATERAL (
+      SELECT l_linenumber, l_extendedprice
+      FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber
+      LIMIT 1
+    ) li
+    WHERE o.o_orderdate >= TIMESTAMP '1999-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-02-01'
+    """,
+    doc="Correlated LATERAL subquery: per-order most-expensive line item "
+    "via an inner ordered LIMIT 1 — the correlated-top-1 shape Catalyst "
+    "decorrelates into a join + per-key aggregation rather than executing "
+    "per-row (the naive nested-loop reading would be O(orders x lineitem)).",
+)
+def lateral_top_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_lat")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, li.l_linenumber, round(li.l_extendedprice, 2) AS top_price
+        FROM orders_lat o, LATERAL (
+          SELECT l_linenumber, l_extendedprice
+          FROM lineitem_lat l
+          WHERE l.l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber
+          LIMIT 1
+        ) li
+        WHERE o.o_orderdate >= TIMESTAMP '1999-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1999-02-01'
+        """
+    )
