@@ -82,11 +82,30 @@ def commit_state(new_state: DataFrame, path: str) -> None:
     """Atomic-enough state commit: write to a temp dir, then swap.
 
     The reference saves the manifest after every file (`:731`); in Spark
-    the unit of commit is the batch. Parquet overwrite of a directory is
-    the local analogue; on a real deployment this would be a Delta/
-    Iceberg MERGE for true atomicity.
+    the unit of commit is the batch. The write goes to a sibling temp
+    dir first and is swapped in afterwards, for two reasons: (a) the
+    ``new_state`` plan typically still READS the current state at
+    ``path`` (lazy evaluation — a direct overwrite races the read it
+    depends on), and (b) a crash mid-write leaves the previous state
+    intact (the resume guarantee). On a real deployment this would be a
+    Delta/Iceberg MERGE for true atomicity.
     """
-    new_state.write.mode("overwrite").parquet(path)
+    import shutil
+    import uuid
+
+    if "://" in path:  # non-local FS: defer to the committer's semantics
+        new_state.write.mode("overwrite").parquet(path)
+        return
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    new_state.write.mode("overwrite").parquet(tmp)  # fully materialized here
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    import os
+
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def upsert_state(state: DataFrame, processed: DataFrame) -> DataFrame:
