@@ -58,19 +58,26 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def load_state(spark: SparkSession, path: str) -> DataFrame:
-    """Missing state -> empty table with schema (reference `:190-203`:
-    absent manifest means a full run, not an error)."""
+    """MISSING state -> empty table with schema (reference `:190-203`:
+    absent manifest means a full run, not an error). A state that exists
+    but cannot be read is a real error and propagates — silently
+    treating corruption as 'no state' would reprocess everything and
+    then overwrite the good history on commit."""
     from notion_vector_store_etl_pipeline_spark.operators.incremental import STATE_COLUMNS
 
     schema = (
         "block_id BIGINT, prior_let STRING, prior_hash STRING, "
         "vector_file_ids ARRAY<STRING>"
     )
-    try:
-        df = spark.read.parquet(path)
-        return df.select(*STATE_COLUMNS)
-    except Exception:
+    missing = not os.path.exists(path) if "://" not in path else False
+    if missing:
         return spark.createDataFrame([], schema)
+    try:
+        return spark.read.parquet(path).select(*STATE_COLUMNS)
+    except Exception as exc:  # remote FS: only PATH_NOT_FOUND means missing
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def build_snapshot(spark: SparkSession, data_dir: str) -> DataFrame:
@@ -111,11 +118,19 @@ def main(argv: list[str] | None = None) -> int:
         langs = [s.strip() for s in args.lang_filter.split(",") if s.strip()]
         snapshot = snapshot.filter(F.col("lang").isin(langs))  # F2 semi-filter
     if args.max_files > 0:
-        snapshot = snapshot.limit(args.max_files)  # L2 MAX_FILES
+        # L2 MAX_FILES — ordered first: a bare limit() picks an arbitrary
+        # subset per run, which would make incremental runs churn instead
+        # of converging (the reference's crawl order is deterministic)
+        snapshot = snapshot.orderBy("block_id").limit(args.max_files)
 
     state = load_state(spark, args.state_path)
     result = run_pipeline(snapshot, state, max_len=args.chunk_char_len)
 
+    # several actions consume the same upstream plan (counts, the JSONL
+    # write, the state commit) — persist the two shared frames so the
+    # snapshot/state join and the chunker run once, not per action
+    result.plan.to_process.persist()
+    result.records.persist()
     n_process = result.plan.to_process.count()
     n_skip = result.plan.to_skip.count()
     if dry_run:  # discover without processing (`:746-748`)

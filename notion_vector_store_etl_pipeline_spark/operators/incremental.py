@@ -90,19 +90,26 @@ def commit_state(new_state: DataFrame, path: str) -> None:
     intact (the resume guarantee). On a real deployment this would be a
     Delta/Iceberg MERGE for true atomicity.
     """
+    import glob
+    import os
     import shutil
     import uuid
 
-    if "://" in path:  # non-local FS: defer to the committer's semantics
-        new_state.write.mode("overwrite").parquet(path)
+    if "://" in path:
+        # object stores have no directory rename; break the read-write
+        # cycle instead by materializing the plan BEFORE the overwrite
+        new_state.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
         return
+    # recover droppings from previously crashed commits
+    for stale in glob.glob(f"{path}.tmp-*") + glob.glob(f"{path}.old-*"):
+        shutil.rmtree(stale, ignore_errors=True)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     new_state.write.mode("overwrite").parquet(tmp)  # fully materialized here
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
-    import os
-
     if os.path.exists(path):
         os.rename(path, old)
+    # (crash window between the two renames is the two-syscall gap; a
+    # real deployment closes it with a transactional table format)
     os.rename(tmp, path)
     if os.path.exists(old):
         shutil.rmtree(old, ignore_errors=True)

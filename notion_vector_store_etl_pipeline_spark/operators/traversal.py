@@ -113,6 +113,13 @@ def connected_components(
     labels.persist(StorageLevel.MEMORY_AND_DISK)
     n_nodes = labels.count()
 
+    try:
+        return _propagate(und, labels, n_nodes, max_iters, broadcast_rows)
+    finally:
+        und.unpersist()
+
+
+def _propagate(und, labels, n_nodes, max_iters, broadcast_rows) -> DataFrame:
     for _ in range(max_iters):
         lab = F.broadcast(labels) if n_nodes <= broadcast_rows else labels
         prop = und.join(lab, und.dst == lab.node).select(

@@ -288,7 +288,8 @@ def regexp_extract_all_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "map_explode_props",
     oracle="""
-    SELECT k AS key, count(*) AS n, sum(CAST(props->>'$.k' AS BIGINT)) AS sum_value
+    SELECT k AS key, count(*) AS n,
+           sum(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS sum_value
     FROM events, unnest(json_keys(props)) AS t(k)
     GROUP BY k
     """,

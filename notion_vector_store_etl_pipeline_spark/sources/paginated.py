@@ -48,14 +48,25 @@ class PaginatedReader(DataSourceReader):
 
     def read(self, partition: PagePartition):
         # executor-side "page fetch": a real connector would call the
-        # remote API with this partition's cursor here
+        # remote API with this partition's cursor here. Only the row
+        # groups overlapping this page are decoded — per-page cost is
+        # proportional to the page, not the file.
         import pyarrow.parquet as pq
 
-        table = pq.read_table(partition.path)
-        page = table.slice(partition.start, partition.end - partition.start)
-        for batch in page.to_batches():
-            for row in batch.to_pylist():
-                yield tuple(row.values())
+        pf = pq.ParquetFile(partition.path)
+        offset = 0
+        for rg in range(pf.metadata.num_row_groups):
+            n = pf.metadata.row_group(rg).num_rows
+            lo, hi = offset, offset + n
+            offset = hi
+            if hi <= partition.start or lo >= partition.end:
+                continue
+            table = pf.read_row_group(rg)
+            s = max(partition.start - lo, 0)
+            e = min(partition.end - lo, n)
+            for batch in table.slice(s, e - s).to_batches():
+                for row in batch.to_pylist():
+                    yield tuple(row.values())
 
 
 class PaginatedSource(DataSource):

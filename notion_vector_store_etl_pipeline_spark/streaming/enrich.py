@@ -40,8 +40,8 @@ def stream_dedup_first_wins(
 
 
 def stream_stream_interval_join(
-    clicks: DataFrame,  # streaming: (user_id, ts, ...)
-    purchases: DataFrame,  # streaming: (user_id, ts, ...)
+    clicks: DataFrame,  # streaming: (event_id, user_id, ts, ...)
+    purchases: DataFrame,  # streaming: (event_id, user_id, ts, ...)
     max_gap: str = "10 minutes",
     watermark: str = "1 hour",
 ) -> DataFrame:
