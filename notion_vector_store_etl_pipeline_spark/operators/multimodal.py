@@ -58,13 +58,15 @@ def decode_image_stub(df: DataFrame, payload_col: str = "payload", real_decode: 
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf[payload_col]
-            dims = payloads.map(lambda b: _fake_decode(bytes(b)))
+            # null payloads decode as empty (the reference skips missing
+            # urls before download; a connector can still hand us nulls)
+            payloads = pdf[payload_col].map(lambda b: b"" if b is None else bytes(b))
+            dims = payloads.map(_fake_decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "payload_sha": payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+                    "payload_sha": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
                     "width": dims.map(lambda d: d[0]).astype("int32"),
                     "height": dims.map(lambda d: d[1]).astype("int32"),
                 }
@@ -129,7 +131,7 @@ def audio_features_stub(df: DataFrame, payload_col: str = "payload", frame_bytes
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n = pdf[payload_col].map(len).astype("int64")
+            n = pdf[payload_col].map(lambda b: 0 if b is None else len(b)).astype("int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
