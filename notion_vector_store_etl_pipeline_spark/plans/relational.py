@@ -378,3 +378,24 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="Bag-semantics set difference (EXCEPT ALL): multiplicities "
+    "subtract instead of collapsing — a part shipped 5 times post-1999 "
+    "with 2 returned rows survives 3 times. Distinct operator from "
+    "setop_except's EXCEPT DISTINCT.",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    recent = li.filter(
+        F.col("l_shipdate") >= F.to_timestamp(F.lit("1999-01-01"))
+    ).select("l_partkey")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return recent.exceptAll(returned)

@@ -292,3 +292,42 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, nodes).select(
         F.col("node").alias("vec_id"), "component_id"
     )
+
+
+@register(
+    "neardup_cluster_survivors",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT q.vec_id AS a_id, c.vec_id AS b_id
+      FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+      WHERE {_COS_SQL} >= 0.35
+    ),
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION ALL
+      SELECT b_id, a_id FROM pairs
+    ),
+    walk(node, lab) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (
+      SELECT node AS vec_id, min(lab) AS component_id FROM walk GROUP BY node
+    )
+    SELECT component_id AS survivor_id,
+           count(*) AS cluster_size,
+           CAST(count(*) - 1 AS BIGINT) AS n_removed
+    FROM comp GROUP BY component_id
+    """,
+    doc="The dedup DECISION from the clusters: one survivor per "
+    "connected component (lowest id), with cluster size and removed "
+    "count — the final output a 100 TB dedup job writes (survivor "
+    "keep-list + removal ledger).",
+)
+def neardup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = neardup_components(spark, sf_dir)
+    return comp.groupBy(F.col("component_id").alias("survivor_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_removed"),
+    )
