@@ -119,12 +119,31 @@ def main() -> int:
         w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
         return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
 
+    def skew_join(li_df, o_df):
+        # every third line item rehomed to ONE hot order key per replica:
+        # a worst-case shuffle skew the optimizer must split (AQE
+        # skewJoin) — per-key skew stays constant as data scales
+        skewed = li_df.withColumn(
+            "l_orderkey",
+            F.when(F.col("l_linenumber") % 3 == 0, (F.col("l_orderkey") / (n_orders * 10)).cast("bigint") * (n_orders * 10) + 1)
+            .otherwise(F.col("l_orderkey")),
+        )
+        return (
+            skewed.join(o_df, skewed.l_orderkey == o_df.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+            )
+        )
+
     cases = {
         "q1_scan_agg": (lambda: q1(li), lambda: q1(big_li)),
         "q3_join_topk": (lambda: q3(li, orders), lambda: q3(big_li, big_orders)),
         "topk_per_group": (lambda: topk(li), lambda: topk(big_li)),
         "q7_snowflake": (lambda: q7_snowflake(li, orders), lambda: q7_snowflake(big_li, big_orders)),
         "tfidf_window": (lambda: tfidf(docs), lambda: tfidf(big_docs)),
+        "skew_join_hot_key": (lambda: skew_join(li, orders), lambda: skew_join(big_li, big_orders)),
     }
     failures = []
     for name, (small, big) in cases.items():
