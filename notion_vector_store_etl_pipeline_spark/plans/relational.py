@@ -399,3 +399,33 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_partkey")
     returned = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
     return recent.exceptAll(returned)
+
+
+@register(
+    "union_schema_evolution",
+    oracle="""
+    SELECT event_id, event_type, round(value, 2) AS value, src
+    FROM (
+      SELECT event_id, event_type, NULL::DOUBLE AS value, 'v1' AS src
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL BY NAME
+      SELECT event_id, event_type, value, 'v2' AS src
+      FROM events WHERE event_id % 2 = 1
+    )
+    """,
+    doc="Schema-evolution union (unionByName allowMissingColumns): an "
+    "old snapshot written before the `value` column existed unions with "
+    "the new shape, absent fields null-filled — the append-only data "
+    "lake pattern where historical partitions never get rewritten.",
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v1 = events.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", F.lit("v1").alias("src")
+    )
+    v2 = events.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", F.round("value", 2).alias("value"), F.lit("v2").alias("src")
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "event_id", "event_type", "value", "src"
+    )
