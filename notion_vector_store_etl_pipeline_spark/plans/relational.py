@@ -429,3 +429,23 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2, allowMissingColumns=True).select(
         "event_id", "event_type", "value", "src"
     )
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="Bag-semantics intersection (INTERSECT ALL): each part key "
+    "survives min(multiplicity in recent shipments, multiplicity in "
+    "returns) times — the sibling of setop_except_all.",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    recent = li.filter(
+        F.col("l_shipdate") >= F.to_timestamp(F.lit("1999-01-01"))
+    ).select("l_partkey")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return recent.intersectAll(returned)
