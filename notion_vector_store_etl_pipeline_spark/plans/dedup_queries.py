@@ -118,3 +118,31 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 12)
         .select("a_id", "b_id", "hamming")
     )
+
+
+@register(
+    "levenshtein_neardup_titles",
+    oracle="""
+    SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE a.p_partkey % 7 = 0 AND b.p_partkey % 7 = 0
+      AND levenshtein(a.p_name, b.p_name) <= 3
+      AND a.p_name <> b.p_name
+    """,
+    doc="Edit-distance fuzzy matching (levenshtein <= 3) over short "
+    "titles — the near-dup signal for strings too short for shingling "
+    "(names, titles, SKUs). All-pairs on a sampled side; at scale the "
+    "candidate pairs would come from a blocking key (first char + "
+    "length bucket) instead of the cross product.",
+)
+def levenshtein_neardup_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    a = part.select(F.col("p_partkey").alias("a_id"), F.col("p_name").alias("a_name"))
+    b = part.select(F.col("p_partkey").alias("b_id"), F.col("p_name").alias("b_name"))
+    dist = F.levenshtein("a_name", "b_name")
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter((dist <= 3) & (F.col("a_name") != F.col("b_name")))
+        .select("a_id", "b_id", dist.cast("int").alias("dist"))
+    )
