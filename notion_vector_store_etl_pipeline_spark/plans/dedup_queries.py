@@ -146,3 +146,31 @@ def levenshtein_neardup_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((dist <= 3) & (F.col("a_name") != F.col("b_name")))
         .select("a_id", "b_id", dist.cast("int").alias("dist"))
     )
+
+
+@register(
+    "ngram_jaccard_prefixfilter",
+    oracle=_SHINGLES_CTE
+    + """
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT i.a_id, i.b_id,
+             round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+      FROM (
+        SELECT a.sid AS a_id, b.sid AS b_id, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+        GROUP BY 1, 2
+      ) i
+      JOIN sizes sa ON sa.sid = i.a_id
+      JOIN sizes sb ON sb.sid = i.b_id
+    ) WHERE jaccard >= 0.5
+    """,
+    doc="EXACT Jaccard >= 0.5 self-join via AllPairs prefix filtering "
+    "(Bayardo et al., WWW'07): rarest-first canonical order, join only "
+    "on each set's (1-t)n+1 prefix shingles, length-ratio filter, then "
+    "exact verify. Same answer as the brute-force oracle with a "
+    "fraction of the candidate pairs — the exact-dedup scale path when "
+    "approximation (MinHash) is not acceptable.",
+)
+def ngram_jaccard_prefixfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs_prefix(docs, "text", "doc_id", k=3, threshold=0.5)
