@@ -81,3 +81,51 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return audio_features_stub(with_binary_payload(docs))
+
+
+@register(
+    "multimodal_decode_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha,
+           CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INTEGER) AS width,
+           CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 + 1 AS INTEGER) AS height
+    FROM documents
+    """,
+    doc="Same decode stage as multimodal_decode_stub but via mapInArrow "
+    "— raw RecordBatch in/out, no pandas materialization: the lowest-"
+    "overhead Python integration for byte-heavy media batches (no "
+    "Series boxing of binary payloads).",
+)
+def multimodal_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pyarrow as pa
+
+    from notion_vector_store_etl_pipeline_spark.operators.multimodal import (
+        DECODED_SCHEMA,
+        _fake_decode,
+    )
+
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def batches(it):
+        for batch in it:
+            doc_ids = batch.column("doc_id")
+            payloads = [
+                b"" if v is None else v for v in batch.column("payload").to_pylist()
+            ]
+            dims = [_fake_decode(p) for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array([len(p) for p in payloads], pa.int64()),
+                    pa.array([hashlib.sha256(p).hexdigest() for p in payloads]),
+                    pa.array([d[0] for d in dims], pa.int32()),
+                    pa.array([d[1] for d in dims], pa.int32()),
+                ],
+                names=["doc_id", "n_bytes", "payload_sha", "width", "height"],
+            )
+
+    return docs.select("doc_id", "payload").mapInArrow(batches, DECODED_SCHEMA)
