@@ -141,3 +141,64 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_errors"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
     )
+
+
+@register(
+    "pit_interval_lookup",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, event_id AS version_id,
+             epoch_us(ts) AS valid_from_us,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to_us
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.event_id AS purchase_id, v.version_id,
+           CAST(epoch_us(p.ts) - v.valid_from_us AS BIGINT) AS age_us
+    FROM events p
+    JOIN versions v
+      ON p.user_id = v.user_id
+     AND epoch_us(p.ts) >= v.valid_from_us
+     AND (v.valid_to_us IS NULL OR epoch_us(p.ts) < v.valid_to_us)
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="Point-in-time interval lookup: each purchase joins the signup "
+    "version whose [valid_from, valid_to) contains it — the consumer "
+    "side of scd2_intervals and the dimensional form of the as-of join "
+    "(join_asof_latest). Equi key (user_id) carries the hash join; the "
+    "interval containment is the residual; at most one interval matches "
+    "per probe by construction.",
+)
+def pit_interval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    versions = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_id"),
+            us.alias("valid_from_us"),
+        )
+        .withColumn("valid_to_us", F.lead("valid_from_us").over(
+            Window.partitionBy("user_id").orderBy("valid_from_us", "version_id")
+        ))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"), us.alias("p_us")
+    )
+    return (
+        purchases.join(
+            versions,
+            (purchases.p_user == versions.user_id)
+            & (F.col("p_us") >= F.col("valid_from_us"))
+            & (F.col("valid_to_us").isNull() | (F.col("p_us") < F.col("valid_to_us"))),
+        )
+        .select(
+            "purchase_id",
+            "version_id",
+            (F.col("p_us") - F.col("valid_from_us")).cast("long").alias("age_us"),
+        )
+    )
