@@ -98,11 +98,267 @@ def cosine_scores_vs(
 def collect_vectors(
     df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Driver-side collect of a (small) vector set as numpy arrays."""
+    """Driver-side collect of a vector set as numpy arrays.
+
+    ONLY for bounded sets (a fixed query batch, a centroid table): the
+    full-table paths (`cosine_selfjoin_pairs`) are block-partitioned and
+    never call this on an unbounded input.
+    """
     rows = df.select(id_col, emb_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     return ids, mat
+
+
+def nearest_lists(
+    df: DataFrame,
+    cent_ids: np.ndarray,
+    cent_mat: np.ndarray,
+    topn: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    out: str = "list_id",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """IVF assignment/probing: top-``topn`` nearest centroids per row.
+
+    One GEMM per Arrow batch against the broadcast centroid matrix, with
+    the top-n selection done batch-locally in numpy — no per-row window
+    shuffle, no interpreted HOF cosine. All input columns pass through;
+    rows are replicated ``topn`` times with the ``out`` column holding
+    the centroid id (ties: higher cosine first, then lower centroid id,
+    scores rounded to 6 to match the SQL-side convention). With
+    ``rank_col`` set, a 1-based rank column is emitted too, so one pass
+    serves both assignment (rank == 1) and multi-probe (rank <= n).
+    """
+    from pyspark.sql.types import (
+        IntegerType as _Int,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    c_ids, c_unit = _unit_matrix(
+        np.asarray(cent_ids, dtype=np.int64), np.asarray(cent_mat, dtype=np.float64)
+    )
+    order = np.argsort(c_ids)  # ascending ids => stable argsort breaks ties by id
+    c_ids, c_unit = c_ids[order], c_unit[order]
+    bc = df.sparkSession.sparkContext.broadcast((c_ids, c_unit))
+    n_take = min(topn, len(c_ids))
+
+    extra = [_SF(out, _Long())] + ([_SF(rank_col, _Int())] if rank_col else [])
+    schema = _ST(df.schema.fields + extra)
+    cols = [f.name for f in df.schema.fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_unit = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[emb_col].map(lambda a: np.asarray(a, dtype=np.float64)))
+            _, unit = _unit_matrix(np.zeros(len(pdf), dtype=np.int64), mat)
+            scores = np.round(unit @ c_unit.T, 6)  # (batch, n_centroids)
+            # stable argsort of -score: ties resolve to the lower centroid id
+            # because c_ids are sorted ascending
+            idx = np.argsort(-scores, axis=1, kind="stable")[:, :n_take]
+            rep = pdf.loc[pdf.index.repeat(n_take)].reset_index(drop=True)
+            rep[out] = c_ids[idx].ravel()
+            if rank_col:
+                rep[rank_col] = np.tile(np.arange(1, n_take + 1, dtype=np.int32), len(pdf))
+            yield rep[cols + [out] + ([rank_col] if rank_col else [])]
+
+    return df.mapInPandas(batches, schema)
+
+
+def quantize_codes(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """int8 codes + quantized norms for a float64 matrix: scale =
+    127/max|x| per vector, half-away-from-zero rounding (SQL ROUND
+    semantics). Shared by the executor-side index kernel and the
+    driver-side query-batch path so both produce identical codes."""
+    maxabs = np.maximum(np.abs(mat).max(axis=1), 1e-12)
+    scaled = mat * (127.0 / maxabs)[:, None]
+    q = (np.floor(np.abs(scaled) + 0.5) * np.sign(scaled)).astype(np.int64)
+    qn = np.sqrt((q.astype(np.float64) ** 2).sum(axis=1))
+    return q, qn
+
+
+def load_vectors_numpy(
+    spark, sf_dir: str, table: str = "embeddings"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Load a (bounded) vector table as numpy, driver-side.
+
+    Fast path reads the parquet footprint directly with pyarrow — the
+    centroid table / query batch of an ANN search is a small sidecar
+    artifact, and paying a full Spark job (~0.5-1s fixed latency) to
+    fetch 20 rows is the wrong trade at any scale. Falls back to a
+    Spark collect when the path isn't locally readable (object stores
+    without a mounted FS).
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{sf_dir}/{table}.parquet", columns=["vec_id", "embedding"])
+        ids = tbl.column("vec_id").to_numpy().astype(np.int64)
+        mat = np.stack(
+            tbl.column("embedding").to_pandas().map(lambda a: np.asarray(a, dtype=np.float64))
+        )
+        return ids, mat
+    except (OSError, FileNotFoundError):
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return collect_vectors(df, "vec_id", "embedding")
+
+
+def nearest_lists_numpy(
+    mat: np.ndarray, cent_ids: np.ndarray, cent_mat: np.ndarray, topn: int
+) -> np.ndarray:
+    """Driver-side twin of the ``nearest_lists`` kernel scoring (same
+    rounding and tie-break) for a small query batch: returns the
+    (n, topn) matrix of probed centroid ids."""
+    c_ids, c_unit = _unit_matrix(
+        np.asarray(cent_ids, dtype=np.int64), np.asarray(cent_mat, dtype=np.float64)
+    )
+    order = np.argsort(c_ids)
+    c_ids, c_unit = c_ids[order], c_unit[order]
+    m = np.asarray(mat, dtype=np.float64)
+    _, unit = _unit_matrix(np.zeros(len(m), dtype=np.int64), m)
+    scores = np.round(unit @ c_unit.T, 6)
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, : min(topn, len(c_ids))]
+    return c_ids[idx]
+
+
+def quantize_and_assign(
+    df: DataFrame,
+    cent_ids: np.ndarray,
+    cent_mat: np.ndarray,
+    topn: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF index build, one Arrow pass: per vector, int8-quantize
+    (scale = 127/max|x|, half-away rounding to match SQL ROUND), compute
+    the quantized norm ONCE, and rank the ``topn`` nearest centroid
+    lists. Output: (id, emb, q, qn, list_id, crank) — rank 1 is the
+    vector's home list (assignment); ranks 1..n are its probe lists.
+
+    This is the stored-index shape at 100 TB: codes + norms + list
+    assignment materialized per vector, never recomputed per query.
+    """
+    from pyspark.sql.types import (
+        ArrayType as _Arr,
+        DoubleType as _Dbl,
+        IntegerType as _Int,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    c_ids, c_unit = _unit_matrix(
+        np.asarray(cent_ids, dtype=np.int64), np.asarray(cent_mat, dtype=np.float64)
+    )
+    order = np.argsort(c_ids)
+    c_ids, c_unit = c_ids[order], c_unit[order]
+    bc = df.sparkSession.sparkContext.broadcast((c_ids, c_unit))
+    n_take = min(topn, len(c_ids))
+
+    schema = _ST(
+        [
+            _SF(id_col, _Long()),
+            _SF("emb", _Arr(_Dbl())),
+            _SF("q", _Arr(_Long())),
+            _SF("qn", _Dbl()),
+            _SF("list_id", _Long()),
+            _SF("crank", _Int()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_unit = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[emb_col].map(lambda a: np.asarray(a, dtype=np.float64)))
+            q, qn = quantize_codes(mat)
+            _, unit = _unit_matrix(ids.copy(), mat)
+            scores = np.round(unit @ c_unit.T, 6)
+            idx = np.argsort(-scores, axis=1, kind="stable")[:, :n_take]
+            n = len(pdf)
+            rep = np.repeat(np.arange(n), n_take)
+            yield pd.DataFrame(
+                {
+                    id_col: ids[rep],
+                    "emb": list(mat[rep]),
+                    "q": list(q[rep]),
+                    "qn": qn[rep],
+                    "list_id": c_ids[idx].ravel(),
+                    "crank": np.tile(np.arange(1, n_take + 1, dtype=np.int32), n),
+                }
+            )
+
+    return df.select(id_col, emb_col).mapInPandas(batches, schema)
+
+
+def ivf_coarse_rerank(
+    cands: DataFrame, shortlist: int = 30, topk: int = 10
+) -> DataFrame:
+    """Two-stage scoring per query group, fully in numpy: int8 integer
+    dot products over ALL candidates (the cheap pass), exact
+    double-precision cosine over the quantized top-``shortlist`` only,
+    then top-``topk``. Expects columns (query_id, q_emb, q_quant, q_qn,
+    vec_id, emb, q, qn); output (query_id, cand_id, score, rn) with
+    score rounded to 6 and ties broken by ascending cand_id — the same
+    contract as the window-based rerank it replaces.
+    """
+    from pyspark.sql.types import (
+        DoubleType as _Dbl,
+        IntegerType as _Int,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    schema = _ST(
+        [
+            _SF("query_id", _Long()),
+            _SF("cand_id", _Long()),
+            _SF("score", _Dbl()),
+            _SF("rn", _Int()),
+        ]
+    )
+
+    def per_query(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "cand_id": [], "score": [], "rn": []}
+            ).astype({"query_id": np.int64, "cand_id": np.int64, "score": np.float64, "rn": np.int32})
+        q_quant = np.asarray(pdf["q_quant"].iloc[0], dtype=np.float64)
+        q_qn = float(pdf["q_qn"].iloc[0])
+        q_emb = np.asarray(pdf["q_emb"].iloc[0], dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        codes = np.stack(pdf["q"].map(lambda a: np.asarray(a, dtype=np.float64)))
+        qn = pdf["qn"].to_numpy(dtype=np.float64)
+        denom = qn * q_qn
+        denom[denom == 0.0] = np.nan
+        qscore = (codes @ q_quant) / denom  # coarse int8 cosine
+        # NaN qscores (zero vectors) lexsort to the end
+        order = np.lexsort((ids, -qscore))[:shortlist]
+        sub_ids = ids[order]
+        emb = np.stack(pdf["emb"].iloc[order].map(lambda a: np.asarray(a, dtype=np.float64)))
+        _, e_unit = _unit_matrix(sub_ids.copy(), emb)
+        q_norm = np.sqrt(q_emb @ q_emb)
+        q_unit = q_emb / (q_norm if q_norm != 0.0 else np.nan)
+        scores = np.round(e_unit @ q_unit, 6)  # exact rerank
+        o2 = np.lexsort((sub_ids, -scores))[:topk]
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(o2), key[0], dtype=np.int64),
+                "cand_id": sub_ids[o2],
+                "score": scores[o2],
+                "rn": np.arange(1, len(o2) + 1, dtype=np.int32),
+            }
+        )
+
+    return cands.groupBy("query_id").applyInPandas(per_query, schema)
 
 
 def cosine_selfjoin_pairs(
@@ -110,38 +366,71 @@ def cosine_selfjoin_pairs(
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs (a_id < b_id) cosine >= threshold.
+    """All-pairs (a_id < b_id) cosine >= threshold — block-partitioned.
 
-    The full set is closed over as a unit matrix; each Arrow batch does
-    one GEMM against it and keeps only upper-triangle hits. Exact — the
-    sub-quadratic alternative for larger n is LSH/IVF candidates.
+    Fully distributed exact self-join: vectors hash into ``n_blocks``
+    blocks, every unordered block pair (i <= j) becomes one shuffle
+    group, and each group is scored with a single GEMM inside
+    ``applyInPandas``. No driver-side collect anywhere in the plan.
+
+    Scale model: shuffle volume = n_blocks x input (each vector lands in
+    its n_blocks block-pairs), group memory = ~2n/n_blocks vectors, and
+    block-pair count = B(B+1)/2 independent tasks. B grows as the square
+    root of the desired parallelism — the standard block-nested GEMM
+    layout. Beyond exact-required workloads, the sub-quadratic path is
+    LSH/IVF candidate generation + exact verify.
     """
-    ids, mat = collect_vectors(df, id_col, emb_col)
-    a_ids, a_unit = _unit_matrix(ids, mat)
-    order = np.argsort(a_ids)
-    a_ids, a_unit = a_ids[order], a_unit[order]
-    bc = df.sparkSession.sparkContext.broadcast((a_ids, a_unit))
+    from pyspark.sql import functions as F
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        a_ids, a_unit = bc.value
-        for pdf in it:
-            if pdf.empty:
-                continue
-            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            b_mat = np.stack(pdf[emb_col].map(lambda a: np.asarray(a, dtype=np.float64)))
-            _, b_unit = _unit_matrix(b_ids, b_mat)
-            scores = np.round(b_unit @ a_unit.T, 6)  # (batch, n_all)
-            # keep pairs with batch-id < all-id
-            mask = b_ids[:, None] < a_ids[None, :]
-            mask &= scores >= threshold
-            bi, ai = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "a_id": b_ids[bi],
-                    "b_id": a_ids[ai],
-                    "score": scores[bi, ai],
-                }
+    spark = df.sparkSession
+    B = max(1, int(n_blocks))
+    tagged = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
+    )
+    others = spark.range(B).select(F.col("id").cast("int").alias("_other"))
+    # vector in block b participates in block-pair (min(b,o), max(b,o))
+    # for every o — exactly once per unordered pair, including (b, b)
+    rep = tagged.join(F.broadcast(others)).select(
+        F.least("_blk", "_other").alias("_bi"),
+        F.greatest("_blk", "_other").alias("_bj"),
+        "_id",
+        "_emb",
+        "_blk",
+    )
+
+    def score_block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        if pdf.empty:
+            return pd.DataFrame({"a_id": [], "b_id": [], "score": []}).astype(
+                {"a_id": np.int64, "b_id": np.int64, "score": np.float64}
             )
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["_emb"].map(lambda a: np.asarray(a, dtype=np.float64)))
+        _, unit = _unit_matrix(ids, mat)
+        if bi == bj:
+            scores = np.round(unit @ unit.T, 6)
+            mask = (ids[:, None] < ids[None, :]) & (scores >= threshold)
+            a, b = np.nonzero(mask)
+            return pd.DataFrame({"a_id": ids[a], "b_id": ids[b], "score": scores[a, b]})
+        side = pdf["_blk"].to_numpy() == bi
+        id_i, id_j = ids[side], ids[~side]
+        if len(id_i) == 0 or len(id_j) == 0:
+            return pd.DataFrame({"a_id": [], "b_id": [], "score": []}).astype(
+                {"a_id": np.int64, "b_id": np.int64, "score": np.float64}
+            )
+        scores = np.round(unit[side] @ unit[~side].T, 6)
+        a, b = np.nonzero(scores >= threshold)
+        ai, bj_ids = id_i[a], id_j[b]
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(ai, bj_ids),
+                "b_id": np.maximum(ai, bj_ids),
+                "score": scores[a, b],
+            }
+        )
 
-    return df.select(id_col, emb_col).mapInPandas(batches, _SELF_SCHEMA)
+    return rep.groupBy("_bi", "_bj").applyInPandas(score_block_pair, _SELF_SCHEMA)

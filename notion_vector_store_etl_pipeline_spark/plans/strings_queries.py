@@ -265,21 +265,25 @@ def title_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regexp_extract_all_numbers",
     oracle="""
     SELECT doc_id,
-           regexp_extract_all(text, '[0-9]+') AS nums,
+           -- DuckDB array_to_string yields NULL for an empty list; Spark's
+           -- array_join yields '' — coalesce to match
+           coalesce(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '') AS nums_csv,
            CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,
            coalesce(try_cast(regexp_extract_all(text, '[0-9]+')[1] AS BIGINT), -1) AS first_num
     FROM documents
     """,
     doc="regexp_extract_all into an ARRAY<STRING> column + element access "
     "with a try_cast/-1 default — multi-match extraction stays one "
-    "JVM-side expression (vs the reference's re.search single match, `:81`).",
+    "JVM-side expression (vs the reference's re.search single match, `:81`). "
+    "The array is emitted as a canonical csv string (array_join) so the "
+    "driver's value hasher — which cannot hash python lists — can check it.",
 )
 def regexp_extract_all_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     nums = F.regexp_extract_all("text", F.lit("[0-9]+"))
     return docs.select(
         "doc_id",
-        nums.alias("nums"),
+        F.array_join(nums, ",").alias("nums_csv"),
         F.size(nums).alias("n_nums"),
         F.coalesce(F.try_element_at(nums, F.lit(1)).cast("bigint"), F.lit(-1)).alias("first_num"),
     )
@@ -289,7 +293,9 @@ def regexp_extract_all_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_explode_props",
     oracle="""
     SELECT k AS key, count(*) AS n,
-           sum(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS sum_value
+           -- DuckDB sum(BIGINT) widens to HUGEINT (int128); cast back so the
+           -- driver's value hash agrees with Spark's int64
+           CAST(sum(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_value
     FROM events, unnest(json_keys(props)) AS t(k)
     GROUP BY k
     """,

