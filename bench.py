@@ -38,8 +38,10 @@ HEADLINE = [
     "chunk_explode_words",
     "knn_topk",
     "similarity_selfjoin",
+    "neardup_components",
     "minhash_lsh_neardup",
     "ngram_jaccard_selfjoin",
+    "ngram_jaccard_prefixfilter",
     "dedup_exact_hash",
     "text_token_stats",
     "multimodal_decode_stub",

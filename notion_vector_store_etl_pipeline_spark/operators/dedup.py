@@ -14,6 +14,11 @@ word-shingle Jaccard, MinHash+LSH, SimHash. All shuffle-conscious:
 MinHash/SimHash use ``xxhash64`` (JVM-side, codegen) — engine-specific
 hashing, so these are rows-only for the SQL oracle and are instead
 verified in pytest against exact Jaccard ground truth.
+
+Several operators persist intermediates that feed multiple plan
+consumers. Because plans are lazy, the operator cannot unpersist them
+itself — call :func:`release_cache` (or ``spark.catalog.clearCache()``)
+once the final DataFrame has been materialized.
 """
 
 from __future__ import annotations
@@ -26,6 +31,27 @@ from pyspark.sql.types import ArrayType, StringType
 
 # 2^31-1: keeps a*h+b < 2^62, safe for 64-bit ANSI arithmetic
 MERSENNE_PRIME = (1 << 31) - 1
+
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist() with registration so release_cache() can free it later."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_cache() -> None:
+    """Unpersist every intermediate this module has cached so far.
+
+    Library callers that run dedup operators repeatedly in one session
+    should call this between runs; otherwise cached shingle/candidate
+    tables accumulate (bench.py instead clears the whole session cache
+    between queries).
+    """
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
 
 
 def normalized_text(text: Column) -> Column:
@@ -104,7 +130,7 @@ def jaccard_pairs(
         sh = sh.join(F.broadcast(freq.select("shingle")), "shingle")
     # sh feeds three consumers (sizes + both join sides) — compute the
     # shingle HOF explosion once, not three times
-    sh = sh.persist()
+    sh = _persist(sh)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -165,9 +191,11 @@ def minhash_lsh_candidates(
         )
         for band in range(bands)
     ]
-    melted = signatures.select(
-        "sid", F.posexplode(F.array(*bucket_cols)).alias("band", "bucket")
-    ).persist()  # both sides of the bucket self-join
+    melted = _persist(
+        signatures.select(
+            "sid", F.posexplode(F.array(*bucket_cols)).alias("band", "bucket")
+        )
+    )  # both sides of the bucket self-join
     x = melted.select(F.col("sid").alias("a_id"), "band", "bucket")
     y = melted.select(F.col("sid").alias("b_id"), "band", "bucket")
     return (
@@ -197,9 +225,11 @@ def jaccard_verify_pairs(
         pairs.select(F.col("b_id").alias("cand_id"))
     )  # no dropDuplicates: the left-semi join dedups by construction
     base = df.join(cand_ids, df[id_col] == cand_ids.cand_id, "left_semi")
-    sets_df = base.select(
-        F.col(id_col).alias("sid"), word_shingles(F.col(text_col), k).alias("sh")
-    ).persist()  # consumed by both join sides
+    sets_df = _persist(
+        base.select(
+            F.col(id_col).alias("sid"), word_shingles(F.col(text_col), k).alias("sh")
+        )
+    )  # consumed by both join sides
     a = sets_df.select(F.col("sid").alias("a_id"), F.col("sh").alias("sh_a"))
     b = sets_df.select(F.col("sid").alias("b_id"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -229,7 +259,7 @@ def minhash_neardup(
     # persisted: verification reads candidates twice (the candidate-id
     # semi-join and the pair join) — without this the whole signature +
     # bucket-join pipeline would recompute
-    candidates = minhash_lsh_candidates(sigs, bands, rows_per_band).persist()
+    candidates = _persist(minhash_lsh_candidates(sigs, bands, rows_per_band))
     return jaccard_verify_pairs(
         df, candidates, text_col, id_col, threshold=threshold
     )
@@ -308,7 +338,8 @@ def jaccard_pairs_prefix(
                 (F.floor((1.0 - threshold) * F.col("n")) + 1).cast("int"),
             ),
         )
-    ).persist()
+    )
+    ordered = _persist(ordered)
 
     a = ordered.select(
         F.col("sid").alias("a_id"), F.col("n").alias("n_a"), F.explode("prefix").alias("shingle")

@@ -39,26 +39,32 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
     return deco
 
 
+# Registration order matters operationally: the correctness driver
+# samples a prefix window of the registry, so modules whose queries have
+# NOT yet received a driver-side correctness row come first (round 1
+# sampled the first 50 entries = the relational/strings/chunk/
+# incremental/vector families, all green in CORRECTNESS_r01.json; the
+# LLM-pipeline operators below had no driver row and lead this round).
 _MODULES = (
+    "dedup_queries",
+    "text_queries",
+    "multimodal_queries",
+    "graph_queries",
+    "training_queries",
+    "analytic_queries",
+    "timeseries_queries",
+    "tpch_queries",
+    "tpch_more",
+    "tpch_rest",
+    "extended_queries",
+    "grouped_queries",
+    "event_queries",
+    "vector_queries",
     "relational",
     "relational_more",
     "strings_queries",
     "chunk_queries",
     "incremental_queries",
-    "vector_queries",
-    "event_queries",
-    "graph_queries",
-    "text_queries",
-    "dedup_queries",
-    "multimodal_queries",
-    "tpch_queries",
-    "tpch_more",
-    "tpch_rest",
-    "analytic_queries",
-    "training_queries",
-    "timeseries_queries",
-    "extended_queries",
-    "grouped_queries",
 )
 
 

@@ -48,16 +48,32 @@ WITH words AS (
 """
 
 
+_HOT_SHINGLE_CAP = 100  # drop shingles occurring in > this many docs
+
+
+_SHINGLES_CAPPED_CTE = (
+    _SHINGLES_CTE.replace("), sizes AS (", f"""), shfreq AS (
+  SELECT shingle, count(*) AS c FROM sh GROUP BY shingle
+), shc AS (
+  SELECT sh.sid, sh.shingle FROM sh JOIN shfreq USING (shingle)
+  WHERE shfreq.c <= {_HOT_SHINGLE_CAP}
+), sizes AS (""").replace(
+        "SELECT sid, count(*) AS n FROM sh GROUP BY sid",
+        "SELECT sid, count(*) AS n FROM shc GROUP BY sid",
+    )
+)
+
+
 @register(
     "ngram_jaccard_selfjoin",
-    oracle=_SHINGLES_CTE
+    oracle=_SHINGLES_CAPPED_CTE
     + """
     SELECT a_id, b_id, jaccard FROM (
       SELECT i.a_id, i.b_id,
              round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
       FROM (
         SELECT a.sid AS a_id, b.sid AS b_id, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.sid < b.sid
         GROUP BY 1, 2
       ) i
       JOIN sizes sa ON sa.sid = i.a_id
@@ -65,11 +81,17 @@ WITH words AS (
     ) WHERE jaccard >= 0.2
     """,
     doc="Exact 3-gram Jaccard near-dup self-join: explode distinct shingles, "
-    "join on shingle (candidate pairs only), group per pair.",
+    "join on shingle (candidate pairs only), group per pair. Shingles in "
+    f"> {_HOT_SHINGLE_CAP} docs are dropped before the join (stop-shingle "
+    "cap, mirrored in the oracle) — one boilerplate shingle shared by f "
+    "docs would otherwise contribute f^2 join rows, the classic quadratic "
+    "blowup on skewed keys at 100 TB.",
 )
 def ngram_jaccard_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
+    return D.jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.2, max_shingle_freq=_HOT_SHINGLE_CAP
+    )
 
 
 @register(
