@@ -78,6 +78,26 @@ def plan_increment(snapshot: DataFrame, state: DataFrame) -> IncrementPlan:
     )
 
 
+def recover_state(path: str) -> bool:
+    """Restore the newest ``.old-*`` backup if ``path`` itself is gone.
+
+    A crash between ``commit_state``'s two swap renames leaves no state
+    at ``path`` while the previous state is still alive as a ``.old-*``
+    sibling. Call this before reading state at startup (``commit_state``
+    also calls it). Returns True if a backup was restored.
+    """
+    import glob
+    import os
+
+    if "://" in path or os.path.exists(path):
+        return False
+    olds = sorted(glob.glob(f"{path}.old-*"), key=os.path.getmtime)
+    if not olds:
+        return False
+    os.rename(olds[-1], path)
+    return True
+
+
 def commit_state(new_state: DataFrame, path: str) -> None:
     """Atomic-enough state commit: write to a temp dir, then swap.
 
@@ -100,19 +120,24 @@ def commit_state(new_state: DataFrame, path: str) -> None:
         # cycle instead by materializing the plan BEFORE the overwrite
         new_state.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
         return
-    # recover droppings from previously crashed commits
-    for stale in glob.glob(f"{path}.tmp-*") + glob.glob(f"{path}.old-*"):
+    # a prior crash between the two swap renames leaves `path` missing
+    # but the last good state alive as `.old-*` — restore it first
+    recover_state(path)
+    # tmp droppings from crashed writes are safe to clear now; `.old-*`
+    # backups are NOT: they are deleted only after the new state is
+    # durably swapped in below
+    for stale in glob.glob(f"{path}.tmp-*"):
         shutil.rmtree(stale, ignore_errors=True)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     new_state.write.mode("overwrite").parquet(tmp)  # fully materialized here
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
     if os.path.exists(path):
         os.rename(path, old)
-    # (crash window between the two renames is the two-syscall gap; a
-    # real deployment closes it with a transactional table format)
+    # (a crash in the two-syscall gap here is what recover_state undoes
+    # on the next run)
     os.rename(tmp, path)
-    if os.path.exists(old):
-        shutil.rmtree(old, ignore_errors=True)
+    for stale in glob.glob(f"{path}.old-*"):
+        shutil.rmtree(stale, ignore_errors=True)
 
 
 def upsert_state(state: DataFrame, processed: DataFrame) -> DataFrame:

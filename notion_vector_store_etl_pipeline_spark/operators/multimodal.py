@@ -111,13 +111,19 @@ def resize_stub(decoded: DataFrame, target: int = 224) -> DataFrame:
     Pure JVM-side expressions, no Python stage needed.
     """
     longest = F.greatest("width", "height")
-    return decoded.select(
+    out = decoded.select(
         "doc_id",
         "width",
         "height",
         F.greatest(F.lit(1), F.floor(F.col("width") * target / longest)).cast("int").alias("out_w"),
         F.greatest(F.lit(1), F.floor(F.col("height") * target / longest)).cast("int").alias("out_h"),
     )
+    # RESIZED_SCHEMA is the contract a future Python resampling stage
+    # (mapInPandas) would declare; assert the JVM expressions stay in sync
+    got = [(f.name, f.dataType) for f in out.schema.fields]
+    want = [(f.name, f.dataType) for f in RESIZED_SCHEMA.fields]
+    assert got == want, f"resize_stub schema drifted: {got} != {want}"
+    return out
 
 
 def audio_features_stub(df: DataFrame, payload_col: str = "payload", frame_bytes: int = 160) -> DataFrame:

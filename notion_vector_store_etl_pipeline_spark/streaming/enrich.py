@@ -33,10 +33,17 @@ def stream_dedup_first_wins(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """First event per key wins; duplicates within the watermark horizon
-    are dropped. State is evicted past the watermark (bounded memory on
-    an unbounded stream)."""
+    are dropped.
+
+    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates(keys)``
+    only evicts dedup state when the event-time column is part of the key
+    subset, so keyed dedup state would grow without bound on an unbounded
+    stream. The WithinWatermark variant dedups on the keys alone while
+    still evicting each key's state once the watermark passes its first
+    event — bounded memory with the same first-wins semantics per horizon.
+    """
     keys = keys or ["user_id", "event_type"]
-    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def stream_stream_interval_join(

@@ -88,3 +88,55 @@ def test_upsert_and_resume_roundtrip(spark, tmp_path):
     snap = _snapshot(spark, [(1, "t1", "hx"), (2, "t2-NEW", "h2b"), (3, "t3", "h3")])
     plan = plan_increment(snap, reloaded)
     assert plan.to_skip.count() == 3  # all lets match and all have ids
+
+
+def test_crash_between_swap_renames_recovers_from_backup(spark, tmp_path):
+    """Simulate the two-rename crash window: `path` has been renamed to
+    `.old-*` but the new state never landed. The next commit must
+    restore the backup (NOT delete it) so the prior state survives."""
+    import os
+
+    from notion_vector_store_etl_pipeline_spark.operators.incremental import (
+        recover_state,
+    )
+
+    path = str(tmp_path / "state")
+    commit_state(_state(spark, [(1, "t1", "h1", ["v1"])]), path)
+    # crash: first rename happened, second never did
+    os.rename(path, f"{path}.old-deadbeef")
+    assert not os.path.exists(path)
+
+    assert recover_state(path) is True
+    reloaded = spark.read.parquet(path)
+    assert [r.block_id for r in reloaded.collect()] == [1]
+
+    # and commit_state itself performs the same restore before reading:
+    os.rename(path, f"{path}.old-cafef00d")
+    merged = upsert_state(
+        _state(spark, [(1, "t1", "h1", ["v1"])]),  # stands in for reload
+        _state(spark, [(2, "t2", "h2", ["v2"])]),
+    )
+    commit_state(merged, path)
+    got = {r.block_id for r in spark.read.parquet(path).collect()}
+    assert got == {1, 2}
+    # backups are cleaned up only after the successful swap
+    import glob
+
+    assert glob.glob(f"{path}.old-*") == []
+
+
+def test_commit_state_object_store_branch_roundtrip(spark, tmp_path):
+    """Drive the `"://"` (object-store) branch of commit_state with a
+    file:// URI: no rename swap exists there, so the plan must be
+    materialized (localCheckpoint) BEFORE the overwrite — including when
+    the new state plan reads the very path being overwritten."""
+    path = f"file://{tmp_path}/state"
+    commit_state(_state(spark, [(1, "t1", "h1", ["v1"])]), path)
+    assert spark.read.parquet(path).count() == 1
+
+    # next-state plan reads `path` lazily, then overwrites the same path
+    current = spark.read.parquet(path)
+    merged = upsert_state(current, _state(spark, [(2, "t2", "h2", ["v2"])]))
+    commit_state(merged, path)
+    got = {r.block_id: r.prior_let for r in spark.read.parquet(path).collect()}
+    assert got == {1: "t1", 2: "t2"}

@@ -16,19 +16,33 @@ the still-open hour-6 window.
 
 from __future__ import annotations
 
-import time
+import glob
+import os
 
 from pyspark.sql import Row, functions as F
 
 from notion_vector_store_etl_pipeline_spark.streaming import stream_tumbling_counts
 
+# FileStreamSource orders files by modification time; stamping each
+# batch's files with an explicit, widely spaced mtime makes the batch
+# order deterministic regardless of filesystem timestamp granularity or
+# scheduler variance (and removes the 1.1s sleeps this test used to
+# rely on).
+_MTIME_BASE = 1_700_000_000  # any fixed epoch; only relative order matters
+_MTIME_STEP = 60
 
-def _write(spark, src, rows):
+
+def _write(spark, src, rows, stamped={}):
     df = spark.createDataFrame(
         [Row(ts=ts, event_type="click", value=1.0) for ts in rows]
     ).select(F.to_timestamp("ts").alias("ts"), "event_type", "value")
     df.coalesce(1).write.mode("append").parquet(src)
-    time.sleep(1.1)  # distinct mod-times -> deterministic batch order
+    batch = len(stamped.setdefault(src, []))
+    mtime = _MTIME_BASE + batch * _MTIME_STEP
+    for f in glob.glob(os.path.join(src, "*.parquet")):
+        if f not in stamped[src]:
+            os.utime(f, (mtime, mtime))
+            stamped[src].append(f)
 
 
 def test_late_event_beyond_watermark_is_dropped(spark, tmp_path):
