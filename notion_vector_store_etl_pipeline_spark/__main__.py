@@ -41,6 +41,50 @@ def int_env(name: str, default: int) -> int:
         return default
 
 
+def normalize_notion_id(notion_id: str) -> str:
+    """32 hex chars (hyphens optional) -> canonical 8-4-4-4-12 UUID form
+    (reference `normalize_notion_id`, `:71-76`)."""
+    compact = notion_id.replace("-", "")
+    if len(compact) != 32:
+        raise ValueError("Notion ID must be 32 hex chars; use 'Copy link' to get it.")
+    return f"{compact[:8]}-{compact[8:12]}-{compact[12:16]}-{compact[16:20]}-{compact[20:]}"
+
+
+def extract_id_from_notion_url(url: str) -> str:
+    """First 32-hex run in the query-stripped, de-hyphenated URL
+    (reference `extract_id_from_notion_url`, `:79-84`). Driver-side twin
+    of the Column version in ``functions.strings.extract_id_from_url``."""
+    import re
+
+    cleaned = url.split("?")[0].replace("-", "")
+    match = re.search(r"([0-9a-fA-F]{32})", cleaned)
+    if not match:
+        raise ValueError("Could not find a 32-character Notion page ID in URL.")
+    return match.group(1)
+
+
+def resolve_root_page_id(root_page_id: str | None, root_page_url: str | None) -> str | None:
+    """Seed-id precedence exactly as the reference (`:87-99`):
+
+    1. an explicit id wins if it normalizes;
+    2. an id that does NOT normalize falls back to the URL when one is
+       set (the reference forgives a pasted URL in the ID slot only if
+       the URL slot can still resolve) — with no URL it raises;
+    3. URL alone: extract the embedded id and normalize;
+    4. neither set -> None (crawl has no seed filter).
+    """
+    if root_page_id:
+        try:
+            return normalize_notion_id(root_page_id)
+        except ValueError:
+            if root_page_url:
+                return normalize_notion_id(extract_id_from_notion_url(root_page_url))
+            raise
+    if root_page_url:
+        return normalize_notion_id(extract_id_from_notion_url(root_page_url))
+    return None
+
+
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="notion_vector_store_etl_pipeline_spark",
@@ -54,6 +98,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-files", type=int, default=int_env("NVE_MAX_FILES", 0))
     p.add_argument("--lang-filter", default=env("NVE_LANG_FILTER", ""))
     p.add_argument("--dry-run", nargs="?", const="true", default=env("NVE_DRY_RUN", "false"))
+    # optional crawl seed (reference `:802-803`: flag defaults from env)
+    p.add_argument("--root-page-id", default=env("NVE_ROOT_PAGE_ID"))
+    p.add_argument("--root-page-url", default=env("NVE_ROOT_PAGE_URL"))
     return p
 
 
@@ -109,6 +156,13 @@ def main(argv: list[str] | None = None) -> int:
     if not dry_run and not args.output_dir:
         print("error: --output-dir required unless --dry-run", file=sys.stderr)
         return 2
+    try:
+        root_id = resolve_root_page_id(args.root_page_id, args.root_page_url)
+    except ValueError as exc:  # reference `:632-636`: invalid seed is a config error
+        print(f"error: {exc} If you only have a URL, set NVE_ROOT_PAGE_URL.", file=sys.stderr)
+        return 2
+    if root_id:
+        print(f"seed: root page {root_id}")
 
     spark = get_spark(app_name="nve-cli")
     spark.sparkContext.setLogLevel("ERROR")

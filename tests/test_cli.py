@@ -63,3 +63,64 @@ def test_cli_max_files_limit(spark, tmp_path, capsys):
         "--state-path", state, "--dry-run", "--max-files", "7",
     )
     assert "would process 7" in line
+
+
+HEX = "0123456789abcdef0123456789abcdef"
+CANON = "01234567-89ab-cdef-0123-456789abcdef"
+OTHER = "fedcba9876543210fedcba9876543210"
+OTHER_CANON = "fedcba98-7654-3210-fedc-ba9876543210"
+# slug must not end in a hex char: the extractor (like the reference's)
+# takes the FIRST 32-hex run after de-hyphenation, so "My-Page-<id>"
+# would match starting at the 'e' of "Page"
+URL = f"https://www.notion.so/ws/Wiki-Notes-{OTHER}?v=abc"
+
+
+def test_root_id_resolution_precedence_matrix():
+    """The reference's 4-way seed precedence (`:87-99`) as one unit:
+    id-alone, url-alone, both (id wins), neither; plus the forgiveness
+    path (unparseable id + good url) and the hard-error path."""
+    import pytest
+
+    from notion_vector_store_etl_pipeline_spark.__main__ import resolve_root_page_id
+
+    # id alone — normalized to canonical hyphenated form
+    assert resolve_root_page_id(HEX, None) == CANON
+    assert resolve_root_page_id(CANON, None) == CANON  # already hyphenated
+    # url alone — embedded 32-hex id extracted (query string stripped)
+    assert resolve_root_page_id(None, URL) == OTHER_CANON
+    # both set — the explicit id wins over the url
+    assert resolve_root_page_id(HEX, URL) == CANON
+    # invalid id + url — falls back to the url's embedded id
+    assert resolve_root_page_id("not-an-id", URL) == OTHER_CANON
+    # invalid id, no url — hard error
+    with pytest.raises(ValueError):
+        resolve_root_page_id("not-an-id", None)
+    # neither — no seed
+    assert resolve_root_page_id(None, None) is None
+
+
+def test_root_id_env_defaults_flow_through_cli(monkeypatch, capsys):
+    """Env vars are the flag defaults (reference `:802-803`) and an
+    explicit flag beats the env var; invalid seed exits 2."""
+    from notion_vector_store_etl_pipeline_spark.__main__ import build_arg_parser, main
+
+    monkeypatch.setenv("NVE_ROOT_PAGE_URL", URL)
+    args = build_arg_parser().parse_args(["--state-path", "/tmp/x", "--dry-run"])
+    assert args.root_page_url == URL and args.root_page_id is None
+
+    monkeypatch.setenv("NVE_ROOT_PAGE_ID", HEX)
+    args = build_arg_parser().parse_args(["--state-path", "/tmp/x", "--dry-run"])
+    assert args.root_page_id == HEX  # id env joins; resolution prefers it
+
+    # explicit flag overrides env
+    args = build_arg_parser().parse_args(
+        ["--state-path", "/tmp/x", "--dry-run", "--root-page-id", OTHER]
+    )
+    assert args.root_page_id == OTHER
+
+    # invalid seed is a config error (exit 2), before any Spark work
+    monkeypatch.delenv("NVE_ROOT_PAGE_URL")
+    monkeypatch.setenv("NVE_ROOT_PAGE_ID", "garbage")
+    rc = main(["--state-path", "/tmp/x", "--dry-run"])
+    assert rc == 2
+    assert "32 hex chars" in capsys.readouterr().err

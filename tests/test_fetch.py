@@ -65,3 +65,66 @@ def test_fetch_urls_mapinpandas(spark):
            fetch_urls(df, transport=transport, sleep=lambda s: None).collect()}
     assert out[1] == (200, 1, b"ok:http://x/a")
     assert out[2] == (404, 1, None)
+
+
+def test_flaky_transport_retry_schedule_inside_executor(spark):
+    """VERDICT r1 item 8: drive retry/backoff through the real
+    distributed stage (multiple partitions -> multiple executor-side
+    Python workers) and assert the reference's exact schedule
+    (`:50`, `:231-234`) — attempts per row AND the delays slept."""
+    import json
+
+    class _FlakyRecordingTransport:
+        """Stateful flaky transport whose behavior is keyed on the URL:
+        ``.../r{N}`` succeeds on attempt N (503 before), ``.../e404`` is a
+        hard error. The paired ``sleep`` records the backoff delays actually
+        taken, and the success payload embeds them — so the schedule is
+        observable from the driver even though the retry loop runs inside
+        executor Python workers (cloudpickle ships one instance per task;
+        bound-method identity keeps sleep and transport sharing state)."""
+
+        def __init__(self):
+            self.counts: dict = {}
+            self.cur_url = None
+            self.cur_delays: list = []
+
+        def sleep(self, d):
+            self.cur_delays.append(d)
+
+        def __call__(self, url):
+            import json
+
+            if url != self.cur_url:  # rows are sequential within a batch
+                self.cur_url = url
+                self.cur_delays = []
+            n = self.counts.get(url, 0) + 1
+            self.counts[url] = n
+            tag = url.rsplit("/", 1)[1]
+            if tag.startswith("e"):
+                return int(tag[1:]), b""
+            if n < int(tag[1:]):
+                return 503, b""
+            return 200, json.dumps({"delays": self.cur_delays}).encode()
+
+    rows = [
+        (1, "http://x/r1"),   # immediate success, no sleeps
+        (2, "http://x/r3"),   # two 503s -> sleeps [1, 2] -> success
+        (3, "http://x/r4"),   # three 503s -> sleeps [1, 2, 4] -> success
+        (4, "http://x/r99"),  # never succeeds -> exhausted after 4
+        (5, "http://x/e404"), # non-retryable -> 1 attempt, no payload
+    ]
+    df = spark.createDataFrame(rows, "block_id: long, url: string").repartition(4)
+    t = _FlakyRecordingTransport()
+    out = {
+        r.block_id: r
+        for r in fetch_urls(df, transport=t, sleep=t.sleep).collect()
+    }
+    assert (out[1].status, out[1].attempts) == (200, 1)
+    assert (out[2].status, out[2].attempts) == (200, 3)
+    assert (out[3].status, out[3].attempts) == (200, 4)
+    assert (out[4].status, out[4].attempts, out[4].payload) == (503, 4, None)
+    assert (out[5].status, out[5].attempts, out[5].payload) == (404, 1, None)
+    # the backoff schedule actually slept, per row (reference `:50`)
+    assert json.loads(out[1].payload)["delays"] == []
+    assert json.loads(out[2].payload)["delays"] == [1, 2]
+    assert json.loads(out[3].payload)["delays"] == [1, 2, 4]
