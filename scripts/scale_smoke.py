@@ -162,6 +162,71 @@ def main() -> int:
     plan = q1(big_li)._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan, "partial aggregation missing at scale"
     print("plan check: partial HashAggregate present at scale")
+
+    # --- vector / dedup section (VERDICT r1 item 2 done-criterion) ---
+    # Exact all-pairs cosine is O(n^2) WORK by definition; what must NOT
+    # happen is a driver collect or a single-task hotspot. The block
+    # self-join's wall-clock may grow up to ~vmult^2 (flops) but must
+    # stay comfortably under it (bigger GEMMs amortize better), and the
+    # LSH near-dup path must stay near-linear apart from the genuine
+    # duplicate groups replication itself creates.
+    from notion_vector_store_etl_pipeline_spark.operators.dedup import (
+        minhash_neardup,
+        release_cache,
+    )
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        cosine_selfjoin_pairs,
+    )
+
+    vmult = min(mult, 4)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    big_emb = replicate(emb, vmult, {"vec_id": 10_000_000})
+
+    def cos(e):
+        return cosine_selfjoin_pairs(e, threshold=0.97)
+
+    cos(emb).count()  # warm
+    t0 = time.perf_counter(); cos(emb).count(); t_small = time.perf_counter() - t0
+    t0 = time.perf_counter(); n = cos(big_emb).count(); t_big = time.perf_counter() - t0
+    ratio = t_big / max(t_small, 1e-9)
+    quad = vmult * vmult
+    verdict = "OK" if ratio < quad * 1.5 else "SUPRAQUADRATIC"
+    if verdict != "OK":
+        failures.append("cosine_block_selfjoin")
+    print(
+        f"{verdict:12s} cosine_block_selfjoin: {t_small:.2f}s -> {t_big:.2f}s "
+        f"({ratio:.1f}x time for {vmult}x vectors; quadratic work bound "
+        f"{quad}x; rows={n})"
+    )
+    cplan = cos(big_emb)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in cplan, "block GEMM stage missing"
+    print("plan check: distributed FlatMapGroupsInPandas, no driver collect")
+
+    small_docs = docs
+    vbig_docs = replicate(docs, vmult, {"doc_id": 10_000_000})
+
+    def lsh(d):
+        return minhash_neardup(d, "text", "doc_id", threshold=0.8)
+
+    lsh(small_docs).count()  # warm
+    release_cache()
+    t0 = time.perf_counter(); lsh(small_docs).count(); t_small = time.perf_counter() - t0
+    release_cache()
+    t0 = time.perf_counter(); n = lsh(vbig_docs).count(); t_big = time.perf_counter() - t0
+    release_cache()
+    ratio = t_big / max(t_small, 1e-9)
+    # replication puts every doc in a vmult-sized exact-dup group, so
+    # candidate pairs legitimately grow ~C(vmult,2)*n; the LSH pipeline
+    # itself (signatures, banding, bucket join) must stay ~linear
+    bound = max(vmult * 2.5, vmult * (vmult - 1) / 2 * 1.5)
+    verdict = "OK" if ratio < bound else "SUPRALINEAR"
+    if verdict != "OK":
+        failures.append("minhash_lsh_neardup")
+    print(
+        f"{verdict:12s} minhash_lsh_neardup: {t_small:.2f}s -> {t_big:.2f}s "
+        f"({ratio:.1f}x time for {vmult}x docs incl. dup-group blowup; rows={n})"
+    )
+
     spark.stop()
     print(f"{len(failures)} supralinear cases: {failures}")
     return 1 if failures else 0
