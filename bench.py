@@ -44,6 +44,8 @@ HEADLINE = [
     "ngram_jaccard_prefixfilter",
     "dedup_exact_hash",
     "text_token_stats",
+    "contamination_ngram_overlap",
+    "sequence_packing",
     "multimodal_decode_stub",
     "incremental_changed",
     "curation_funnel",

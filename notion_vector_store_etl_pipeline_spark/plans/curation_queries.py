@@ -130,9 +130,10 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "duplicate-word fraction, top-/duplicate-bigram fraction, and the "
     "flag their thresholds imply (Rae et al. 2021 quality heuristics, "
     "word-level because the fixtures are single-line). Bigrams are built "
-    "with zip_with over two array slices — no positional self-join, no "
-    "extra shuffle; the only exchanges are the two groupBy(doc_id[,term]) "
-    "aggs, both partial-aggregated map-side.",
+    "with zip_with over two array slices — no positional self-join; the "
+    "four exchanges are the (doc,term)/(doc) agg pairs of the two "
+    "branches, all partial-aggregated map-side, joined by doc_id at "
+    "per-doc cardinality (broadcast at this SF).",
 )
 def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
