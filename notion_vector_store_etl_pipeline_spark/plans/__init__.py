@@ -48,6 +48,7 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 _MODULES = (
     "dedup_queries",
     "curation_queries",
+    "retrieval_queries",
     "text_queries",
     "multimodal_queries",
     "graph_queries",
