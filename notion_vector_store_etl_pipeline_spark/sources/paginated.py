@@ -18,7 +18,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 PAGE_SIZE = 100  # the reference's page_size=100 everywhere
 
@@ -69,8 +74,64 @@ class PaginatedReader(DataSourceReader):
                     yield tuple(row.values())
 
 
+class PaginatedStreamReader(SimpleDataSourceStreamReader):
+    """Cursor pagination as a STREAM: each micro-batch consumes the next
+    ``pages_per_batch`` pages, the stream offset IS the cursor position,
+    and Spark's checkpoint persists it — the reference's resumable
+    ``while has_more`` loop (`:446-456`) with exactly-once bookkeeping
+    delegated to Structured Streaming instead of a hand-rolled manifest.
+
+    ``read(start)`` serves new data and advances the cursor;
+    ``readBetweenOffsets`` replays a committed range after restart
+    (Spark calls it for in-flight batches during recovery, so the
+    fetch must be deterministic for a given cursor range — true for
+    any offset-paginated API).
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if self.path is None:
+            raise ValueError("paginated source requires .option('path', ...)")
+        self.page_size = int(options.get("page_size", PAGE_SIZE))
+        self.pages_per_batch = int(options.get("pages_per_batch", 1))
+
+    def initialOffset(self) -> dict:
+        return {"cursor": 0}
+
+    def _n_rows(self) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(self.path).metadata.num_rows
+
+    def _rows(self, start: int, end: int):
+        # list_iterator, not a generator: Spark's prefetch cache both
+        # next()s and copy.copy()s the returned iterator
+        # (datasource_internal.add_result_to_cache / getCache); a bare
+        # generator isn't copyable and a bare list isn't an iterator.
+        # A page range is small by design, so materializing is fine.
+        return iter(
+            list(
+                PaginatedReader(
+                    {"path": self.path, "page_size": str(self.page_size)}
+                ).read(PagePartition(self.path, start, end))
+            )
+        )
+
+    def read(self, start: dict):
+        lo = start["cursor"]
+        hi = min(lo + self.pages_per_batch * self.page_size, self._n_rows())
+        if hi <= lo:  # caught up: empty batch, cursor unchanged
+            return iter([]), {"cursor": lo}
+        return self._rows(lo, hi), {"cursor": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["cursor"], end["cursor"])
+
+
 class PaginatedSource(DataSource):
-    """spark.read.format("paginated").option("path", ...).load()"""
+    """``spark.read.format("paginated")`` for the batch scan (every page
+    an InputPartition), ``spark.readStream.format("paginated")`` for the
+    incremental cursor walk (every micro-batch a page range)."""
 
     @classmethod
     def name(cls) -> str:
@@ -84,6 +145,9 @@ class PaginatedSource(DataSource):
 
     def reader(self, schema) -> PaginatedReader:
         return PaginatedReader(self.options)
+
+    def simpleStreamReader(self, schema) -> PaginatedStreamReader:
+        return PaginatedStreamReader(self.options)
 
 
 def register_paginated_source(spark) -> None:
