@@ -47,6 +47,7 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # LLM-pipeline operators below had no driver row and lead this round).
 _MODULES = (
     "dedup_queries",
+    "pipeline_queries",
     "curation_queries",
     "retrieval_queries",
     "text_queries",

@@ -1,0 +1,351 @@
+"""Training-data pipeline queries, wave 4: deterministic splits,
+domain blocklists, linear quality-classifier scoring, winnowing
+fingerprints, Z-order layout keys, and Bloom-filter pre-join pruning.
+
+These extend the reference's curation surface (the ETL pipeline selects
+and transforms documents before embedding — `Notion_openai_vector_etl.py`
+filters by block type and dedups by content hash) with the operations a
+100 TB training-data pipeline runs between ingestion and export. All
+cross-engine hashes use the md5-prefix convention (first 15 hex chars as
+a 60-bit bigint) so the DuckDB oracle computes bit-identical values.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from notion_vector_store_etl_pipeline_spark.plans import register
+from notion_vector_store_etl_pipeline_spark.sources import load_table
+
+
+def _md5_bigint(col) -> F.Column:
+    """Portable 60-bit hash: identical in Spark (conv) and DuckDB
+    (CAST('0x'||substr(md5(x),1,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+_MD5_SQL = "CAST(CONCAT('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 980 THEN 'train'
+                WHEN bucket < 990 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             {_MD5_SQL.format(x="'split42|' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+      FROM documents
+    )
+    """,
+    doc="Deterministic train/val/test split by salted content-key hash "
+    "(98/1/1): the split is a pure function of the id, so re-running the "
+    "pipeline, adding data, or changing cluster size never moves a "
+    "document across splits (no sampling state to store). Narrow, "
+    "zero-shuffle, scales to any size; the salt isolates this split "
+    "from other hash uses of the same key.",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = _md5_bigint(F.concat(F.lit("split42|"), F.col("doc_id").cast("string")))
+    bucket = F.pmod(h, F.lit(1000))
+    split = (
+        F.when(bucket < 980, "train").when(bucket < 990, "val").otherwise("test")
+    )
+    return docs.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+@register(
+    "domain_blocklist_filter",
+    oracle="""
+    SELECT doc_id, domain
+    FROM (
+      SELECT doc_id, source || '.cdn.example.org' AS domain
+      FROM documents
+    )
+    WHERE domain NOT IN ('src2.cdn.example.org', 'src4.cdn.example.org',
+                         'spam.example.net')
+    """,
+    doc="Domain blocklist filtering (the C4/RefinedWeb curation step): "
+    "parse the host out of each document URL, anti-join against the "
+    "blocklist. The blocklist is a tiny dimension -> broadcast anti-join, "
+    "no shuffle of the 100 TB side; the URL parse is a JVM expression "
+    "(parse_url), not a Python UDF.",
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".cdn.example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    with_domain = docs.select(
+        "doc_id", F.parse_url(url, F.lit("HOST")).alias("domain")
+    )
+    blocklist = spark.createDataFrame(
+        [("src2.cdn.example.org",), ("src4.cdn.example.org",), ("spam.example.net",)],
+        "domain string",
+    )
+    return with_domain.join(F.broadcast(blocklist), "domain", "left_anti").select(
+        "doc_id", "domain"
+    )
+
+
+@register(
+    "classifier_score_linear",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT tok, count(DISTINCT doc_id) AS df
+      FROM toks WHERE tok <> '' GROUP BY tok
+    ), vocab AS (
+      SELECT tok, round(ln(1 + df) / 10 - 0.25, 6) AS w
+      FROM (SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS rn FROM tf)
+      WHERE rn <= 40
+    ), s AS (
+      SELECT t.doc_id, count(*) AS n_hits, sum(v.w) AS sw
+      FROM toks t JOIN vocab v USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_hits, 0) AS BIGINT) AS n_hits,
+           round(1 / (1 + exp(-coalesce(s.sw, 0.0))), 6) AS score
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """,
+    doc="Linear quality-classifier scoring (the fastText-style filter "
+    "used to curate web corpora): tokenize, join a small vocabulary of "
+    "(token, weight) rows, sum weights per document, squash with a "
+    "sigmoid. The vocabulary here is derived in-plan (top-40 tokens by "
+    "document frequency, weight = ln(1+df)/10 - 0.25) so the whole query "
+    "is deterministic and oracle-checkable; in production the weights "
+    "table is a trained artifact loaded the same way. Scale shape: the "
+    "vocabulary is broadcast (never a shuffle of the corpus side), the "
+    "per-doc sum is one partial-aggregated shuffle on doc_id.",
+)
+def classifier_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.orderBy(F.col("df").desc(), F.col("tok").asc()))
+    vocab = (
+        tf.withColumn("rn", rn)
+        .filter(F.col("rn") <= 40)
+        .select("tok", F.round(F.log(F.lit(1) + F.col("df")) / 10 - 0.25, 6).alias("w"))
+    )
+    s = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"), F.sum("w").alias("sw"))
+    )
+    return docs.join(s, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(F.lit(1) / (F.lit(1) + F.exp(-F.coalesce("sw", F.lit(0.0)))), 6).alias(
+            "score"
+        ),
+    )
+
+
+_WINNOW_W = 4  # window size (guarantee: every gap of >= W shingles is fingerprinted)
+
+
+@register(
+    "winnowing_fingerprint",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, len(ws) - 1),
+               i -> {_MD5_SQL.format(x="ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")}
+             ) AS h
+      FROM words WHERE len(ws) >= 3 + {_WINNOW_W} - 1
+    ), sel AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, len(h) - {_WINNOW_W} + 2),
+               i -> list_aggregate(list_slice(h, i, i + {_WINNOW_W} - 1), 'min')
+             ))) AS fps
+      FROM hs
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS INTEGER) AS n_selected,
+           sha256(array_to_string(fps, chr(31))) AS fingerprint
+    FROM sel
+    """,
+    doc="Winnowing fingerprint (Schleimer et al., SIGMOD'03 — the MOSS "
+    "local fingerprinting scheme): hash every word 3-gram, slide a "
+    f"window of {_WINNOW_W} hashes, keep each window's minimum. Guarantees "
+    "every match of length >= w+k-1 shares a selected hash, at ~2/(w+1) "
+    "sampling density — the robust fingerprint for partial-overlap "
+    "detection (vs doc_fingerprint's whole-set hash). Pure array HOFs: "
+    "narrow, zero-shuffle, stays in codegen per document.",
+)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim("text"), r"\s+")
+    # ordered 3-gram shingle hashes (1-based element_at)
+    h = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: _md5_bigint(
+            F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+            )
+        ),
+    )
+    win_mins = lambda hh: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.size(hh) - (_WINNOW_W - 1)),
+        lambda i: F.array_min(F.slice(hh, i, _WINNOW_W)),
+    )
+    sel = F.array_sort(F.array_distinct(win_mins(h)))
+    return (
+        docs.filter(F.size(ws) >= 3 + _WINNOW_W - 1)
+        .select("doc_id", sel.alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_selected"),
+            F.sha2(
+                F.concat_ws("\x1f", F.transform("fps", lambda x: x.cast("string"))), 256
+            ).alias("fingerprint"),
+        )
+    )
+
+
+_ZBITS = 8
+
+
+def _interleave_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+    SELECT o_orderkey, x, y, zval, zval >> 8 AS zbucket
+    FROM (
+      SELECT o_orderkey,
+             o_custkey % 256 AS x,
+             CAST(floor(o_totalprice) AS BIGINT) % 256 AS y,
+             ({_interleave_sql("(o_custkey % 256)", "(CAST(floor(o_totalprice) AS BIGINT) % 256)")}) AS zval
+      FROM orders
+    )
+    """,
+    doc="Z-order (Morton) layout key: interleave the low 8 bits of two "
+    "filter columns into one clustering value. Sorting/range-partitioning "
+    "the table by zval co-locates rows that are close in BOTH dimensions, "
+    "so min/max zone maps prune scans for predicates on either column — "
+    "the data-layout optimization behind Delta/Iceberg Z-ordering, "
+    "expressed as pure integer bit arithmetic (codegen, zero shuffle to "
+    "compute; one range exchange to actually lay out, which is the point).",
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(256))
+    y = F.pmod(F.floor("o_totalprice"), F.lit(256))
+    z = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            for i in range(_ZBITS)
+        ]
+        + [
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            for i in range(_ZBITS)
+        ],
+    )
+    return orders.select(
+        "o_orderkey",
+        x.alias("x"),
+        y.alias("y"),
+        z.alias("zval"),
+        F.shiftright(z, 8).alias("zbucket"),
+    )
+
+
+@register(
+    "bloom_prejoin_filter",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Bloom-filter pre-join pruning (the runtime-filter pattern), "
+    "built distributed from pure JVM expressions: the filtered build "
+    "side's keys hash to k=3 bit positions (xxhash64 with distinct "
+    "seeds), positions bit_or-aggregate into (word_idx, word) rows — a "
+    "partitioned Bloom build whose result is a few-KB table. The probe "
+    "side explodes its own k positions, broadcast-joins the words, and "
+    "keeps only rows with all k bits set — dropping non-matching rows "
+    "BEFORE the join shuffle; a final semi-join removes the false "
+    "positives, so the result is exact. At 100 TB this is the "
+    "difference between shuffling the full probe table and shuffling "
+    "the fraction that survives — what AQE's runtime filters do, made "
+    "explicit and testable (Spark 4.1 does not expose bloom_filter_agg "
+    "in SQL, so the sketch is composed from shiftleft/bit_or/pmod).",
+)
+def bloom_prejoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    M_BITS = 1 << 20  # filter width; ~3 int64 words per build key worst case
+    K = 3
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+
+    def positions(key) -> F.Column:
+        return F.array(
+            *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(M_BITS)) for i in range(K)]
+        )
+
+    words = (
+        urgent.select(F.explode(positions(F.col("o_custkey"))).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("bigint").alias("word_idx"),
+            F.pmod(F.col("pos"), F.lit(64)).cast("int").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("word"))
+    )
+
+    probe = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.posexplode(positions(F.col("c_custkey"))).alias("k_i", "pos"),
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("pos") / 64).cast("bigint").alias("word_idx"),
+        F.pmod(F.col("pos"), F.lit(64)).cast("int").alias("bit"),
+    )
+    hits = (
+        probe.join(F.broadcast(words), "word_idx")
+        .filter(F.expr("(shiftright(word, bit) & 1) = 1"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == K)  # Bloom candidates (may have FPs)
+    )
+    exact = hits.join(urgent, hits.c_custkey == urgent.o_custkey, "left_semi")
+    return exact.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
