@@ -69,3 +69,53 @@ def test_ivf_quantized_recall_and_exact_rerank(spark):
         key = (r.query_id, r.cand_id)
         if key in exact:
             assert abs(r.score - exact[key]) < 1e-9, f"rerank score drift at {key}"
+
+
+def test_lsh_registered_recall_gate(spark):
+    """knn_lsh_cosine: the signed-random-projection LSH path clears the
+    same per-query recall@10 floor (and reports the actual recall so a
+    parameter regression is visible in the assertion message)."""
+    reg = load_registry()
+    rows = reg["knn_lsh_cosine"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    assert all(r.recall_ok for r in rows), rows
+
+
+def test_semdedup_matches_exact_within_cluster(spark):
+    """semdedup survivors: every dropped vector has a lower-id
+    same-cluster neighbor with cosine >= threshold, and every kept
+    vector has none (exact numpy recomputation, independent of the
+    kernel's own path)."""
+    import numpy as np
+
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        load_vectors_numpy,
+    )
+    from notion_vector_store_etl_pipeline_spark.plans.vector_queries import (
+        _SEMDEDUP_THR,
+    )
+
+    reg = load_registry()
+    rows = reg["semdedup_cluster_prune"].fn(spark, SF).collect()
+    ids, mat = load_vectors_numpy(spark, SF)
+    by_id = {int(i): mat[k] for k, i in enumerate(ids)}
+    unit = {i: v / np.linalg.norm(v) for i, v in by_id.items()}
+
+    clusters: dict[int, list[int]] = {}
+    status = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, []).append(r.vec_id)
+        status[r.vec_id] = r.kept
+    assert len(status) == len(ids)
+
+    n_dropped = 0
+    for members in clusters.values():
+        members.sort()
+        for j, vid in enumerate(members):
+            has_lower_dup = any(
+                round(float(unit[u] @ unit[vid]), 6) >= _SEMDEDUP_THR
+                for u in members[:j]
+            )
+            assert status[vid] == (not has_lower_dup), vid
+            n_dropped += has_lower_dup
+    assert n_dropped > 0, "fixture produced no semantic duplicates; test is vacuous"
