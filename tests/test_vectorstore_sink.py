@@ -1,0 +1,90 @@
+"""Vector-store sink (custom Python DataSource writer): parallel task
+uploads, manifest-gated atomic commit, overwrite retirement, and the
+abort path (a failing job publishes nothing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from notion_vector_store_etl_pipeline_spark.sources import load_table
+from notion_vector_store_etl_pipeline_spark.sources.vectorstore import (
+    MANIFEST,
+    read_store,
+    register_vectorstore_sink,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return (
+        load_table(spark, SF, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .repartition(4)
+    )
+
+
+def test_append_commit_and_readback(spark, tmp_path):
+    register_vectorstore_sink(spark)
+    store = str(tmp_path / "store")
+    docs = _docs(spark)
+    docs.write.format("vectorstore").option("path", store).mode("append").save()
+
+    manifest = json.load(open(os.path.join(store, MANIFEST)))
+    assert len(manifest["files"]) == 4  # one upload per partition
+    assert sum(f["rows"] for f in manifest["files"].values()) == docs.count()
+
+    got = read_store(spark, store)
+    assert got.count() == docs.count()
+    assert set(got.columns) == {"doc_id", "lang", "n_chars"}
+
+    # append again: file set grows, rows double
+    docs.write.format("vectorstore").option("path", store).mode("append").save()
+    assert read_store(spark, store).count() == 2 * docs.count()
+
+
+def test_overwrite_retires_previous_files(spark, tmp_path):
+    register_vectorstore_sink(spark)
+    store = str(tmp_path / "store")
+    docs = _docs(spark)
+    docs.write.format("vectorstore").option("path", store).mode("append").save()
+    first_files = set(json.load(open(os.path.join(store, MANIFEST)))["files"])
+
+    small = docs.filter(F.col("doc_id") < 10).repartition(1)
+    small.write.format("vectorstore").option("path", store).mode("overwrite").save()
+
+    manifest = json.load(open(os.path.join(store, MANIFEST)))
+    assert set(manifest["files"]).isdisjoint(first_files)
+    assert read_store(spark, store).count() == small.count()
+    # retired bytes are gone from disk, not just from the manifest
+    for name in first_files:
+        assert not os.path.exists(os.path.join(store, name))
+
+
+def test_failed_job_publishes_nothing(spark, tmp_path):
+    register_vectorstore_sink(spark)
+    store = str(tmp_path / "store")
+    docs = _docs(spark)
+    docs.write.format("vectorstore").option("path", store).mode("append").save()
+    before = json.load(open(os.path.join(store, MANIFEST)))
+
+    @F.udf("long")
+    def boom(v):
+        if v >= 0:
+            raise RuntimeError("injected upload failure")
+        return v
+
+    bad = docs.withColumn("doc_id", boom("doc_id"))
+    with pytest.raises(Exception):
+        bad.write.format("vectorstore").option("path", store).mode("overwrite").save()
+
+    # the failed overwrite changed NOTHING: same manifest, same data
+    after = json.load(open(os.path.join(store, MANIFEST)))
+    assert after == before
+    assert read_store(spark, store).count() == docs.count()
