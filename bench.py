@@ -50,6 +50,13 @@ HEADLINE = [
     "incremental_changed",
     "curation_funnel",
     "knn_ivf_quantized",
+    # round 2 additions
+    "semdedup_cluster_prune",
+    "knn_lsh_cosine",
+    "classifier_score_linear",
+    "winnowing_fingerprint",
+    "bloom_prejoin_filter",
+    "split_train_val_test",
 ]
 
 

@@ -118,3 +118,86 @@ def graph_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 def traversal_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = build_edges(spark, sf_dir)
     return expand_frontier(_seeds(spark), edges)
+
+
+_PR_D = 0.85
+_PR_ITERS = 3
+
+
+@register(
+    "graph_pagerank",
+    oracle=_EDGES_CTE.replace("WITH RECURSIVE", "WITH")
+    + """
+    , nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+      )
+    ), nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    pr1 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT n FROM nn)
+             + 0.85 * coalesce((SELECT sum(p.rank / d.outdeg)
+                                FROM edges e JOIN pr0 p ON p.node = e.src
+                                JOIN deg d ON d.src = e.src
+                                WHERE e.dst = nodes.node), 0) AS rank
+      FROM nodes
+    ),
+    pr2 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT n FROM nn)
+             + 0.85 * coalesce((SELECT sum(p.rank / d.outdeg)
+                                FROM edges e JOIN pr1 p ON p.node = e.src
+                                JOIN deg d ON d.src = e.src
+                                WHERE e.dst = nodes.node), 0) AS rank
+      FROM nodes
+    ),
+    pr3 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT n FROM nn)
+             + 0.85 * coalesce((SELECT sum(p.rank / d.outdeg)
+                                FROM edges e JOIN pr2 p ON p.node = e.src
+                                JOIN deg d ON d.src = e.src
+                                WHERE e.dst = nodes.node), 0) AS rank
+      FROM nodes
+    )
+    SELECT node, round(rank, 9) AS rank FROM pr3
+    """,
+    doc="PageRank, 3 fixed power iterations (damping 0.85, no dangling "
+    "redistribution) over the R->N->C->O edge relation — the standard "
+    "iterative-analytics shape on Spark: per iteration ONE join "
+    "(ranks x edges on src, out-degrees pre-joined once) and ONE "
+    "aggregation (sum contributions by dst), both hash-partitioned on "
+    "the same key so the exchanges line up across iterations. The "
+    "oracle unrolls the same three iterations as chained CTEs. Ranks "
+    "are emitted at round 9 (in-degrees here are tiny, so double "
+    "accumulation is order-stable well past 9 digits).",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = build_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # n and out-degrees are plan-level inputs reused every iteration
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = edges.join(deg, "src").select("src", "dst", "outdeg")
+    n = nodes.count()  # scalar loop parameter (drives the literal below)
+
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    for _ in range(_PR_ITERS):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = nodes.join(contribs, nodes.node == contribs.dst, "left").select(
+            "node",
+            (
+                F.lit(0.15 / n) + F.lit(_PR_D) * F.coalesce("in_sum", F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
