@@ -434,3 +434,49 @@ def cosine_selfjoin_pairs(
         )
 
     return rep.groupBy("_bi", "_bj").applyInPandas(score_block_pair, _SELF_SCHEMA)
+
+
+def semdedup_prune(
+    vecs: DataFrame,
+    cent_ids: np.ndarray,
+    cent_mat: np.ndarray,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+) -> DataFrame:
+    """SemDeDup core (Abbas et al. 2023, public): assign every vector
+    to its nearest centroid (broadcast GEMM kernel), then prune each
+    cluster independently — a vector is dropped when a lower-id vector
+    in the SAME cluster has cosine >= ``threshold``. Output:
+    (id, cluster_id, kept). The only shuffle is the cluster grouping;
+    pairwise work never leaves the cluster (~(n/k)^2 per cluster).
+    """
+    from pyspark.sql.types import (
+        BooleanType as _Bool,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    assigned = nearest_lists(vecs, cent_ids, cent_mat, 1, id_col=id_col, emb_col=emb_col)
+
+    schema = _ST(
+        [
+            _SF(id_col, _Long()),
+            _SF("cluster_id", _Long()),
+            _SF("kept", _Bool()),
+        ]
+    )
+
+    def prune(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(pdf[emb_col].iloc[order].map(lambda a: np.asarray(a, dtype=np.float64)))
+        _, unit = _unit_matrix(ids.copy(), mat)
+        scores = np.round(unit @ unit.T, 6)
+        # ids ascending: upper triangle [i, j] (i < j) drops j
+        dropped = np.triu(scores >= threshold, k=1).any(axis=0)
+        return pd.DataFrame({id_col: ids, "cluster_id": key[0], "kept": ~dropped})
+
+    return assigned.groupBy("list_id").applyInPandas(prune, schema)

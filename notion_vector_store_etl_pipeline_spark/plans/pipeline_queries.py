@@ -308,44 +308,137 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in SQL, so the sketch is composed from shiftleft/bit_or/pmod).",
 )
 def bloom_prejoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    M_BITS = 1 << 20  # filter width; ~3 int64 words per build key worst case
-    K = 3
+    from notion_vector_store_etl_pipeline_spark.operators.bloom import (
+        bloom_prejoin_semi,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-
-    def positions(key) -> F.Column:
-        return F.array(
-            *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(M_BITS)) for i in range(K)]
-        )
-
-    words = (
-        urgent.select(F.explode(positions(F.col("o_custkey"))).alias("pos"))
-        .select(
-            (F.col("pos") / 64).cast("bigint").alias("word_idx"),
-            F.pmod(F.col("pos"), F.lit(64)).cast("int").alias("bit"),
-        )
-        .groupBy("word_idx")
-        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("word"))
+    exact = bloom_prejoin_semi(
+        customer.select("c_custkey", "c_mktsegment"), urgent, "c_custkey", "o_custkey"
     )
-
-    probe = customer.select(
-        "c_custkey",
-        "c_mktsegment",
-        F.posexplode(positions(F.col("c_custkey"))).alias("k_i", "pos"),
-    ).select(
-        "c_custkey",
-        "c_mktsegment",
-        (F.col("pos") / 64).cast("bigint").alias("word_idx"),
-        F.pmod(F.col("pos"), F.lit(64)).cast("int").alias("bit"),
-    )
-    hits = (
-        probe.join(F.broadcast(words), "word_idx")
-        .filter(F.expr("(shiftright(word, bit) & 1) = 1"))
-        .groupBy("c_custkey", "c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("k_hits"))
-        .filter(F.col("k_hits") == K)  # Bloom candidates (may have FPs)
-    )
-    exact = hits.join(urgent, hits.c_custkey == urgent.o_custkey, "left_semi")
     return exact.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+_ISLAND_GAP_US = 30_000_000  # 30s activity envelope per event
+
+
+@register(
+    "interval_merge_islands",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s, epoch_us(ts) + {_ISLAND_GAP_US} AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+           min(s) AS start_us, max(e) AS end_us,
+           count(*) AS n_events
+    FROM islands GROUP BY user_id, island_id
+    """,
+    doc="Gaps-and-islands interval coalescing: each event opens a 30s "
+    "activity envelope; overlapping envelopes per user merge into "
+    "islands (the running-max trick: an interval starts a new island "
+    "iff its start exceeds the max end of ALL preceding intervals — "
+    "plain lag(end) is wrong when an earlier long interval swallows a "
+    "later short one). One hash partition per user, one window pass, "
+    "no self-join — the scalable form of interval merging; the same "
+    "shape backs session repair, downtime stitching, and time-range "
+    "compaction of hypertable chunks.",
+)
+def interval_merge_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_ISLAND_GAP_US)).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "is_new", (prev_max_end.isNull() | (F.col("s") > prev_max_end)).cast("int")
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("start_us"),
+        F.max("e").alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    SELECT 'l_quantity_in_range' AS rule,
+           (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50) AS n_violations
+    UNION ALL
+    SELECT 'l_discount_in_range',
+           (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1)
+    UNION ALL
+    SELECT 'o_totalprice_nonnegative',
+           (SELECT count(*) FROM orders WHERE o_totalprice < 0)
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    """,
+    doc="Data-quality expectation gate (the Deequ/Great-Expectations "
+    "pattern): range checks, primary-key uniqueness, and referential "
+    "integrity computed as a handful of aggregates — the range rules "
+    "fold into ONE pass over each table (conditional count_if-style "
+    "sums, not one scan per rule), uniqueness is one agg, and the FK "
+    "check is a single anti-join. Output is (rule, n_violations) rows: "
+    "a pipeline quarantines or aborts on any nonzero row before "
+    "publishing a snapshot downstream.",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    li_rules = lineitem.agg(
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("bigint")
+        ).alias("l_quantity_in_range"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("bigint")
+        ).alias("l_discount_in_range"),
+    )
+    o_rules = orders.agg(
+        F.sum((F.col("o_totalprice") < 0).cast("bigint")).alias("o_totalprice_nonnegative"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("orders_pk_unique"),
+    )
+    fk = lineitem.join(
+        orders.select("o_orderkey"),
+        lineitem.l_orderkey == orders.o_orderkey,
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("lineitem_fk_orders"))
+
+    def melt(df: DataFrame) -> DataFrame:
+        return df.unpivot([], df.columns, "rule", "n_violations")
+
+    return melt(li_rules).unionByName(melt(o_rules)).unionByName(melt(fk))

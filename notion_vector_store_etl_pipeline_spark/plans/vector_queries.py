@@ -439,48 +439,14 @@ _SEMDEDUP_THR = 0.35
     "clusters by a secondary hash if the cap is exceeded).",
 )
 def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
     from notion_vector_store_etl_pipeline_spark.operators.similarity import (
-        nearest_lists,
-    )
-    from pyspark.sql.types import (
-        BooleanType,
-        LongType,
-        StructField,
-        StructType,
+        semdedup_prune,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
     c_ids, c_mat = _ivf_centroids(spark, sf_dir)
-    assigned = nearest_lists(vecs, c_ids, c_mat, 1, id_col="vec_id", emb_col="emb")
-
-    schema = StructType(
-        [
-            StructField("vec_id", LongType()),
-            StructField("cluster_id", LongType()),
-            StructField("kept", BooleanType()),
-        ]
-    )
-
-    def prune(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
-        mat = np.stack(pdf["emb"].iloc[order].map(lambda a: np.asarray(a, dtype=np.float64)))
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        norms[norms == 0.0] = np.nan
-        unit = mat / norms[:, None]
-        scores = np.round(unit @ unit.T, 6)
-        # ids ascending: upper triangle [i, j] (i < j) drops j
-        dropped = np.triu(scores >= _SEMDEDUP_THR, k=1).any(axis=0)
-        return pd.DataFrame(
-            {"vec_id": ids, "cluster_id": key[0], "kept": ~dropped}
-        )
-
-    return assigned.groupBy("list_id").applyInPandas(prune, schema)
+    return semdedup_prune(vecs, c_ids, c_mat, _SEMDEDUP_THR)
 
 
 _LSH_BITS = 4

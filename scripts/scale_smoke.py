@@ -227,6 +227,61 @@ def main() -> int:
         f"({ratio:.1f}x time for {vmult}x docs incl. dup-group blowup; rows={n})"
     )
 
+    # --- round-2 kernels ---
+    # SemDeDup: cluster-local pairwise — replication densifies every
+    # cluster by vmult, so in-cluster work grows ~vmult^2 (same honest
+    # bound as the exact cosine family), but it must distribute
+    # (FlatMapGroupsInPandas, no collect) and stay under the bound.
+    import numpy as np
+
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        load_vectors_numpy,
+        semdedup_prune,
+    )
+
+    c_ids_all, c_mat_all = load_vectors_numpy(spark, SF_DIR)
+    sel = c_ids_all % 97 == 0
+    c_ids_s, c_mat_s = c_ids_all[sel], c_mat_all[sel]
+
+    def semdedup(e):
+        vecs = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb"))
+        return semdedup_prune(vecs, c_ids_s, c_mat_s, 0.97)
+
+    semdedup(emb).count()  # warm
+    t0 = time.perf_counter(); semdedup(emb).count(); t_small = time.perf_counter() - t0
+    t0 = time.perf_counter(); n = semdedup(big_emb).count(); t_big = time.perf_counter() - t0
+    ratio = t_big / max(t_small, 1e-9)
+    verdict = "OK" if ratio < quad * 1.5 else "SUPRAQUADRATIC"
+    if verdict != "OK":
+        failures.append("semdedup_prune")
+    print(
+        f"{verdict:12s} semdedup_prune: {t_small:.2f}s -> {t_big:.2f}s "
+        f"({ratio:.1f}x time for {vmult}x vectors; in-cluster quadratic bound {quad}x; rows={n})"
+    )
+
+    # Bloom pre-join: build + probe are both single-pass — must be ~linear.
+    from notion_vector_store_etl_pipeline_spark.operators.bloom import (
+        bloom_prejoin_semi,
+    )
+
+    def bloom(o_df, li_df):
+        keys = o_df.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        return bloom_prejoin_semi(
+            li_df.select("l_orderkey", "l_extendedprice"), keys, "l_orderkey", "o_orderkey"
+        )
+
+    bloom(orders, li).count()  # warm
+    t0 = time.perf_counter(); bloom(orders, li).count(); t_small = time.perf_counter() - t0
+    t0 = time.perf_counter(); n = bloom(big_orders, big_li).count(); t_big = time.perf_counter() - t0
+    ratio = t_big / max(t_small, 1e-9)
+    verdict = "OK" if ratio < mult * 2.5 else "SUPRALINEAR"
+    if verdict != "OK":
+        failures.append("bloom_prejoin_semi")
+    print(
+        f"{verdict:12s} bloom_prejoin_semi: {t_small:.2f}s -> {t_big:.2f}s "
+        f"({ratio:.1f}x time for {mult}x rows; rows={n})"
+    )
+
     spark.stop()
     print(f"{len(failures)} supralinear cases: {failures}")
     return 1 if failures else 0
