@@ -145,3 +145,52 @@ def upsert_state(state: DataFrame, processed: DataFrame) -> DataFrame:
     untouched old rows (the manifest upsert, `:719-730`)."""
     untouched = state.join(processed, "block_id", "left_anti")
     return untouched.unionByName(processed.select(*STATE_COLUMNS))
+
+
+def refresh_rollup(
+    rollup: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sums: list[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental view maintenance for a sum/count rollup (the
+    continuous-aggregate / hypertable-rollup pattern): fold a DELTA of
+    base rows into an existing materialized rollup without touching
+    the unchanged groups' base data.
+
+    ``rollup`` holds (keys..., sums..., count); ``delta`` holds raw
+    base rows with the same key/value columns. Retractions are just
+    delta rows with negative values and ``count_col`` = -1 per
+    retracted row (the standard Z-set trick), so updates = retract +
+    insert. Groups whose count drops to 0 disappear.
+
+    At 100 TB this is the difference between re-aggregating the world
+    and shuffling only the delta: the delta aggregates map-side to one
+    row per touched group, the outer join against the rollup is
+    key-partitioned, and untouched groups pass through untouched
+    (avg/min/max need auxiliary state; sums and counts compose).
+    """
+    from pyspark.sql import functions as F
+
+    d = delta.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sums],
+        F.sum(count_col).alias(count_col)
+        if count_col in delta.columns
+        else F.count(F.lit(1)).alias(count_col),
+    )
+    r = rollup
+    merged = r.alias("r").join(d.alias("d"), keys, "full_outer").select(
+        *[F.coalesce(F.col(f"r.{k}"), F.col(f"d.{k}")).alias(k) for k in keys],
+        *[
+            (
+                F.coalesce(F.col(f"r.{c}"), F.lit(0)) + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+            ).alias(c)
+            for c in sums
+        ],
+        (
+            F.coalesce(F.col(f"r.{count_col}"), F.lit(0))
+            + F.coalesce(F.col(f"d.{count_col}"), F.lit(0))
+        ).alias(count_col),
+    )
+    return merged.filter(F.col(count_col) > 0)
