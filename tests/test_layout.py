@@ -37,7 +37,7 @@ def test_bucketed_join_has_no_exchange(spark):
         expected = orders.join(lineitem, "o_orderkey").count()
         assert joined.count() == expected
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
@@ -59,7 +59,7 @@ def test_unbucketed_join_does_exchange(spark):
         )
         assert "Exchange" in plan
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
 def test_compaction_reduces_file_count(spark, tmp_path):
