@@ -442,3 +442,54 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.unpivot([], df.columns, "rule", "n_violations")
 
     return melt(li_rules).unionByName(melt(o_rules)).unionByName(melt(fk))
+
+
+@register(
+    "heavy_hitters_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok, count(*) AS n FROM toks WHERE tok <> '' GROUP BY tok
+    ), exact AS (
+      SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rn FROM counts
+    )
+    SELECT tok, n, TRUE AS in_sketch FROM exact WHERE rn <= 9
+    """,
+    doc="Heavy hitters via the approx_top_k sketch (Spark 4's "
+    "frequent-items aggregate — mergeable across partitions, the 100 TB "
+    "path for 'hot domains / hot tokens' monitoring where an exact "
+    "global group-by is wasteful). Checked like the HLL query: the "
+    "output rows are the EXACT top-9 tokens (deterministic), plus a "
+    "boolean asserting each one appears in the sketch's result with "
+    "the same count — the sketch tracks far more slots (65536) than "
+    "the fixture vocabulary, so agreement is required, and a sketch "
+    "regression fails the driver check instead of hiding behind "
+    "rows-only. k=9 keeps the exact boundary tie-free at all fixture "
+    "scales (rank 10/11 tie at sf0.01).",
+)
+def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    rn = F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("tok").asc()))
+    exact9 = counts.withColumn("rn", rn).filter(F.col("rn") <= 9).select("tok", "n")
+
+    sketch = toks.agg(
+        F.explode(F.expr("approx_top_k(tok, 9, 65536)")).alias("item")
+    ).select(
+        F.col("item.item").alias("s_tok"), F.col("item.count").alias("s_n")
+    )
+    return exact9.join(
+        F.broadcast(sketch), exact9.tok == sketch.s_tok, "left"
+    ).select(
+        "tok",
+        "n",
+        (F.col("s_n").isNotNull() & (F.col("s_n") == F.col("n"))).alias("in_sketch"),
+    )

@@ -29,3 +29,31 @@ def stream_tumbling_counts(
             "sum_value",
         )
     )
+
+
+def stream_session_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-user SESSION windows on a stream: a session extends while
+    events arrive within ``gap`` of the previous one and closes when
+    the watermark passes the gap — the streaming twin of the batch
+    `window_session_gap` / `session_window_native` queries. Session
+    state is merged incrementally by the engine (sessions that touch
+    merge), and the watermark is what lets closed sessions leave the
+    state store.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
