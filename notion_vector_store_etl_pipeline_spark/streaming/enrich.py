@@ -87,3 +87,37 @@ def stream_status_counts(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+def stream_stream_interval_join_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click, with its follow-up
+    purchase when one lands inside the gap, else nulls — the
+    "unconverted clicks" stream. Outer results can only be emitted once
+    the watermark proves no match can still arrive, so null rows
+    trail the inner rows by the watermark delay: correctness costs
+    latency, not state (state is still evicted at the horizon).
+    """
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c.user_id = p.user_id AND
+            p.ts > c.ts AND
+            p.ts <= c.ts + INTERVAL {max_gap}
+            """
+        ),
+        "left_outer",
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.ts").alias("purchase_ts"),
+    )
