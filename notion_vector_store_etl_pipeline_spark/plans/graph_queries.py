@@ -135,33 +135,21 @@ _PR_ITERS = 3
     ), nn AS (SELECT count(*) AS n FROM nodes),
     deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
     pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
-    pr1 AS (
-      SELECT nodes.node,
-             0.15 / (SELECT n FROM nn)
-             + 0.85 * coalesce((SELECT sum(p.rank / d.outdeg)
-                                FROM edges e JOIN pr0 p ON p.node = e.src
-                                JOIN deg d ON d.src = e.src
-                                WHERE e.dst = nodes.node), 0) AS rank
-      FROM nodes
-    ),
-    pr2 AS (
-      SELECT nodes.node,
-             0.15 / (SELECT n FROM nn)
-             + 0.85 * coalesce((SELECT sum(p.rank / d.outdeg)
-                                FROM edges e JOIN pr1 p ON p.node = e.src
-                                JOIN deg d ON d.src = e.src
-                                WHERE e.dst = nodes.node), 0) AS rank
-      FROM nodes
-    ),
-    pr3 AS (
-      SELECT nodes.node,
-             0.15 / (SELECT n FROM nn)
-             + 0.85 * coalesce((SELECT sum(p.rank / d.outdeg)
-                                FROM edges e JOIN pr2 p ON p.node = e.src
-                                JOIN deg d ON d.src = e.src
-                                WHERE e.dst = nodes.node), 0) AS rank
-      FROM nodes
-    )
+    in1 AS (SELECT e.dst, sum(p.rank / d.outdeg) AS v
+            FROM edges e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.src = e.src
+            GROUP BY e.dst),
+    pr1 AS (SELECT n.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(i.v, 0) AS rank
+            FROM nodes n LEFT JOIN in1 i ON i.dst = n.node),
+    in2 AS (SELECT e.dst, sum(p.rank / d.outdeg) AS v
+            FROM edges e JOIN pr1 p ON p.node = e.src JOIN deg d ON d.src = e.src
+            GROUP BY e.dst),
+    pr2 AS (SELECT n.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(i.v, 0) AS rank
+            FROM nodes n LEFT JOIN in2 i ON i.dst = n.node),
+    in3 AS (SELECT e.dst, sum(p.rank / d.outdeg) AS v
+            FROM edges e JOIN pr2 p ON p.node = e.src JOIN deg d ON d.src = e.src
+            GROUP BY e.dst),
+    pr3 AS (SELECT n.node, 0.15 / (SELECT n FROM nn) + 0.85 * coalesce(i.v, 0) AS rank
+            FROM nodes n LEFT JOIN in3 i ON i.dst = n.node)
     SELECT node, round(rank, 9) AS rank FROM pr3
     """,
     doc="PageRank, 3 fixed power iterations (damping 0.85, no dangling "
