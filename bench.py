@@ -57,6 +57,8 @@ HEADLINE = [
     "winnowing_fingerprint",
     "bloom_prejoin_filter",
     "split_train_val_test",
+    "graph_pagerank",
+    "interval_merge_islands",
 ]
 
 

@@ -493,3 +493,42 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("s_n").isNotNull() & (F.col("s_n") == F.col("n"))).alias("in_sketch"),
     )
+
+
+@register(
+    "outlier_mad_filter",
+    oracle="""
+    WITH med AS (
+      SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars) AS m FROM documents
+    ), mad AS (
+      SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(n_chars - (SELECT m FROM med))) AS d
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           round((SELECT m FROM med), 6) AS median_chars,
+           round((SELECT d FROM mad), 6) AS mad_chars,
+           abs(n_chars - (SELECT m FROM med)) > 3 * (SELECT d FROM mad) AS is_outlier
+    FROM documents
+    """,
+    doc="Robust outlier filtering by median absolute deviation (the "
+    "length-outlier pass of corpus cleaning — MAD tolerates the heavy "
+    "tail that makes mean/stddev cutoffs useless on web text): two "
+    "scalar aggregates (median, then median absolute deviation) "
+    "broadcast back over the table; the 100 TB shape is two reduce "
+    "passes + one narrow map, no shuffle of the corpus. Exact "
+    "interpolated percentile in both engines.",
+)
+def outlier_mad_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.agg(F.expr("percentile(n_chars, 0.5)").alias("m"))
+    dev = docs.join(F.broadcast(med)).select(
+        "doc_id", "n_chars", "m", F.abs(F.col("n_chars") - F.col("m")).alias("ad")
+    )
+    mad = dev.agg(F.expr("percentile(ad, 0.5)").alias("d"))
+    return dev.join(F.broadcast(mad)).select(
+        "doc_id",
+        "n_chars",
+        F.round("m", 6).alias("median_chars"),
+        F.round("d", 6).alias("mad_chars"),
+        (F.col("ad") > 3 * F.col("d")).alias("is_outlier"),
+    )
