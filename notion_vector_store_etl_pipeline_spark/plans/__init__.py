@@ -40,19 +40,28 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 
 
 # Registration order matters operationally: the correctness driver
-# samples a prefix window of the registry, so modules whose queries have
-# NOT yet received a driver-side correctness row come first (round 1
-# sampled the first 50 entries = the relational/strings/chunk/
-# incremental/vector families, all green in CORRECTNESS_r01.json; the
-# LLM-pipeline operators below had no driver row and lead this round).
+# samples a prefix window of the registry (round 1: the first 50), so
+# the window is spent deliberately. Round-2 priority inside the first
+# ~50: (a) the five rows that were red-by-artifact in CORRECTNESS_r01
+# and were fixed — regexp_extract_all_numbers + map_explode_props
+# (moved to the top of strings_queries), embedding_quantize_int8 +
+# knn_ivf_approx (vector_queries), agg_approx_distinct (moved to the
+# top of relational) — their green rows are this round's done-criterion;
+# (b) every round-2 query (pipeline_queries, semdedup/LSH in
+# vector_queries, pagerank in graph_queries). Families with green r01
+# rows (tpch, events, chunk, incremental, relational tail) go last;
+# text/multimodal/training stay ahead of them in case the window grows.
 _MODULES = (
     "dedup_queries",
     "pipeline_queries",
+    "vector_queries",
+    "strings_queries",
+    "graph_queries",
     "curation_queries",
+    "relational",
     "retrieval_queries",
     "text_queries",
     "multimodal_queries",
-    "graph_queries",
     "training_queries",
     "analytic_queries",
     "timeseries_queries",
@@ -62,10 +71,7 @@ _MODULES = (
     "extended_queries",
     "grouped_queries",
     "event_queries",
-    "vector_queries",
-    "relational",
     "relational_more",
-    "strings_queries",
     "chunk_queries",
     "incremental_queries",
 )

@@ -21,6 +21,35 @@ from notion_vector_store_etl_pipeline_spark.sources import load_table
 # --- A: grouped aggregation (TPC-H Q1 shape; reference A1 counters analogue) ---
 
 @register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS exact_customers,
+           TRUE                      AS approx_within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="approx_count_distinct (HLL) — the 100 TB path for A2-style counters. "
+    "HLL sketches are engine-specific, so the checked output is the exact "
+    "count plus a tolerance boolean: |approx-exact|/exact <= 0.05 (the HLL "
+    "is built with rsd=0.01, so 5%% is a wide margin); the oracle computes "
+    "the exact count and the literal TRUE.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", 0.01) - F.countDistinct("o_custkey")
+            )
+            / F.countDistinct("o_custkey")
+            <= F.lit(0.05)
+        ).alias("approx_within_5pct"),
+    )
+
+
+@register(
     "agg_group_sum",
     oracle="""
     SELECT l_returnflag, l_linestatus,
@@ -291,35 +320,6 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-    )
-
-
-@register(
-    "agg_approx_distinct",
-    oracle="""
-    SELECT o_orderpriority,
-           count(DISTINCT o_custkey) AS exact_customers,
-           TRUE                      AS approx_within_5pct
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-    doc="approx_count_distinct (HLL) — the 100 TB path for A2-style counters. "
-    "HLL sketches are engine-specific, so the checked output is the exact "
-    "count plus a tolerance boolean: |approx-exact|/exact <= 0.05 (the HLL "
-    "is built with rsd=0.01, so 5%% is a wide margin); the oracle computes "
-    "the exact count and the literal TRUE.",
-)
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("exact_customers"),
-        (
-            F.abs(
-                F.approx_count_distinct("o_custkey", 0.01) - F.countDistinct("o_custkey")
-            )
-            / F.countDistinct("o_custkey")
-            <= F.lit(0.05)
-        ).alias("approx_within_5pct"),
     )
 
 

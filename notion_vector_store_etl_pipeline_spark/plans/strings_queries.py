@@ -18,6 +18,58 @@ from notion_vector_store_etl_pipeline_spark.sources import load_table
 
 
 @register(
+    "regexp_extract_all_numbers",
+    oracle="""
+    SELECT doc_id,
+           -- DuckDB array_to_string yields NULL for an empty list; Spark's
+           -- array_join yields '' — coalesce to match
+           coalesce(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '') AS nums_csv,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,
+           coalesce(try_cast(regexp_extract_all(text, '[0-9]+')[1] AS BIGINT), -1) AS first_num
+    FROM documents
+    """,
+    doc="regexp_extract_all into an ARRAY<STRING> column + element access "
+    "with a try_cast/-1 default — multi-match extraction stays one "
+    "JVM-side expression (vs the reference's re.search single match, `:81`). "
+    "The array is emitted as a canonical csv string (array_join) so the "
+    "driver's value hasher — which cannot hash python lists — can check it.",
+)
+def regexp_extract_all_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    nums = F.regexp_extract_all("text", F.lit("[0-9]+"))
+    return docs.select(
+        "doc_id",
+        F.array_join(nums, ",").alias("nums_csv"),
+        F.size(nums).alias("n_nums"),
+        F.coalesce(F.try_element_at(nums, F.lit(1)).cast("bigint"), F.lit(-1)).alias("first_num"),
+    )
+
+
+@register(
+    "map_explode_props",
+    oracle="""
+    SELECT k AS key, count(*) AS n,
+           -- DuckDB sum(BIGINT) widens to HUGEINT (int128); cast back so the
+           -- driver's value hash agrees with Spark's int64
+           CAST(sum(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_value
+    FROM events, unnest(json_keys(props)) AS t(k)
+    GROUP BY k
+    """,
+    doc="MapType end-to-end: parse the JSON payload into MAP<STRING,BIGINT> "
+    "with from_json, explode to (key, value) rows, aggregate per key — "
+    "schema-on-read for payloads whose keys are data, not schema.",
+)
+def map_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        events.select(F.explode(m).alias("key", "value"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+
+@register(
     "hash_sha2",
     oracle="""
     SELECT doc_id, sha256(text) AS text_sha FROM documents
@@ -259,55 +311,3 @@ def title_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
     )
     return docs.select("doc_id", title.alias("title"))
-
-
-@register(
-    "regexp_extract_all_numbers",
-    oracle="""
-    SELECT doc_id,
-           -- DuckDB array_to_string yields NULL for an empty list; Spark's
-           -- array_join yields '' — coalesce to match
-           coalesce(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '') AS nums_csv,
-           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_nums,
-           coalesce(try_cast(regexp_extract_all(text, '[0-9]+')[1] AS BIGINT), -1) AS first_num
-    FROM documents
-    """,
-    doc="regexp_extract_all into an ARRAY<STRING> column + element access "
-    "with a try_cast/-1 default — multi-match extraction stays one "
-    "JVM-side expression (vs the reference's re.search single match, `:81`). "
-    "The array is emitted as a canonical csv string (array_join) so the "
-    "driver's value hasher — which cannot hash python lists — can check it.",
-)
-def regexp_extract_all_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    nums = F.regexp_extract_all("text", F.lit("[0-9]+"))
-    return docs.select(
-        "doc_id",
-        F.array_join(nums, ",").alias("nums_csv"),
-        F.size(nums).alias("n_nums"),
-        F.coalesce(F.try_element_at(nums, F.lit(1)).cast("bigint"), F.lit(-1)).alias("first_num"),
-    )
-
-
-@register(
-    "map_explode_props",
-    oracle="""
-    SELECT k AS key, count(*) AS n,
-           -- DuckDB sum(BIGINT) widens to HUGEINT (int128); cast back so the
-           -- driver's value hash agrees with Spark's int64
-           CAST(sum(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_value
-    FROM events, unnest(json_keys(props)) AS t(k)
-    GROUP BY k
-    """,
-    doc="MapType end-to-end: parse the JSON payload into MAP<STRING,BIGINT> "
-    "with from_json, explode to (key, value) rows, aggregate per key — "
-    "schema-on-read for payloads whose keys are data, not schema.",
-)
-def map_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,bigint>")
-    return (
-        events.select(F.explode(m).alias("key", "value"))
-        .groupBy("key")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
-    )
