@@ -51,6 +51,12 @@ class VectorStoreWriter(DataSourceWriter):
             raise ValueError("vectorstore sink requires .option('path', ...)")
         self.fields = [f.name for f in schema.fields]
         self.overwrite = overwrite
+        # optional idempotence token: a write tagged with a txn id that
+        # the manifest has already committed becomes a no-op — this is
+        # what makes foreachBatch(epoch_id) deliveries exactly-once
+        # across Structured Streaming batch REPLAYS (same mechanism as
+        # Delta's txn appId/version dedup)
+        self.txn_id = options.get("txn_id")
 
     # -- executor side ----------------------------------------------------
     def write(self, iterator) -> VSCommit:
@@ -73,13 +79,20 @@ class VectorStoreWriter(DataSourceWriter):
     def _load_manifest(self) -> dict:
         try:
             with open(self._manifest_path(), encoding="utf-8") as fh:
-                return json.load(fh)
+                m = json.load(fh)
+                m.setdefault("txns", [])
+                return m
         except (FileNotFoundError, json.JSONDecodeError):
-            return {"files": {}}
+            return {"files": {}, "txns": []}
 
     def commit(self, messages) -> None:
         staging = os.path.join(self.path, "_staging")
         manifest = self._load_manifest()
+        if self.txn_id is not None and self.txn_id in manifest["txns"]:
+            # replayed epoch: the data is already durably published —
+            # drop the staged duplicates and leave the store untouched
+            self.abort(messages)
+            return
         retired = list(manifest["files"]) if self.overwrite else []
         if self.overwrite:
             manifest["files"] = {}
@@ -88,6 +101,8 @@ class VectorStoreWriter(DataSourceWriter):
                 continue
             os.replace(os.path.join(staging, m.filename), os.path.join(self.path, m.filename))
             manifest["files"][m.filename] = {"rows": m.rows}
+        if self.txn_id is not None:
+            manifest["txns"].append(self.txn_id)
         # atomic publish: readers switch to the new file set in one rename
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w", encoding="utf-8") as fh:

@@ -72,15 +72,14 @@ def streaming_etl(
     )
     records = chunk_stage(docs, max_len)
 
-    def upload(batch: DataFrame, _batch_id: int) -> None:
-        # idempotence across batch RETRIES comes from the offset log:
-        # a replayed batch re-runs this whole function, so the sink
-        # append must be the last effect; a crash before the epoch
-        # commit re-appends the same rows, which the reference also
-        # accepts (re-upload on resume) — dedup-on-read by id if needed
-        batch.write.format("vectorstore").option("path", store_path).mode(
-            "append"
-        ).save()
+    def upload(batch: DataFrame, batch_id: int) -> None:
+        # exactly-once across batch REPLAYS: the sink's manifest records
+        # each committed txn id; a crash after the sink commit but
+        # before the streaming epoch commit replays this batch, and the
+        # sink recognizes the txn and publishes nothing the second time
+        batch.write.format("vectorstore").option("path", store_path).option(
+            "txn_id", f"etl-batch-{batch_id}"
+        ).mode("append").save()
 
     return (
         records.writeStream.foreachBatch(upload)

@@ -88,3 +88,29 @@ def test_failed_job_publishes_nothing(spark, tmp_path):
     after = json.load(open(os.path.join(store, MANIFEST)))
     assert after == before
     assert read_store(spark, store).count() == docs.count()
+
+
+def test_txn_id_makes_replay_a_noop(spark, tmp_path):
+    """A write tagged with an already-committed txn id publishes
+    nothing — the exactly-once guarantee for replayed foreachBatch
+    epochs."""
+    register_vectorstore_sink(spark)
+    store = str(tmp_path / "store")
+    docs = _docs(spark)
+
+    for _ in range(2):  # second write = replay of the same epoch
+        docs.write.format("vectorstore").option("path", store).option(
+            "txn_id", "epoch-7"
+        ).mode("append").save()
+
+    manifest = json.load(open(os.path.join(store, MANIFEST)))
+    assert manifest["txns"] == ["epoch-7"]
+    assert read_store(spark, store).count() == docs.count()  # not doubled
+    # no staged garbage left behind by the replay
+    assert os.listdir(os.path.join(store, "_staging")) == []
+
+    # a NEW txn id still appends
+    docs.write.format("vectorstore").option("path", store).option(
+        "txn_id", "epoch-8"
+    ).mode("append").save()
+    assert read_store(spark, store).count() == 2 * docs.count()
