@@ -74,3 +74,40 @@ def test_streaming_etl_chunks_match_batch_chunker(spark, tmp_path):
     assert [(i, int(d), int(c), t) for i, d, c, t in stream_rows] == [
         (i, int(d), int(c), t) for i, d, c, t in batch_rows
     ]
+
+
+def test_streaming_etl_kill_and_resume_exactly_once(spark, tmp_path):
+    """Stop the query mid-stream (after at least one committed batch),
+    restart from the same checkpoint, and the store converges to
+    exactly the batch chunk set — no loss, no duplicates."""
+    import time
+
+    from notion_vector_store_etl_pipeline_spark.streaming.pipeline import streaming_etl
+
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = streaming_etl(
+        spark, SOURCE, store, ckpt, page_size=50, pages_per_batch=1, max_len=200
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["batchId"] >= 2:  # a few batches committed, more remain
+            break
+        time.sleep(0.2)
+    q.stop()  # kill mid-stream
+
+    q2 = streaming_etl(
+        spark, SOURCE, store, ckpt, page_size=50, pages_per_batch=1, max_len=200
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    docs = spark.read.parquet(SOURCE)
+    expected_chunks = sum(
+        len(greedy_chunk_text(r.text, 200)) for r in docs.select("text").collect()
+    )
+    got = read_store(spark, store)
+    assert got.count() == expected_chunks
+    assert got.select("id").distinct().count() == expected_chunks
