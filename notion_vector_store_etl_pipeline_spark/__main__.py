@@ -101,6 +101,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # optional crawl seed (reference `:802-803`: flag defaults from env)
     p.add_argument("--root-page-id", default=env("NVE_ROOT_PAGE_ID"))
     p.add_argument("--root-page-url", default=env("NVE_ROOT_PAGE_URL"))
+    # continuous mode: run the whole ETL as one Structured Streaming
+    # query (paginated source -> chunker -> vector-store sink) instead
+    # of a batch pass; --output-dir becomes the store, --state-path the
+    # streaming checkpoint
+    p.add_argument("--streaming", nargs="?", const="true", default=env("NVE_STREAMING", "false"))
+    p.add_argument("--page-size", type=int, default=int_env("NVE_PAGE_SIZE", 100))
     return p
 
 
@@ -145,6 +151,33 @@ def build_snapshot(spark: SparkSession, data_dir: str) -> DataFrame:
     )
 
 
+def run_streaming(spark: SparkSession, args) -> int:
+    """Continuous ETL: one streaming query over the paginated source,
+    chunked and published to the vector-store sink exactly-once. The
+    checkpoint (under --state-path) owns resume; re-running after all
+    pages are consumed publishes nothing new."""
+    from notion_vector_store_etl_pipeline_spark.sources.vectorstore import read_store
+    from notion_vector_store_etl_pipeline_spark.streaming.pipeline import streaming_etl
+
+    if not args.output_dir:
+        print("error: --output-dir required with --streaming", file=sys.stderr)
+        return 2
+    source = os.path.join(args.data_dir, "documents.parquet")
+    q = streaming_etl(
+        spark,
+        source,
+        args.output_dir,
+        os.path.join(args.state_path, "stream-ckpt"),
+        page_size=args.page_size,
+        max_len=args.chunk_char_len,
+    )
+    q.processAllAvailable()
+    q.stop()
+    n = read_store(spark, args.output_dir).count()
+    print(f"streaming: store={args.output_dir} total_chunks={n}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     from notion_vector_store_etl_pipeline_spark import get_spark
     from notion_vector_store_etl_pipeline_spark.operators.incremental import commit_state
@@ -166,6 +199,9 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="nve-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if parse_bool(args.streaming):
+        return run_streaming(spark, args)
 
     snapshot = build_snapshot(spark, args.data_dir)
     if args.lang_filter:

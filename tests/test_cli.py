@@ -124,3 +124,29 @@ def test_root_id_env_defaults_flow_through_cli(monkeypatch, capsys):
     rc = main(["--state-path", "/tmp/x", "--dry-run"])
     assert rc == 2
     assert "32 hex chars" in capsys.readouterr().err
+
+
+def test_cli_streaming_mode_resumable(spark, tmp_path, capsys):
+    """--streaming runs the continuous pipeline to exhaustion; a second
+    invocation on the same checkpoint publishes nothing new."""
+    from notion_vector_store_etl_pipeline_spark.__main__ import main
+
+    state = str(tmp_path / "st")
+    out = str(tmp_path / "store")
+    args = [
+        "--data-dir", "/root/testdata/sf0.001",
+        "--state-path", state,
+        "--output-dir", out,
+        "--streaming",
+        "--chunk-char-len", "200",
+    ]
+    assert main(args) == 0
+    first = capsys.readouterr().out
+    assert "total_chunks=" in first
+    n1 = int(first.rsplit("total_chunks=", 1)[1].strip())
+    assert n1 > 0
+
+    assert main(args) == 0
+    second = capsys.readouterr().out
+    n2 = int(second.rsplit("total_chunks=", 1)[1].strip())
+    assert n2 == n1  # resume published nothing new
