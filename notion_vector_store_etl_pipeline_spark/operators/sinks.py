@@ -46,3 +46,37 @@ def chunk_records(chunks: DataFrame, ingested_at: str) -> DataFrame:
             F.lit(ingested_at).alias("ingested_at"),
         ).alias("metadata"),
     )
+
+
+def delete_stale_vectors(
+    stale: DataFrame,
+    delete_fn,
+    id_col: str = "stale_vector_id",
+    max_retries: int = 2,
+) -> None:
+    """Push the stale-vector delete set to the remote store — the
+    reference's ``delete_vs_files`` loop (`:609-614`), but parallel per
+    partition: each executor task opens one client (``delete_fn`` is a
+    factory-or-callable closed over credentials/config) and deletes its
+    partition's ids, retrying each id up to ``max_retries`` times and
+    swallowing per-id failures exactly like the reference's
+    try/except-per-file — a vanished id must not fail the run.
+
+    Scale shape: the delete set is usually tiny relative to the corpus
+    (ids attached to CHANGED documents only), so partition count is the
+    natural concurrency knob (`.repartition(n)` upstream = n parallel
+    delete workers = the rate limit).
+    """
+
+    def run_partition(rows) -> None:
+        for row in rows:
+            vid = row[id_col]
+            for attempt in range(max_retries + 1):
+                try:
+                    delete_fn(vid)
+                    break
+                except Exception:
+                    if attempt == max_retries:
+                        break  # per-id failure is logged-and-skipped, never fatal
+
+    stale.select(id_col).foreachPartition(run_partition)

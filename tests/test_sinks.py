@@ -72,3 +72,46 @@ def test_multi_format_sink_roundtrip(spark, tmp_path):
         .csv(csv_path)
     )
     assert {tuple(r) for r in csv_back.collect()} == {tuple(r) for r in flat.collect()}
+
+
+def test_delete_stale_vectors_calls_client_per_id(spark, tmp_path):
+    """foreachPartition delete: every stale id is deleted exactly once,
+    retryable failures retry, and permanently-failing ids don't fail
+    the run (the reference's try/except-per-file, `:609-614`)."""
+    import json
+    import os
+
+    from notion_vector_store_etl_pipeline_spark.operators.sinks import (
+        delete_stale_vectors,
+    )
+
+    stale = spark.createDataFrame(
+        [(i, f"vec-{i}") for i in range(20)], "block_id long, stale_vector_id string"
+    ).repartition(4)
+
+    log_dir = str(tmp_path / "calls")
+    os.makedirs(log_dir, exist_ok=True)
+
+    def delete_fn(vid: str) -> None:
+        # executor-side: append-log every attempt; fail vec-3 once
+        # (transient), fail vec-7 always (permanent)
+        import uuid
+
+        with open(os.path.join(log_dir, f"{vid}--{uuid.uuid4().hex}"), "w") as fh:
+            fh.write(vid)
+        n_prior = sum(1 for f in os.listdir(log_dir) if f.startswith(f"{vid}--"))
+        if vid == "vec-3" and n_prior == 1:
+            raise RuntimeError("transient")
+        if vid == "vec-7":
+            raise RuntimeError("permanent")
+
+    delete_stale_vectors(stale, delete_fn, max_retries=2)
+
+    attempts = {}
+    for f in os.listdir(log_dir):
+        vid = f.split("--", 1)[0]
+        attempts[vid] = attempts.get(vid, 0) + 1
+    assert len({f"vec-{i}" for i in range(20)} - set(attempts)) == 0  # all attempted
+    assert attempts["vec-3"] == 2  # one retry after the transient failure
+    assert attempts["vec-7"] == 3  # exhausted retries, run still succeeded
+    assert all(n == 1 for vid, n in attempts.items() if vid not in ("vec-3", "vec-7"))
