@@ -104,3 +104,76 @@ def fetch_urls(
             yield pd.DataFrame(out)
 
     return df.select(id_col, url_col).mapInPandas(batches, FETCHED_SCHEMA)
+
+
+class TokenBucket:
+    """Per-task rate limiter for remote-API operators: ``rate`` tokens
+    per second with burst up to ``burst``. One instance per partition =
+    the reference's sequential-pages throttle (`:652-653`), but scoped
+    so total cluster QPS = rate x partitions — the partition count is
+    the cluster-wide rate knob, set it to budget/rate.
+
+    Clock and sleep are injectable so tests measure the schedule
+    instead of actually sleeping.
+    """
+
+    def __init__(
+        self,
+        rate: float,
+        burst: int = 1,
+        clock: Callable[[], float] = time.monotonic,
+        sleep: Callable[[float], None] = time.sleep,
+    ) -> None:
+        self.rate = float(rate)
+        self.burst = int(burst)
+        self._clock = clock
+        self._sleep = sleep
+        self._tokens = float(burst)
+        self._last = clock()
+
+    def acquire(self) -> None:
+        now = self._clock()
+        self._tokens = min(self.burst, self._tokens + (now - self._last) * self.rate)
+        self._last = now
+        if self._tokens < 1.0:
+            wait = (1.0 - self._tokens) / self.rate
+            self._sleep(wait)
+            self._last = self._clock()
+            self._tokens = 1.0
+        self._tokens -= 1.0
+
+
+def fetch_urls_throttled(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "block_id",
+    transport: Transport = _default_transport,
+    rate_per_task: float = 10.0,
+    burst: int = 1,
+    delays: tuple = BACKOFF_DELAYS,
+    sleep: Callable[[float], None] = time.sleep,
+    clock: Callable[[], float] = time.monotonic,
+) -> DataFrame:
+    """``fetch_urls`` with a per-task token bucket in front of every
+    request — retries consume tokens too (a 429 storm must not bypass
+    the throttle that prevents it)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bucket = TokenBucket(rate_per_task, burst, clock=clock, sleep=sleep)
+
+        def throttled(url: str) -> Tuple[int, bytes]:
+            bucket.acquire()
+            return transport(url)
+
+        for pdf in it:
+            out = {"block_id": [], "url": [], "status": [], "attempts": [], "payload": []}
+            for bid, url in zip(pdf[id_col], pdf[url_col]):
+                status, attempts, payload = fetch_with_retry(url, throttled, delays, sleep)
+                out["block_id"].append(bid)
+                out["url"].append(url)
+                out["status"].append(status)
+                out["attempts"].append(attempts)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, url_col).mapInPandas(batches, FETCHED_SCHEMA)

@@ -128,3 +128,68 @@ def test_flaky_transport_retry_schedule_inside_executor(spark):
     assert json.loads(out[1].payload)["delays"] == []
     assert json.loads(out[2].payload)["delays"] == [1, 2]
     assert json.loads(out[3].payload)["delays"] == [1, 2, 4]
+
+
+def test_token_bucket_schedule():
+    """Deterministic clock: at rate=2/s with burst=1, the bucket spaces
+    acquisitions 0.5s apart and never sleeps when tokens accrued."""
+    from notion_vector_store_etl_pipeline_spark.operators.fetch import TokenBucket
+
+    t = [0.0]
+    slept = []
+
+    def clock():
+        return t[0]
+
+    def sleep(s):
+        slept.append(round(s, 6))
+        t[0] += s
+
+    b = TokenBucket(rate=2.0, burst=1, clock=clock, sleep=sleep)
+    for _ in range(4):
+        b.acquire()
+    assert slept == [0.5, 0.5, 0.5]  # first is free (burst), rest paced
+
+    # idle time refills up to burst, no sleep on the next acquire
+    t[0] += 10.0
+    b.acquire()
+    assert slept == [0.5, 0.5, 0.5]
+
+
+def test_throttled_fetch_paces_requests_per_task(spark):
+    """In-executor: every request (including retries) passes the bucket;
+    with rate=5/s a partition of 10 urls sleeps ~9/5s total."""
+    import json
+    import os
+    import tempfile
+
+    from notion_vector_store_etl_pipeline_spark.operators.fetch import (
+        fetch_urls_throttled,
+    )
+
+    log_dir = tempfile.mkdtemp()
+
+    def transport(url):
+        return 200, url.encode()
+
+    def fake_sleep(s):
+        with open(os.path.join(log_dir, f"s-{os.getpid()}-{len(os.listdir(log_dir))}"), "w") as fh:
+            fh.write(json.dumps(s))
+
+    urls = spark.createDataFrame(
+        [(i, f"https://api.example.com/p/{i}") for i in range(10)],
+        "block_id long, url string",
+    ).coalesce(1)  # ONE task -> one bucket paces all 10
+    out = fetch_urls_throttled(
+        urls, rate_per_task=5.0, burst=1, transport=transport, sleep=fake_sleep
+    )
+    rows = out.collect()
+    assert len(rows) == 10 and all(r.status == 200 for r in rows)
+
+    sleeps = []
+    for f in os.listdir(log_dir):
+        sleeps.append(json.load(open(os.path.join(log_dir, f))))
+    # 9 paced waits of ~1/5s (the first is burst); real clock may accrue
+    # partial tokens between calls so waits can only be <= 0.2
+    assert len(sleeps) == 9, sleeps
+    assert all(0 < s <= 0.2 + 1e-6 for s in sleeps), sleeps
