@@ -105,7 +105,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), wc AS (
       SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
     ), wstats AS (
-      SELECT doc_id, sum(c) AS n_tok,
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
              round(max(c) * 1.0 / sum(c), 6) AS top_word_frac,
              round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_word_frac
       FROM wc GROUP BY doc_id
@@ -194,9 +194,9 @@ _PACK_BUDGET = 512  # tokens per training sequence
       FROM documents
     ), packed AS (
       SELECT doc_id, source, n_tok,
-             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) - n_tok AS off
+             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - n_tok AS BIGINT) AS off
       FROM tok
     )
     SELECT doc_id, source, n_tok, off,

@@ -134,7 +134,7 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
            count(*) AS n_events,
            CAST(sum(CASE WHEN props->>'$.tag' IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_tag,
-           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY 1
     """,
