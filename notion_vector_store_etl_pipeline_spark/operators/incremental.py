@@ -46,9 +46,20 @@ class IncrementPlan:
 
 def plan_increment(snapshot: DataFrame, state: DataFrame) -> IncrementPlan:
     """snapshot: (block_id, let, content_hash, ...); state: STATE_COLUMNS."""
-    joined = snapshot.join(state, "block_id", "left_outer")
+    # State presence is detected via a constant marker, NOT
+    # ``prior_hash.isNotNull()``: the hash column is typically an
+    # expensive derivation (sha2 over full document text), and probing
+    # it for NULL would force its computation even for outputs that
+    # never read it (``to_process``/``to_skip``). With the marker,
+    # Catalyst prunes hash + text out of both scans for the cache-hit
+    # path — the reference's skip test (`:691-694`) likewise never
+    # touches the content hash. Matches the oracle's
+    # ``t.block_id IS NOT NULL`` presence semantics exactly.
+    joined = snapshot.join(
+        state.withColumn("_state_present", F.lit(True)), "block_id", "left_outer"
+    )
 
-    has_state = F.col("prior_hash").isNotNull()
+    has_state = F.col("_state_present").eqNullSafe(F.lit(True))
     let_unchanged = F.col("prior_let").eqNullSafe(F.col("let"))
     has_ids = _n_ids(F.col("vector_file_ids")) > 0
 

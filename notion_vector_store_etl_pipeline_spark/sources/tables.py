@@ -35,15 +35,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events.ts` is nanosecond parquet, which Spark's vectorized reader
-    rejects. Read nanos as long (legacy conf), keep the exact value as
-    ``ts_ns`` and expose ``ts`` as a microsecond-truncated timestamp —
-    the same truncation DuckDB's ``epoch_us`` applies, so oracle
-    comparisons stay exact."""
+    """Permissive reader for `events.ts` across fixture layouts (the
+    reference tolerates shape drift the same way — ``.get(…, default)``
+    everywhere, Notion_openai_vector_etl.py:684-706). Two observed forms:
+
+    - ``timestamp[us]`` parquet (current): Spark loads TIMESTAMP_NTZ.
+      Session tz is UTC so the NTZ→TZ cast is exact; ``ts_ns`` is then
+      ``unix_micros(ts) * 1000`` — bit-identical to DuckDB
+      ``epoch_us(ts)*1000``.
+    - ``timestamp[ns]`` parquet (legacy): Spark's vectorized reader
+      rejects it; read nanos as long, keep the exact value as ``ts_ns``
+      and truncate to micros for ``ts`` (same truncation DuckDB's
+      ``epoch_us`` applies).
+
+    Both branches expose the same (ts TIMESTAMP, ts_ns BIGINT) surface so
+    all 25 downstream event queries are layout-agnostic.
+    """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        ts = F.col("ts").cast("timestamp")
+        return raw.withColumn("ts_ns", F.unix_micros(ts) * 1000).withColumn(
+            "ts", ts
+        )
     return raw.withColumn("ts_ns", F.col("ts").cast("long")).withColumn(
         "ts", F.timestamp_micros(F.expr("CAST(ts AS BIGINT) div 1000"))
     )

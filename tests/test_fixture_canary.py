@@ -1,0 +1,56 @@
+"""Fixture-format canary.
+
+The driver regenerates /root/testdata between rounds and has changed
+parquet physical types before (round 4: events.ts went timestamp[ns] →
+timestamp[us], which silently broke 25 queries and the whole bench).
+This test loads every table at every scale factor through the engine's
+own reader and materializes one row, so any future format drift fails
+the FIRST pytest run with a table-and-sf-specific message instead of
+zeroing a round.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from notion_vector_store_etl_pipeline_spark.sources.tables import TABLES, load_table
+
+SF_DIRS = [
+    d
+    for d in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    )
+    if os.path.isdir(d)
+]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])
+def test_all_tables_load_and_materialize(spark, sf_dir):
+    for name in TABLES:
+        try:
+            df = load_table(spark, sf_dir, name)
+            rows = df.limit(1).collect()
+        except Exception as exc:  # pragma: no cover - the message IS the test
+            pytest.fail(
+                f"fixture canary: {name} at {sf_dir} failed to load/materialize "
+                f"(driver may have changed the parquet layout): {exc}"
+            )
+        assert rows, f"fixture canary: {name} at {sf_dir} is empty"
+
+
+def test_events_contract(spark):
+    """The engine-level events contract all 25 event queries rely on:
+    ts is TIMESTAMP (UTC session), ts_ns is BIGINT nanoseconds, and they
+    agree with each other to microsecond precision."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = load_table(spark, SF_DIRS[0], "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType), df.schema["ts"]
+    assert isinstance(df.schema["ts_ns"].dataType, T.LongType), df.schema["ts_ns"]
+    bad = df.filter(F.unix_micros("ts") * 1000 != F.col("ts_ns")).count()
+    assert bad == 0, f"{bad} rows where ts and ts_ns disagree"
