@@ -147,24 +147,43 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
            CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
-    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    FROM part a JOIN part b
+      ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+     AND CAST(floor(length(a.p_name) / 8) AS BIGINT)
+         = CAST(floor(length(b.p_name) / 8) AS BIGINT)
+     AND a.p_partkey < b.p_partkey
     WHERE a.p_partkey % 7 = 0 AND b.p_partkey % 7 = 0
       AND levenshtein(a.p_name, b.p_name) <= 3
       AND a.p_name <> b.p_name
     """,
     doc="Edit-distance fuzzy matching (levenshtein <= 3) over short "
     "titles — the near-dup signal for strings too short for shingling "
-    "(names, titles, SKUs). All-pairs on a sampled side; at scale the "
-    "candidate pairs would come from a blocking key (first char + "
-    "length bucket) instead of the cross product.",
+    "(names, titles, SKUs). Candidate pairs come from a BLOCKING KEY "
+    "(first char + length div 8), equi-joined — the plan is a hash "
+    "join on the key, never a cross product, so it scales as "
+    "sum(block^2) instead of n^2. The key is part of the query's "
+    "semantics (mirrored in the oracle): pairs whose edit touches the "
+    "first character or crosses a length-bucket boundary are out of "
+    "scope by definition — the standard recall/cost trade of blocked "
+    "record linkage; production raises recall with multiple key "
+    "passes, not a bigger block.",
 )
 def levenshtein_neardup_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
-    a = part.select(F.col("p_partkey").alias("a_id"), F.col("p_name").alias("a_name"))
-    b = part.select(F.col("p_partkey").alias("b_id"), F.col("p_name").alias("b_name"))
+
+    def keyed(side: str) -> DataFrame:
+        return part.select(
+            F.col("p_partkey").alias(f"{side}_id"),
+            F.col("p_name").alias(f"{side}_name"),
+            F.substring("p_name", 1, 1).alias("blk_c"),
+            F.floor(F.length("p_name") / 8).alias("blk_l"),
+        )
+
     dist = F.levenshtein("a_name", "b_name")
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
+        keyed("a")
+        .join(keyed("b"), ["blk_c", "blk_l"])
+        .filter(F.col("a_id") < F.col("b_id"))
         .filter((dist <= 3) & (F.col("a_name") != F.col("b_name")))
         .select("a_id", "b_id", dist.cast("int").alias("dist"))
     )

@@ -44,6 +44,13 @@ CASES = [
     ("tpch_q21_waiting_supplier", ["LeftSemi", "LeftAnti"], ["CartesianProduct"]),
     ("tpch_q16_supplier_count", ["LeftAnti"], []),
     ("knn_topk", ["MapInPandas"], ["CartesianProduct"]),
+    # blocked fuzzy match: hash join on the blocking key, never a cross
+    # product (VERDICT r4 item 6)
+    (
+        "levenshtein_neardup_titles",
+        ["HashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 ]
 
 
