@@ -265,6 +265,47 @@ def minhash_neardup(
     )
 
 
+def sha60(col: Column) -> Column:
+    """Stable 60-bit hash from the leading 15 hex chars of sha256 —
+    bit-identical in Spark (``conv(substr(sha2(x,256),1,15),16,10)``)
+    and DuckDB (``CAST('0x'||substr(sha256(x),1,15) AS BIGINT)``), which
+    makes hash-derived fingerprints fully oracle-checkable. 60 bits so
+    the value fits a signed BIGINT in both engines. ~10x slower than
+    xxhash64 — use for checkable paths, xxhash64 for the hot path."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
+
+
+def simhash60_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(sid, simhash) — 60-bit SimHash over word shingles with the
+    cross-engine ``sha60`` shingle hash, so an SQL oracle can replay the
+    exact fingerprints. Unlike :func:`simhash64`'s per-bit array HOFs,
+    the per-bit votes here are 60 conditional SUM aggregates over the
+    exploded shingle table: whole-stage-codegen'd, map-side partial,
+    ONE shuffle by doc id. Docs with no shingles (< k words) produce no
+    row — mirrors the SQL GROUP BY over the shingle relation."""
+    sh = df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    hh = sh.select("sid", sha60(F.col("shingle")).alias("h")).dropDuplicates(["sid", "h"])
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(60)
+    ]
+    agg = hh.groupBy("sid").agg(*votes)
+    sim = None
+    for b in range(60):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select("sid", sim.alias("simhash"))
+
+
 def simhash64(text: Column, k: int = 3) -> Column:
     """64-bit SimHash over word shingles: per bit, sign of the sum of
     ±1 contributions from each shingle's xxhash64 bit."""

@@ -255,16 +255,26 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_ivf_quantized",
-    oracle=None,  # approximate two-stage retrieval; recall tested in pytest
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
     doc="Two-stage ANN, the full 100 TB retrieval shape: IVF probe "
     "(nearest 4 inverted lists) -> int8-quantized cosine over the "
     "candidates (4x smaller vectors, integer dot products — the cheap "
     "first pass) -> exact double-precision rerank of the quantized "
     "top-30 -> top-10. Candidate generation, coarse scoring, and "
     "rerank are all candidate-local; the full-precision vectors are "
-    "only touched for 30 rows per query.",
+    "only touched for 30 rows per query. Checked output is the same "
+    "per-query recall@10 >= 0.3 gate as knn_ivf_approx (exact-score "
+    "rerank is separately pinned by tests/test_ann_recall.py).",
 )
 def knn_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    approx = _ivf_quantized_neighbors(spark, sf_dir).select("query_id", "cand_id")
+    return _recall_gate(spark, sf_dir, approx)
+
+
+def _ivf_quantized_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from notion_vector_store_etl_pipeline_spark.operators.similarity import (
         ivf_coarse_rerank,
         nearest_lists_numpy,

@@ -56,7 +56,11 @@ def test_ivf_quantized_recall_and_exact_rerank(spark):
         (r.query_id, r.cand_id): r.score
         for r in reg["knn_topk"].fn(spark, SF).collect()
     }
-    quant = list(reg["knn_ivf_quantized"].fn(spark, SF).collect())
+    from notion_vector_store_etl_pipeline_spark.plans.vector_queries import (
+        _ivf_quantized_neighbors,
+    )
+
+    quant = list(_ivf_quantized_neighbors(spark, SF).collect())
     assert quant, "quantized pipeline returned nothing"
 
     hits = sum(1 for r in quant if (r.query_id, r.cand_id) in exact)
@@ -69,6 +73,15 @@ def test_ivf_quantized_recall_and_exact_rerank(spark):
         key = (r.query_id, r.cand_id)
         if key in exact:
             assert abs(r.score - exact[key]) < 1e-9, f"rerank score drift at {key}"
+
+
+def test_ivf_quantized_registered_recall_gate(spark):
+    """The registered knn_ivf_quantized query is the same self-checking
+    recall gate shape as knn_ivf_approx (VERDICT r4 item 5)."""
+    reg = load_registry()
+    rows = reg["knn_ivf_quantized"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    assert all(r.recall_ok for r in rows), rows
 
 
 def test_lsh_registered_recall_gate(spark):
