@@ -40,17 +40,75 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 
 
 # Registration order matters operationally: the correctness driver
-# samples a prefix window of the registry (round 1: the first 50), so
-# the window is spent deliberately. Round-2 priority inside the first
-# ~50: (a) the five rows that were red-by-artifact in CORRECTNESS_r01
-# and were fixed — regexp_extract_all_numbers + map_explode_props
-# (moved to the top of strings_queries), embedding_quantize_int8 +
-# knn_ivf_approx (vector_queries), agg_approx_distinct (moved to the
-# top of relational) — their green rows are this round's done-criterion;
-# (b) every round-2 query (pipeline_queries, semdedup/LSH in
-# vector_queries, pagerank in graph_queries). Families with green r01
-# rows (tpch, events, chunk, incremental, relational tail) go last;
-# text/multimodal/training stay ahead of them in case the window grows.
+# samples a prefix window of the registry (the first ~50), so the
+# window is spent deliberately. The _PRIORITY list below pins the
+# round-5 window: (a) the queries whose fixes this round must prove
+# (the 2 loader-crash rows, the 4 newly-oracled approximate-index
+# rows, the 3 perf-rewritten rows), then (b) the families that have
+# NEVER had a driver row in rounds 1-4 (TPC-H 22, retrieval, analytic
+# windows, SCD2/PIT/timeseries, relational window/lateral wave).
+# Everything else keeps module order behind them — rotate again in r6
+# so the remaining never-sampled set (setops, grouped, extended tail,
+# events) gets its rows.
+_PRIORITY = (
+    # fixes to prove
+    "interval_merge_islands",
+    "map_explode_props",
+    "minhash_lsh_neardup",
+    "simhash_buckets",
+    "simhash_neardup",
+    "knn_ivf_quantized",
+    "incremental_changed",
+    "ngram_jaccard_prefixfilter",
+    "levenshtein_neardup_titles",
+    # never-sampled: TPC-H
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_values",
+    "tpch_q12_priority_case_agg",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_avg",
+    "tpch_q18_large_volume",
+    "tpch_q19_or_predicates",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    # never-sampled: retrieval wave
+    "kmeans_assign",
+    "kmeans_update",
+    "knn_filtered",
+    "hybrid_rrf_search",
+    # never-sampled: analytic windows
+    "agg_cube",
+    "window_range_frame",
+    "window_first_last",
+    "dedup_embedding_cosine",
+    # never-sampled: timeseries / SCD2 / PIT
+    "session_window_native",
+    "scd2_intervals",
+    "timeseries_gapfill",
+    "pit_interval_lookup",
+    # never-sampled: window/lateral wave
+    "window_ntile_cume",
+    "agg_grouping_sets",
+    "join_full_outer_coalesce",
+    "window_running_total",
+    "array_hof_ops",
+    "lateral_top_item",
+    "window_sliding_counts",
+)
+
 _MODULES = (
     "dedup_queries",
     "pipeline_queries",
@@ -78,7 +136,14 @@ _MODULES = (
 
 
 def load_registry() -> dict[str, Query]:
-    """Import all query modules (idempotent) and return the registry."""
+    """Import all query modules (idempotent) and return the registry,
+    reordered so _PRIORITY names lead (the driver's sample window is a
+    prefix of this dict's iteration order)."""
     for mod in _MODULES:
         importlib.import_module(f"notion_vector_store_etl_pipeline_spark.plans.{mod}")
-    return REGISTRY
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"_PRIORITY names not registered: {missing}")
+    head = {n: REGISTRY[n] for n in _PRIORITY}
+    tail = {n: q for n, q in REGISTRY.items() if n not in head}
+    return {**head, **tail}
