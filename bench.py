@@ -2,8 +2,13 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is fully materialized via count() on its final plan (no
-collect of wide rows; mirrors what the driver measures).
+Each query is fully materialized through the `noop` sink
+(`df.write.format("noop")`): every output column is computed and
+discarded executor-side. count() — used through round 4 — let Catalyst
+prune projections that nothing aggregated over, so select-shaped
+queries (winnowing, chunkers, text stats) were timed WITHOUT their
+expensive expressions; noop closes that hole while still avoiding
+driver-side collect of wide rows.
 """
 
 from __future__ import annotations
@@ -63,30 +68,42 @@ HEADLINE = [
 
 
 def main() -> None:
+    # test hooks (tests/test_bench_contract.py): run a subset / fewer
+    # trials so the fast contract smoke doesn't pay for the full sweep
+    names = HEADLINE
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        names = [n.strip() for n in subset.split(",") if n.strip()]
+    n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+
     registry = load_registry()
     spark = get_spark(app_name="nve-bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    def run(df):
+        df.write.mode("overwrite").format("noop").save()
+
     # warm the JVM, parquet footer caches, and the Python/Arrow workers
     # (pandas UDF executor processes fork lazily on first use)
-    registry["agg_group_sum"].fn(spark, SF_DIR).count()
-    registry["chunk_explode"].fn(spark, "/root/testdata/sf0.001").count()
-    registry["multimodal_decode_stub"].fn(spark, "/root/testdata/sf0.001").count()
+    run(registry["agg_group_sum"].fn(spark, SF_DIR))
+    run(registry["chunk_explode"].fn(spark, "/root/testdata/sf0.001"))
+    run(registry["multimodal_decode_stub"].fn(spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         q = registry[name]
         # min over trials: single-trial numbers on this host swing
         # 2-10x from external load (measured 4s vs 22s for identical
         # code at load avg ~6). Two trials normally; if they disagree
         # by >2x the host was noisy, so take one more.
         trials = []
-        for _ in range(2):
+        for _ in range(n_trials):
             t0 = time.perf_counter()
-            q.fn(spark, SF_DIR).count()
+            run(q.fn(spark, SF_DIR))
             trials.append(time.perf_counter() - t0)
         if max(trials) > 2 * min(trials):
             t0 = time.perf_counter()
-            q.fn(spark, SF_DIR).count()
+            run(q.fn(spark, SF_DIR))
             trials.append(time.perf_counter() - t0)
         timings[name] = round(min(trials), 3)
         # drop persisted intermediates so queries don't inherit the

@@ -210,14 +210,25 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    win_mins = lambda hh: F.transform(  # noqa: E731
+    # `h` MUST be materialized as its own projection before the window
+    # scan: codegen subexpression elimination does not reach inside
+    # higher-order-function lambdas, so inlining `h` into the slice
+    # lambda below re-evaluates every md5 once PER WINDOW POSITION —
+    # O(n_words^2) hashes per document (measured 56 s vs 0.5 s at
+    # sf0.001). As a bound attribute it is hashed once per row; the
+    # projects stay uncollapsed because the non-cheap column is
+    # referenced more than once.
+    hashed = docs.filter(F.size(ws) >= 3 + _WINNOW_W - 1).select(
+        "doc_id", h.alias("h")
+    )
+    hh = F.col("h")
+    win_mins = F.transform(
         F.sequence(F.lit(1), F.size(hh) - (_WINNOW_W - 1)),
         lambda i: F.array_min(F.slice(hh, i, _WINNOW_W)),
     )
-    sel = F.array_sort(F.array_distinct(win_mins(h)))
+    sel = F.array_sort(F.array_distinct(win_mins))
     return (
-        docs.filter(F.size(ws) >= 3 + _WINNOW_W - 1)
-        .select("doc_id", sel.alias("fps"))
+        hashed.select("doc_id", sel.alias("fps"))
         .select(
             "doc_id",
             F.size("fps").alias("n_selected"),

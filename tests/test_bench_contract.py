@@ -1,6 +1,8 @@
 """bench.py is a driver contract (one JSON line: metric/value/unit/
-queries/sf) — a breakage there silently costs a round of BENCH data,
-so smoke-run it at sf0.001 in a subprocess and validate the shape.
+queries/sf) — a breakage there silently costs a round of BENCH data.
+Default run: a fast subset smoke (one query per family incl. events,
+pandas-UDF, and cached-intermediate paths, 1 trial). --runslow: the
+full 39-query sweep, exactly what the driver executes.
 """
 
 from __future__ import annotations
@@ -10,11 +12,22 @@ import os
 import subprocess
 import sys
 
+import pytest
 
-def test_bench_emits_contract_json():
+# spans the failure modes that have actually bitten: events loader
+# (window_tumbling_counts), Python/Arrow workers (multimodal), eager
+# persist (ngram_jaccard_prefixfilter), graph iteration, TPC-H join
+FAST_SUBSET = (
+    "tpch_q1_pricing_summary,window_tumbling_counts,multimodal_decode_stub,"
+    "ngram_jaccard_prefixfilter,graph_reachability,incremental_changed"
+)
+
+
+def _run_bench(extra_env: dict[str, str]) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "4"
+    env.update(extra_env)
     proc = subprocess.run(
         [sys.executable, "bench.py"],
         capture_output=True,
@@ -26,11 +39,27 @@ def test_bench_emits_contract_json():
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     assert len(lines) == 1, proc.stdout[-2000:]
-    out = json.loads(lines[0])
+    return json.loads(lines[0])
+
+
+def _check_contract(out: dict, min_queries: int) -> None:
     assert out["metric"] == "headline_queries_total"
     assert out["unit"] == "sec"
     assert out["sf"] == 0.001
     assert out["value"] > 0
-    assert len(out["queries"]) >= 25
+    assert len(out["queries"]) >= min_queries
     assert all(v >= 0 for v in out["queries"].values())
     assert abs(sum(out["queries"].values()) - out["value"]) < 0.01
+
+
+def test_bench_emits_contract_json_fast_subset():
+    out = _run_bench(
+        {"SPARK_GRAFT_BENCH_QUERIES": FAST_SUBSET, "SPARK_GRAFT_BENCH_TRIALS": "1"}
+    )
+    _check_contract(out, min_queries=6)
+
+
+@pytest.mark.slow
+def test_bench_emits_contract_json():
+    out = _run_bench({})
+    _check_contract(out, min_queries=25)

@@ -9,6 +9,8 @@ from __future__ import annotations
 import json
 import pathlib
 
+import pytest
+
 from notion_vector_store_etl_pipeline_spark.__main__ import main
 
 
@@ -18,6 +20,7 @@ def _run(capsys, *argv) -> str:
     return capsys.readouterr().out.strip().splitlines()[-1]
 
 
+@pytest.mark.slow
 def test_cli_full_then_incremental_then_dry(spark, tmp_path, capsys):
     state = str(tmp_path / "state")
     out1 = str(tmp_path / "chunks1")
@@ -126,6 +129,7 @@ def test_root_id_env_defaults_flow_through_cli(monkeypatch, capsys):
     assert "32 hex chars" in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_cli_streaming_mode_resumable(spark, tmp_path, capsys):
     """--streaming runs the continuous pipeline to exhaustion; a second
     invocation on the same checkpoint publishes nothing new."""

@@ -6,6 +6,8 @@ cursor-loop iteration count), and page_size must be tunable.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from pyspark.sql import functions as F
@@ -49,6 +51,7 @@ def test_paginated_supports_downstream_ops(spark):
     assert sum(r.n for r in agg) == spark.read.parquet(DOCS).count()
 
 
+@pytest.mark.slow
 def test_paginated_stream_reader_cursor_batches(spark, tmp_path):
     """readStream over the paginated source: the cursor advances
     pages_per_batch*page_size rows per micro-batch, all rows arrive

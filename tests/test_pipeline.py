@@ -6,6 +6,8 @@ re-run — the reference's incremental contract (`README.md:458-466`).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from notion_vector_store_etl_pipeline_spark.pipeline import run_pipeline
@@ -16,6 +18,7 @@ def _snapshot(spark, rows):
     return df.withColumn("content_hash", F.sha2("text", 256))
 
 
+@pytest.mark.slow
 def test_two_run_incremental_convergence(spark):
     state0 = spark.createDataFrame(
         [],

@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import SparkSession, functions as F
@@ -88,6 +90,7 @@ spark.stop()
 """
 
 
+@pytest.mark.slow
 def test_task_retry_recovers_transient_failure(tmp_path):
     import subprocess
     import sys

@@ -6,6 +6,8 @@ batch range/theta join on the same fixed input.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from notion_vector_store_etl_pipeline_spark.sources import load_table
@@ -59,6 +61,7 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_join_matches_batch(spark, tmp_path):
     """Outer variant: unconverted clicks appear exactly once with null
     purchase columns once the watermark passes; converted clicks match

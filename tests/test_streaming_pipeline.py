@@ -4,6 +4,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from notion_vector_store_etl_pipeline_spark.operators.chunker import greedy_chunk_text
@@ -76,6 +78,7 @@ def test_streaming_etl_chunks_match_batch_chunker(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_streaming_etl_kill_and_resume_exactly_once(spark, tmp_path):
     """Stop the query mid-stream (after at least one committed batch),
     restart from the same checkpoint, and the store converges to
