@@ -1,7 +1,10 @@
 """Deduplication queries (north star, SURVEY.md §2.11): exact hash
-dedup, exact n-gram Jaccard self-join, MinHash-LSH near-dup, SimHash
-buckets. MinHash/SimHash rely on xxhash64 (engine-specific) so they are
-rows-only for the oracle and verified against exact Jaccard in pytest.
+dedup, exact n-gram Jaccard self-join (brute + PPJoin prefix-filtered),
+MinHash-LSH near-dup, SimHash buckets. Every query here is
+oracle-checked: the SimHash family hashes shingles with sha60
+(cross-engine stable) so DuckDB replays the fingerprints bit-for-bit,
+and the MinHash/LSH query emits an exact-Jaccard recall gate the
+oracle recomputes independently.
 """
 
 from __future__ import annotations
@@ -119,9 +122,17 @@ def ngram_jaccard_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # the exact pair set is persisted eagerly because it feeds BOTH the
+    # denominator agg and the semi join below (lazy, it would run twice
+    # inside the one action). Brute shingle join, not the PPJoin
+    # variant: at threshold 0.2 the (1-t)n+1 prefix is ~80% of each
+    # set, so prefix filtering buys nothing (measured equal at sf0.1);
+    # the prefix path wins at the higher thresholds where
+    # `ngram_jaccard_prefixfilter` runs it.
     exact = D.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2).select(
         "a_id", "b_id"
-    )
+    ).persist()
+    exact.count()
     found = D.minhash_neardup(docs, "text", "doc_id", threshold=0.2).select(
         "a_id", "b_id"
     )

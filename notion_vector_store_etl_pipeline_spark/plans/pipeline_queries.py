@@ -197,30 +197,34 @@ _WINNOW_W = 4  # window size (guarantee: every gap of >= W shingles is fingerpri
 )
 def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Each derived array (`ws`, `h`) MUST be materialized as its own
+    # projection before the next stage references it inside a lambda:
+    # codegen subexpression elimination does not reach inside
+    # higher-order-function lambdas, so an inlined array expression
+    # re-evaluates once PER LAMBDA INVOCATION — inlining `h` into the
+    # window-min slice made the hashing O(n_words^2) per doc (56 s vs
+    # 0.5 s at sf0.001), and inlining `ws` into the shingle lambda
+    # re-split the text 3x per shingle (8.2 s vs 1.1 s at sf0.1). As
+    # bound attributes each evaluates once per row; the projects stay
+    # uncollapsed because the non-cheap columns are multiply referenced.
     ws = F.split(F.trim("text"), r"\s+")
+    words = docs.select("doc_id", ws.alias("ws")).filter(
+        F.size("ws") >= 3 + _WINNOW_W - 1
+    )
+    wsc = F.col("ws")
     # ordered 3-gram shingle hashes (1-based element_at)
     h = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 2),
+        F.sequence(F.lit(1), F.size(wsc) - 2),
         lambda i: _md5_bigint(
             F.concat_ws(
                 " ",
-                F.element_at(ws, i),
-                F.element_at(ws, i + 1),
-                F.element_at(ws, i + 2),
+                F.element_at(wsc, i),
+                F.element_at(wsc, i + 1),
+                F.element_at(wsc, i + 2),
             )
         ),
     )
-    # `h` MUST be materialized as its own projection before the window
-    # scan: codegen subexpression elimination does not reach inside
-    # higher-order-function lambdas, so inlining `h` into the slice
-    # lambda below re-evaluates every md5 once PER WINDOW POSITION —
-    # O(n_words^2) hashes per document (measured 56 s vs 0.5 s at
-    # sf0.001). As a bound attribute it is hashed once per row; the
-    # projects stay uncollapsed because the non-cheap column is
-    # referenced more than once.
-    hashed = docs.filter(F.size(ws) >= 3 + _WINNOW_W - 1).select(
-        "doc_id", h.alias("h")
-    )
+    hashed = words.select("doc_id", h.alias("h"))
     hh = F.col("h")
     win_mins = F.transform(
         F.sequence(F.lit(1), F.size(hh) - (_WINNOW_W - 1)),
