@@ -140,3 +140,62 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dups = cosine_selfjoin_pairs(emb, threshold=0.35).select("b_id").distinct()
     return emb.join(dups, emb.vec_id == dups.b_id, "left_anti").select("vec_id", "label")
+
+
+@register(
+    "hll_sketch_union",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, exact_users, TRUE AS union_within_5pct
+    FROM per_type
+    UNION ALL
+    SELECT '<all>' AS event_type,
+           (SELECT count(DISTINCT user_id) FROM events) AS exact_users,
+           TRUE AS union_within_5pct
+    """,
+    doc="Mergeable-sketch rollup: per-event_type HLL sketches "
+    "(hll_sketch_agg) re-aggregated into a global estimate with "
+    "hll_union_agg — the 100 TB pattern for pre-aggregated distinct "
+    "counts (store sketch bytes per partition/day, merge at query "
+    "time; never re-shuffle raw ids). Sketch bytes are "
+    "engine-specific, so the checked output is the exact count per "
+    "level plus a 5%% tolerance boolean on each estimate (lgConfigK=14 "
+    "-> ~0.8%% expected error). The estimate path re-aggregates the "
+    "SKETCHES, not the rows: the union level touches one row per "
+    "event_type.",
+)
+def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sketches = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_type = sketches.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(0.05)
+        ).alias("union_within_5pct"),
+    )
+    global_exact = events.select(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    global_row = (
+        sketches.agg(F.hll_union_agg("sk").alias("sk_all"))
+        .crossJoin(global_exact)
+        .select(
+            F.lit("<all>").alias("event_type"),
+            "exact_users",
+            (
+                F.abs(F.hll_sketch_estimate("sk_all") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(0.05)
+            ).alias("union_within_5pct"),
+        )
+    )
+    return per_type.unionByName(global_row)
