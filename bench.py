@@ -64,6 +64,8 @@ HEADLINE = [
     "split_train_val_test",
     "graph_pagerank",
     "interval_merge_islands",
+    # round 5 addition
+    "hll_sketch_union",
 ]
 
 

@@ -60,8 +60,13 @@ def normalized_text(text: Column) -> Column:
 
 def word_shingles_hof(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles via JVM higher-order fns. Semantically
-    identical to ``word_shingles`` but ~18x slower at scale (HOF lambdas
-    are interpreted per element) — kept as the no-Python fallback."""
+    identical to ``word_shingles`` but ~18x slower at scale: HOF lambdas
+    are interpreted per element, AND the lambda body's ``element_at(toks,
+    ...)`` references the split() EXPRESSION, which codegen CSE cannot
+    reach inside a lambdafunction — the text is re-split per shingle
+    (see PLANS.md "Array HOF lambdas"). To use this for real, bind the
+    token array as its own projection first and pass the column in.
+    Kept as the no-Python fallback."""
     toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
