@@ -48,8 +48,25 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # NEVER had a driver row in rounds 1-4 (TPC-H 22, retrieval, analytic
 # windows, SCD2/PIT/timeseries, relational window/lateral wave).
 # Everything else keeps module order behind them — rotate again in r6
-# so the remaining never-sampled set (setops, grouped, extended tail,
-# events) gets its rows.
+# so the remaining never-sampled set gets its rows.
+#
+# r6 rotation (computed end of r5 from CORRECTNESS_r01-04 ∪ this
+# window): exactly these 41 names have never had a driver row — they
+# fit one final window, completing cross-round driver coverage of the
+# whole registry:
+#   text_token_stats token_count_bpe lang_id_heuristic quality_score
+#   doc_fingerprint multimodal_decode_stub multimodal_resize
+#   multimodal_audio_features multimodal_decode_arrow tfidf_top_terms
+#   stratified_sample_per_group time_rollup_multi profile_columns
+#   curation_funnel label_centroids hll_sketch_union agg_percentiles
+#   agg_stats_corr agg_string_concat date_arithmetic window_session_gap
+#   pivot_counts unpivot_metrics window_lag_lead pii_mask
+#   multimodal_frame_sample group_normalize_pandas state_merge_upsert
+#   sort_nulls_ordering sample_deterministic histogram_width_bucket
+#   cogroup_conversion_stats filter_isin_notnull agg_status_counts
+#   every_nth_row window_tumbling_counts json_extract_props
+#   from_json_schema_read join_range_theta join_asof_latest
+#   variant_extract_props
 _PRIORITY = (
     # fixes to prove
     "interval_merge_islands",
