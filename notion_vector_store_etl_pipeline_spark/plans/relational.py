@@ -31,9 +31,10 @@ from notion_vector_store_etl_pipeline_spark.sources import load_table
     """,
     doc="approx_count_distinct (HLL) — the 100 TB path for A2-style counters. "
     "HLL sketches are engine-specific, so the checked output is the exact "
-    "count plus a tolerance boolean: |approx-exact|/exact <= 0.05 (the HLL "
-    "is built with rsd=0.01, so 5%% is a wide margin); the oracle computes "
-    "the exact count and the literal TRUE.",
+    "count plus a tolerance boolean: |approx-exact|/exact <= 0.05 (rsd=0.02 "
+    "-> ~2%% expected error; rsd=0.01 cost 4.5x as much for no gate benefit "
+    "— the register array grows ~1/rsd^2 and dominates the merge); the "
+    "oracle computes the exact count and the literal TRUE.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -41,7 +42,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("exact_customers"),
         (
             F.abs(
-                F.approx_count_distinct("o_custkey", 0.01) - F.countDistinct("o_custkey")
+                F.approx_count_distinct("o_custkey", 0.02) - F.countDistinct("o_custkey")
             )
             / F.countDistinct("o_custkey")
             <= F.lit(0.05)
