@@ -294,7 +294,12 @@ def simhash60_table(
         F.col(id_col).alias("sid"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     )
-    hh = sh.select("sid", sha60(F.col("shingle")).alias("h")).dropDuplicates(["sid", "h"])
+    # No dropDuplicates here: word_shingles already emits DISTINCT
+    # shingles per document (dict.fromkeys), so a (sid, h) dedup would
+    # be a no-op bought with a full shuffle of the exploded table —
+    # the groupBy below map-side-combines 60 ints per sid instead.
+    # (The oracle's SELECT DISTINCT mirrors the same per-doc property.)
+    hh = sh.select("sid", sha60(F.col("shingle")).alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
