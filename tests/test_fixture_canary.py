@@ -54,3 +54,15 @@ def test_events_contract(spark):
     assert isinstance(df.schema["ts_ns"].dataType, T.LongType), df.schema["ts_ns"]
     bad = df.filter(F.unix_micros("ts") * 1000 != F.col("ts_ns")).count()
     assert bad == 0, f"{bad} rows where ts and ts_ns disagree"
+
+
+def test_driver_window_prefix_is_deliberate():
+    """The correctness driver samples a prefix window of the registry;
+    plans/__init__._PRIORITY spends it deliberately (fixes-to-prove
+    first, then never-sampled families). An accidental reordering would
+    silently waste a round's worth of driver rows — pin the head."""
+    from notion_vector_store_etl_pipeline_spark.plans import _PRIORITY, load_registry
+
+    names = list(load_registry())
+    assert names[: len(_PRIORITY)] == list(_PRIORITY)
+    assert len(_PRIORITY) == 50
