@@ -98,18 +98,25 @@ def main() -> None:
         # 2-10x from external load (measured 4s vs 22s for identical
         # code at load avg ~6). Two trials normally; if they disagree
         # by >2x the host was noisy, so take one more.
+        # clearCache BEFORE each timed trial, not once after all
+        # trials: queries that persist() intermediates (minhash's
+        # exact-pair set, pagerank's nodes/edges_deg) build
+        # plan-canonically-identical DAGs on every call, so trial 2
+        # would otherwise hit trial 1's cache and min(trials) would
+        # exclude the persisted work entirely.
         trials = []
         for _ in range(n_trials):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             run(q.fn(spark, SF_DIR))
             trials.append(time.perf_counter() - t0)
         if max(trials) > 2 * min(trials):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             run(q.fn(spark, SF_DIR))
             trials.append(time.perf_counter() - t0)
         timings[name] = round(min(trials), 3)
-        # drop persisted intermediates so queries don't inherit the
-        # previous query's cache residue
+        # also drop residue before the next query's first trial
         spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

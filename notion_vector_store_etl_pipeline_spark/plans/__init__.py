@@ -42,88 +42,74 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # Registration order matters operationally: the correctness driver
 # samples a prefix window of the registry (the first ~50), so the
 # window is spent deliberately. The _PRIORITY list below pins the
-# round-5 window: (a) the queries whose fixes this round must prove
-# (the 2 loader-crash rows, the 4 newly-oracled approximate-index
-# rows, the 3 perf-rewritten rows), then (b) the families that have
-# NEVER had a driver row in rounds 1-4 (TPC-H 22, retrieval, analytic
-# windows, SCD2/PIT/timeseries, relational window/lateral wave).
-# Everything else keeps module order behind them — rotate again in r6
-# so the remaining never-sampled set gets its rows.
-#
-# r6 rotation (computed end of r5 from CORRECTNESS_r01-04 ∪ this
-# window): exactly these 41 names have never had a driver row — they
-# fit one final window, completing cross-round driver coverage of the
-# whole registry:
-#   text_token_stats token_count_bpe lang_id_heuristic quality_score
-#   doc_fingerprint multimodal_decode_stub multimodal_resize
-#   multimodal_audio_features multimodal_decode_arrow tfidf_top_terms
-#   stratified_sample_per_group time_rollup_multi profile_columns
-#   curation_funnel label_centroids hll_sketch_union agg_percentiles
-#   agg_stats_corr agg_string_concat date_arithmetic window_session_gap
-#   pivot_counts unpivot_metrics window_lag_lead pii_mask
-#   multimodal_frame_sample group_normalize_pandas state_merge_upsert
-#   sort_nulls_ordering sample_deterministic histogram_width_bucket
-#   cogroup_conversion_stats filter_isin_notnull agg_status_counts
-#   every_nth_row window_tumbling_counts json_extract_props
-#   from_json_schema_read join_range_theta join_asof_latest
-#   variant_extract_props
+# round-6 window: (a) the exactly-41 queries that have never had a
+# driver CORRECTNESS row in rounds 1-5 (computed from
+# CORRECTNESS_r01-r05: 116 distinct names sampled out of 157
+# registered — these are the other 41), then (b) nine re-proof slots
+# for queries whose source or measurement methodology changed this
+# round (hll_sketch_union is in the 41; the BFS pair and the
+# cache-carryover-remeasured pair ride in the re-proof tail) plus the
+# flagship families. Landing this window completes cross-round driver
+# verification of the ENTIRE registry: 116 + 41 = 157/157.
 _PRIORITY = (
-    # fixes to prove
-    "interval_merge_islands",
-    "map_explode_props",
+    # never-sampled (41): text analysis
+    "text_token_stats",
+    "token_count_bpe",
+    "lang_id_heuristic",
+    "quality_score",
+    "doc_fingerprint",
+    # never-sampled: multimodal (full Python-integration matrix)
+    "multimodal_decode_stub",
+    "multimodal_resize",
+    "multimodal_audio_features",
+    "multimodal_decode_arrow",
+    "multimodal_frame_sample",
+    # never-sampled: training / curation
+    "tfidf_top_terms",
+    "stratified_sample_per_group",
+    "curation_funnel",
+    "label_centroids",
+    "pii_mask",
+    # never-sampled: aggregates / analytics
+    "time_rollup_multi",
+    "profile_columns",
+    "hll_sketch_union",
+    "agg_percentiles",
+    "agg_stats_corr",
+    "agg_string_concat",
+    "histogram_width_bucket",
+    # never-sampled: dates / windows / events
+    "date_arithmetic",
+    "window_session_gap",
+    "window_lag_lead",
+    "window_tumbling_counts",
+    "filter_isin_notnull",
+    "agg_status_counts",
+    "every_nth_row",
+    "join_range_theta",
+    "join_asof_latest",
+    # never-sampled: semi-structured
+    "json_extract_props",
+    "from_json_schema_read",
+    "variant_extract_props",
+    "pivot_counts",
+    "unpivot_metrics",
+    # never-sampled: pandas-grouped / misc relational
+    "group_normalize_pandas",
+    "cogroup_conversion_stats",
+    "state_merge_upsert",
+    "sort_nulls_ordering",
+    "sample_deterministic",
+    # re-proofs (9): touched or re-measured this round + flagships
+    "graph_reachability",
+    "graph_reachability_sql",
     "minhash_lsh_neardup",
-    "simhash_buckets",
-    "simhash_neardup",
-    "knn_ivf_quantized",
-    "incremental_changed",
-    "ngram_jaccard_prefixfilter",
-    "levenshtein_neardup_titles",
-    # never-sampled: TPC-H
+    "graph_pagerank",
+    "neardup_components",
+    "semdedup_cluster_prune",
+    "knn_topk",
+    "dedup_exact_hash",
     "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_values",
-    "tpch_q12_priority_case_agg",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_avg",
-    "tpch_q18_large_volume",
-    "tpch_q19_or_predicates",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    # never-sampled: retrieval wave
-    "kmeans_assign",
-    "kmeans_update",
-    "knn_filtered",
-    "hybrid_rrf_search",
-    # never-sampled: analytic windows
-    "agg_cube",
-    "window_range_frame",
-    "window_first_last",
-    "dedup_embedding_cosine",
-    # never-sampled: timeseries / SCD2 / PIT
-    "session_window_native",
-    "scd2_intervals",
-    "timeseries_gapfill",
-    "pit_interval_lookup",
-    # never-sampled: window/lateral wave
-    "window_ntile_cume",
-    "agg_grouping_sets",
-    "join_full_outer_coalesce",
-    "window_running_total",
-    "array_hof_ops",
-    "lateral_top_item",
-    "window_sliding_counts",
 )
 
 _MODULES = (

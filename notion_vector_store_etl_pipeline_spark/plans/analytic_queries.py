@@ -169,18 +169,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # sketches feeds BOTH the per_type branch and the global union row;
+    # eager-persist so the events scan + HLL aggregation runs once per
+    # action instead of twice (same pattern as minhash_lsh_neardup).
     sketches = events.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
         F.countDistinct("user_id").alias("exact_users"),
     )
-    per_type = sketches.select(
-        "event_type",
-        "exact_users",
-        (
-            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+    sketches = sketches.persist()
+    sketches.count()
+
+    def within(sk_col: str) -> "F.Column":
+        # exact_users = 0 (a group whose user_ids are all NULL) would
+        # make the relative-error division NULL while the oracle emits
+        # TRUE — treat an empty group as trivially within tolerance.
+        return F.when(F.col("exact_users") <= 0, F.lit(True)).otherwise(
+            F.abs(F.hll_sketch_estimate(sk_col) - F.col("exact_users"))
             / F.col("exact_users")
             <= F.lit(0.05)
-        ).alias("union_within_5pct"),
+        )
+
+    per_type = sketches.select(
+        "event_type", "exact_users", within("sk").alias("union_within_5pct")
     )
     global_exact = events.select(
         F.countDistinct("user_id").alias("exact_users")
@@ -191,11 +201,7 @@ def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit("<all>").alias("event_type"),
             "exact_users",
-            (
-                F.abs(F.hll_sketch_estimate("sk_all") - F.col("exact_users"))
-                / F.col("exact_users")
-                <= F.lit(0.05)
-            ).alias("union_within_5pct"),
+            within("sk_all").alias("union_within_5pct"),
         )
     )
     return per_type.unionByName(global_row)

@@ -159,7 +159,13 @@ _SIMHASH_CTE = (
     _SHINGLES_CTE
     + f"""
     , hh AS (
-      SELECT DISTINCT sid, {_SHA60_SQL} AS h FROM sh
+      -- no DISTINCT: sh is already distinct per (sid, shingle), and a
+      -- dedup on (sid, h) here would collapse a within-doc sha60
+      -- collision (2^-60) that the engine, which votes once per
+      -- distinct SHINGLE, would count twice. Keeping one vote per
+      -- distinct shingle on BOTH sides makes engine and oracle
+      -- structurally identical even under hash collision.
+      SELECT sid, {_SHA60_SQL} AS h FROM sh
     ), simh AS (
       SELECT sid, {_SIMHASH_TERMS_SQL} AS simhash
       FROM hh GROUP BY sid

@@ -73,15 +73,11 @@ def test_partial_aggregation_before_exchange(spark):
     assert plan.count("Exchange") >= 1
 
 
-def test_winnowing_hash_array_materialized_once():
+def test_winnowing_hash_array_materialized_once(spark):
     """HOF-lambda CSE regression gate (PLANS.md "Array HOF lambdas"):
     the md5 shingle-hash transform must appear exactly once in the
     compiled plan. If the `h` array is ever inlined back into the
     window-min lambda (CollapseProject or a refactor), md5 shows up in
     two projections and the hashing goes O(n_words^2) per document."""
-    import tests.conftest as c
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
     plan = plan_of(spark, "winnowing_fingerprint")
     assert plan.count("md5") == 1, plan[:4000]
