@@ -66,6 +66,30 @@ HEADLINE = [
     "interval_merge_islands",
     # round 5 addition
     "hll_sketch_union",
+    # round 6 additions: previously never-benched families, so perf
+    # regressions there get caught by the recorded per-round numbers.
+    # strings wave (SURVEY P3-P8)
+    "title_coalesce",
+    "url_basename",
+    "uuid_normalize",
+    "regex_extract_id",
+    "safe_filename",
+    "project_coalesce",
+    # incremental family beyond incremental_changed
+    "left_join_state",
+    "anti_join_unchanged",
+    "stale_detect",
+    # multimodal arrow path (mapInArrow, no pandas conversion)
+    "multimodal_decode_arrow",
+    # set operations (hash-agg bag semantics)
+    "setop_except",
+    "setop_intersect_all",
+    # reshape
+    "pivot_counts",
+    "unpivot_metrics",
+    # semi-structured extraction
+    "json_extract_props",
+    "variant_extract_props",
 ]
 
 

@@ -2,7 +2,8 @@
 queries/sf) — a breakage there silently costs a round of BENCH data.
 Default run: a fast subset smoke (one query per family incl. events,
 pandas-UDF, and cached-intermediate paths, 1 trial). --runslow: the
-full 39-query sweep, exactly what the driver executes.
+full headline sweep (pinned >= 55 queries since round 6), exactly
+what the driver executes.
 """
 
 from __future__ import annotations
@@ -59,7 +60,32 @@ def test_bench_emits_contract_json_fast_subset():
     _check_contract(out, min_queries=6)
 
 
+def test_headline_set_pinned():
+    """The r6 headline enlargement (40 -> 56: strings, incremental,
+    mapInArrow, setops, pivot/unpivot, semi-structured) is part of the
+    recorded bench surface — a silent shrink would make later rounds
+    look faster by measuring less. Pin size and the one-per-family
+    sentinels; every name must resolve in the registry."""
+    import bench
+    from notion_vector_store_etl_pipeline_spark.plans import load_registry
+
+    reg = load_registry()
+    assert len(bench.HEADLINE) >= 56
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+    missing = [n for n in bench.HEADLINE if n not in reg]
+    assert not missing, f"headline names not registered: {missing}"
+    for sentinel in (
+        "title_coalesce",
+        "left_join_state",
+        "multimodal_decode_arrow",
+        "setop_except",
+        "pivot_counts",
+        "json_extract_props",
+    ):
+        assert sentinel in bench.HEADLINE
+
+
 @pytest.mark.slow
 def test_bench_emits_contract_json():
     out = _run_bench({})
-    _check_contract(out, min_queries=25)
+    _check_contract(out, min_queries=55)

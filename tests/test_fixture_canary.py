@@ -28,6 +28,106 @@ SF_DIRS = [
 ]
 
 
+# Arrow physical types every query family assumes, captured from the
+# round-5/6 driver-generated parquet. The round-4 incident was exactly
+# one of these drifting (events.ts timestamp[ns] -> timestamp[us])
+# and surfacing as 25 broken queries mid-round; pinning ALL tables
+# makes the next regeneration (decimal precision, nullability, int
+# width, list element type) fail in ONE targeted test with the table
+# and column named. `load_table` adapts ts-precision drift at read
+# time — this canary is the loud early warning, not the adapter.
+EXPECTED_ARROW = {
+    "region": {"r_regionkey": "int32", "r_name": "string"},
+    "nation": {"n_nationkey": "int32", "n_name": "string", "n_regionkey": "int32"},
+    "customer": {
+        "c_custkey": "int64",
+        "c_name": "string",
+        "c_nationkey": "int32",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "int64",
+        "s_name": "string",
+        "s_nationkey": "int32",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "int64",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int32",
+        "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "int64",
+        "o_custkey": "int64",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": ("timestamp[us]", "timestamp[ns]"),
+        "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "int64",
+        "l_partkey": "int64",
+        "l_suppkey": "int64",
+        "l_linenumber": "int32",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+        "l_shipdate": ("timestamp[us]", "timestamp[ns]"),
+    },
+    "events": {
+        "event_id": "int64",
+        "ts": ("timestamp[us]", "timestamp[ns]"),
+        "user_id": "int64",
+        "event_type": "string",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {
+        "doc_id": "int64",
+        "text": "string",
+        "lang": "string",
+        "source": "string",
+        "n_chars": "int64",
+    },
+    "embeddings": {
+        "vec_id": "int64",
+        "embedding": "list<element: float>",
+        "label": "int32",
+    },
+}
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])
+def test_arrow_physical_schema_pinned(sf_dir):
+    """Spark-free (pure pyarrow footer read), so it runs first and
+    fails fast even when the SparkSession fixture itself would choke
+    on the drifted data."""
+    import pyarrow.parquet as pq
+
+    problems = []
+    for name, want in EXPECTED_ARROW.items():
+        schema = pq.read_schema(os.path.join(sf_dir, f"{name}.parquet"))
+        got = {f.name: str(f.type) for f in schema}
+        if list(got) != list(want):
+            problems.append(f"{name}: columns {list(got)} != expected {list(want)}")
+            continue
+        for col, exp in want.items():
+            allowed = exp if isinstance(exp, tuple) else (exp,)
+            if got[col] not in allowed:
+                problems.append(f"{name}.{col}: {got[col]} not in {allowed}")
+    assert not problems, (
+        "fixture parquet physical schema drifted (driver regenerated "
+        "testdata with different types?):\n  " + "\n  ".join(problems)
+    )
+
+
 @pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])
 def test_all_tables_load_and_materialize(spark, sf_dir):
     for name in TABLES:
