@@ -64,7 +64,12 @@ def _seeds(spark: SparkSession) -> DataFrame:
     SELECT node, CAST(min(depth) AS INTEGER) AS depth FROM walk GROUP BY node
     """,
     doc="Full BFS reachability with first-discovery depth (reference crawl "
-    "`:480-596`; cycle detection = anti-join vs visited, `:492-494`).",
+    "`:480-596`; cycle detection = anti-join vs visited, `:492-494`). "
+    "RECOMMENDED AT SCALE over `graph_reachability_sql`: edges are "
+    "hash-partitioned+persisted once, the frontier broadcasts under a "
+    "500k-row guard, and the visited anti-join dedups every level, so "
+    "per-level work stays bounded — 10x data costs ~1.3x wall-clock at "
+    "both sf decades (SCALE_SMOKE_R6.md) vs the recursive-CTE's 2.8x.",
 )
 def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = build_edges(spark, sf_dir)
@@ -85,9 +90,13 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Same reachability as `graph_reachability`, but via Spark 4's "
     "native WITH RECURSIVE (UnionLoop execution) instead of the "
-    "driver-side iterative loop — the declarative path once recursive "
-    "CTEs are available; the loop variant stays as the portable/tunable "
-    "one (broadcast-frontier control, per-level persist).",
+    "driver-side iterative loop. DECLARATIVE/PORTABILITY VARIANT, not "
+    "the scale path: UnionLoop re-scans+re-shuffles the edge relation "
+    "each iteration and carries the undeduplicated walk between levels, "
+    "so it grows ~2.8x per 10x data vs the loop's ~1.3x "
+    "(SCALE_SMOKE_R6.md sf1 decade). Kept registered: it is the "
+    "SQL-only surface for the same oracle and an independent "
+    "cross-check of the loop implementation.",
 )
 def graph_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_edges(spark, sf_dir).createOrReplaceTempView("crawl_edges")
