@@ -103,6 +103,12 @@ def main() -> None:
     n_trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
 
     registry = load_registry()
+    # SPARK_GRAFT_BENCH_ALL=1: time EVERY registered query (headline
+    # first, then the rest in registry order) — the evidence page for
+    # "no family is pathologically slow", not the driver contract
+    # (the driver runs the default headline set).
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1" and not subset:
+        names = HEADLINE + [n for n in registry if n not in HEADLINE]
     spark = get_spark(app_name="nve-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
