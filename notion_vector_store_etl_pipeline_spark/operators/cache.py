@@ -1,0 +1,43 @@
+"""Tracked DataFrame persistence.
+
+Several operators persist intermediates that feed multiple consumers of
+one lazy plan (shingle tables, LSH candidate sets, HLL sketch tables).
+Because plans are lazy, the operator cannot unpersist them itself — the
+cache must outlive plan construction. ``persist_tracked`` registers
+every such persist so ``release_cache()`` can free them all between
+runs; long-lived sessions (the parity sweep, the correctness driver)
+otherwise accumulate executor memory (ADVICE r6). bench.py instead
+calls ``spark.catalog.clearCache()`` between queries, which drops these
+too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_PERSISTED: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame, eager: bool = False) -> DataFrame:
+    """persist() with registration so release_cache() can free it later.
+
+    ``eager=True`` materializes immediately (count()): needed when
+    several branches of ONE downstream action read the DataFrame — with
+    a lazy persist those branches race to compute it before the cache
+    populates, re-running the whole upstream pipeline per branch
+    (measured 2-5x end-to-end blowup on the prefix-filter join). The
+    cost is that plan construction launches a Spark job — callers of
+    registry fn()s that persist eagerly must expect that side effect
+    (documented in plans.__init__).
+    """
+    df = df.persist()
+    _PERSISTED.append(df)
+    if eager:
+        df.count()
+    return df
+
+
+def release_cache() -> None:
+    """Unpersist every intermediate registered so far."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()

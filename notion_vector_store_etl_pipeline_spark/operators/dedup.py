@@ -32,26 +32,19 @@ from pyspark.sql.types import ArrayType, StringType
 # 2^31-1: keeps a*h+b < 2^62, safe for 64-bit ANSI arithmetic
 MERSENNE_PRIME = (1 << 31) - 1
 
-_PERSISTED: list[DataFrame] = []
+# band-bucket polynomial combiner (prime > 2^20): acc*C + mh stays
+# < 2^31 * 2^21 < 2^52, exact in BIGINT arithmetic in both engines
+BUCKET_COMBINE = 1_048_583
 
+# shared tracked-persist registry (operators.cache); release_cache is
+# re-exported here because scale smokes and tests import it from this
+# module historically
+from notion_vector_store_etl_pipeline_spark.operators.cache import (  # noqa: E402
+    persist_tracked as _persist,
+    release_cache,
+)
 
-def _persist(df: DataFrame) -> DataFrame:
-    """persist() with registration so release_cache() can free it later."""
-    df = df.persist()
-    _PERSISTED.append(df)
-    return df
-
-
-def release_cache() -> None:
-    """Unpersist every intermediate this module has cached so far.
-
-    Library callers that run dedup operators repeatedly in one session
-    should call this between runs; otherwise cached shingle/candidate
-    tables accumulate (bench.py instead clears the whole session cache
-    between queries).
-    """
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+__all__ = ["release_cache"]
 
 
 def normalized_text(text: Column) -> Column:
@@ -159,11 +152,16 @@ def jaccard_pairs(
     )
 
 
-def _minhash_cols(num_hashes: int) -> list[Column]:
+def _minhash_cols(num_hashes: int, checkable: bool = False) -> list[Column]:
     """Deterministic permutation family h_i(x) = (a_i*x + b_i) mod p over
-    xxhash64 shingle hashes (classic MinHash; public construction)."""
+    hashed shingles (classic MinHash; public construction). Base hash is
+    xxhash64 (JVM codegen, hot path) or, with ``checkable=True``, the
+    cross-engine :func:`sha60` so a DuckDB oracle replays the exact
+    signatures (same trade as the SimHash family: ~10x slower hashing,
+    full value parity)."""
     cols = []
-    base = F.pmod(F.xxhash64(F.col("shingle")), F.lit(MERSENNE_PRIME))
+    raw = sha60(F.col("shingle")) if checkable else F.xxhash64(F.col("shingle"))
+    base = F.pmod(raw, F.lit(MERSENNE_PRIME))
     for i in range(num_hashes):
         a = 2 * i + 1  # odd multipliers, fixed seeds -> deterministic
         b = 1_000_003 * (i + 1)
@@ -174,28 +172,47 @@ def _minhash_cols(num_hashes: int) -> list[Column]:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 32, k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 3,
+    checkable: bool = False,
 ) -> DataFrame:
     """(id, mh_0..mh_{n-1}) MinHash signature table."""
     sh = df.select(
         F.col(id_col).alias("sid"), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
     )
-    return sh.groupBy("sid").agg(*_minhash_cols(num_hashes))
+    return sh.groupBy("sid").agg(*_minhash_cols(num_hashes, checkable=checkable))
+
+
+def band_bucket(cols: list[Column]) -> Column:
+    """Replayable band-bucket key: fold the band's minhash values with
+    ``acc = (acc * BUCKET_COMBINE + mh) % MERSENNE_PRIME`` — plain BIGINT
+    arithmetic a SQL oracle reproduces exactly (unlike xxhash64). Bucket
+    collisions only ever ADD candidate pairs, which exact verification
+    then kills, so correctness is unaffected either way; replayability is
+    what makes the candidate set oracle-checkable."""
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = F.pmod(acc * F.lit(BUCKET_COMBINE) + c, F.lit(MERSENNE_PRIME))
+    return acc
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4, checkable: bool = False
 ) -> DataFrame:
     """Band the signature and bucket-join in ONE pass: melt each row to
     (sid, band, bucket) via posexplode of the per-band bucket hashes,
     then a single self-join on (band, bucket). One scan of the
     signatures, one shuffle — instead of `bands` recomputations."""
-    bucket_cols = [
-        F.xxhash64(
-            *[F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        for band in range(bands)
-    ]
+    def band_cols(band: int) -> list[Column]:
+        return [F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)]
+
+    if checkable:
+        bucket_cols = [band_bucket(band_cols(band)) for band in range(bands)]
+    else:
+        bucket_cols = [F.xxhash64(*band_cols(band)) for band in range(bands)]
     melted = _persist(
         signatures.select(
             "sid", F.posexplode(F.array(*bucket_cols)).alias("band", "bucket")
@@ -255,16 +272,21 @@ def minhash_neardup(
     threshold: float = 0.2,
     num_hashes: int = 32,
     bands: int = 8,
+    checkable: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — the 100 TB near-dup
     path: candidate generation AND verification are candidate-local,
-    never all-pairs."""
+    never all-pairs. ``checkable=True`` swaps xxhash64 for the
+    cross-engine sha60 base hash and the replayable band-bucket
+    combiner, so a SQL oracle reproduces the emitted pair set exactly."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, checkable=checkable)
     # persisted: verification reads candidates twice (the candidate-id
     # semi-join and the pair join) — without this the whole signature +
     # bucket-join pipeline would recompute
-    candidates = _persist(minhash_lsh_candidates(sigs, bands, rows_per_band))
+    candidates = _persist(
+        minhash_lsh_candidates(sigs, bands, rows_per_band, checkable=checkable)
+    )
     return jaccard_verify_pairs(
         df, candidates, text_col, id_col, threshold=threshold
     )

@@ -95,16 +95,36 @@ def cosine_scores_vs(
     return candidates.select(id_col, emb_col).mapInPandas(batches, _PAIR_SCHEMA)
 
 
+# collect_vectors refuses inputs above this row count: a centroid table
+# or query batch fits easily; anything larger is almost certainly a
+# full embedding table handed to the driver by mistake.
+COLLECT_VECTORS_MAX_ROWS = 100_000
+
+
 def collect_vectors(
-    df: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_rows: int = COLLECT_VECTORS_MAX_ROWS,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Driver-side collect of a vector set as numpy arrays.
 
     ONLY for bounded sets (a fixed query batch, a centroid table): the
     full-table paths (`cosine_selfjoin_pairs`) are block-partitioned and
-    never call this on an unbounded input.
+    never call this on an unbounded input. Enforced, not just
+    documented: limit(max_rows+1) bounds the collect itself (the guard
+    can never OOM the driver while checking), and exceeding ``max_rows``
+    raises with a pointer to the distributed paths.
     """
-    rows = df.select(id_col, emb_col).collect()
+    rows = df.select(id_col, emb_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"collect_vectors: input exceeds {max_rows} rows — this helper "
+            "is for bounded sets (query batches, centroid tables). For "
+            "full-table similarity use the block-partitioned paths "
+            "(cosine_selfjoin_pairs / nearest_lists), which never collect "
+            "to the driver."
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     return ids, mat

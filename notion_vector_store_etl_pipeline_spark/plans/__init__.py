@@ -7,6 +7,15 @@ the equivalent DuckDB oracle SQL over the pre-registered fixture views
 (region nation customer supplier part orders lineitem events documents
 embeddings). Column names/aliases MUST match between the two sides —
 the driver sorts columns by name and hashes values.
+
+Registry contract caveat: a few queries whose plan reads a heavy
+intermediate from multiple branches persist it EAGERLY at fn() call
+time (hll_sketch_union, the prefix-filter jaccard family) — for those,
+fn() launches a Spark job before the caller runs any action, and the
+cache is held until ``operators.cache.release_cache()`` (or
+``spark.catalog.clearCache()``) is called. Long-lived sessions that
+loop over the registry should release between queries, as bench.py and
+scripts/parity_check.py do.
 """
 
 from __future__ import annotations

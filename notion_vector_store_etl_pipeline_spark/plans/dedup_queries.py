@@ -1,10 +1,11 @@
 """Deduplication queries (north star, SURVEY.md §2.11): exact hash
 dedup, exact n-gram Jaccard self-join (brute + PPJoin prefix-filtered),
 MinHash-LSH near-dup, SimHash buckets. Every query here is
-oracle-checked: the SimHash family hashes shingles with sha60
-(cross-engine stable) so DuckDB replays the fingerprints bit-for-bit,
-and the MinHash/LSH query emits an exact-Jaccard recall gate the
-oracle recomputes independently.
+oracle-checked: the SimHash AND MinHash/LSH families hash shingles
+with sha60 (cross-engine stable) so DuckDB replays fingerprints,
+signatures, band buckets, and the verified near-dup pair set
+bit-for-bit. The MinHash recall-vs-exact gate lives in
+tests/test_dedup.py (fixture scale), not in the production operator.
 """
 
 from __future__ import annotations
@@ -97,54 +98,79 @@ def ngram_jaccard_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MinHash replayed in SQL, mirroring operators.dedup exactly:
+# base = sha60(shingle) % p, mh_i = min((base*(2i+1) + 1000003*(i+1)) % p),
+# band bucket = polynomial fold of the band's 4 minhashes (see
+# operators.dedup.band_bucket). sha60 values are non-negative, so SQL
+# `%` and Spark `pmod` agree.
+_MH_P = 2147483647  # operators.dedup.MERSENNE_PRIME
+_MH_C = 1048583  # operators.dedup.BUCKET_COMBINE
+_MH_SIG_SQL = ",\n             ".join(
+    f"min((base * {2 * i + 1} + {1_000_003 * (i + 1)}) % {_MH_P}) AS mh_{i}"
+    for i in range(32)
+)
+
+
+def _mh_bucket_sql(band: int, rows_per_band: int = 4) -> str:
+    expr = f"mh_{band * rows_per_band}"
+    for r in range(1, rows_per_band):
+        expr = f"(({expr}) * {_MH_C} + mh_{band * rows_per_band + r}) % {_MH_P}"
+    return expr
+
+
+_MH_BUCKET_CASE = "CASE t.band " + " ".join(
+    f"WHEN {band} THEN {_mh_bucket_sql(band)}" for band in range(8)
+) + " END"
+
+
 @register(
     "minhash_lsh_neardup",
     oracle=_SHINGLES_CTE
-    + """
-    , exact AS (
-      SELECT a.sid AS a_id, b.sid AS b_id, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+    + f"""
+    , hh AS (
+      SELECT sid, shingle,
+             CAST(('0x' || substr(sha256(shingle), 1, 15)) AS BIGINT) % {_MH_P} AS base
+      FROM sh
+    ), sig AS (
+      SELECT sid,
+             {_MH_SIG_SQL}
+      FROM hh GROUP BY sid
+    ), melted AS (
+      SELECT sid, t.band, {_MH_BUCKET_CASE} AS bucket
+      FROM sig CROSS JOIN range(8) AS t(band)
+    ), cand AS (
+      SELECT DISTINCT a.sid AS a_id, b.sid AS b_id
+      FROM melted a JOIN melted b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.sid < b.sid
+    ), common AS (
+      SELECT c.a_id, c.b_id, count(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.sid = c.a_id
+      JOIN sh sb ON sb.sid = c.b_id AND sb.shingle = sa.shingle
       GROUP BY 1, 2
     )
-    SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok
-    FROM exact
-    JOIN sizes sa ON sa.sid = exact.a_id
-    JOIN sizes sb ON sb.sid = exact.b_id
+    SELECT a_id, b_id,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.sid = common.a_id
+    JOIN sizes sb ON sb.sid = common.b_id
     WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2
     """,
-    doc="MinHash(32 perms) + LSH(8 bands x 4 rows) candidates, verified "
-    "with exact Jaccard — the sub-quadratic near-dup path for 100 TB. "
-    "Checked output: n_exact_pairs (the uncapped exact-Jaccard pair "
-    "count, recomputed independently by the oracle) and a recall gate "
-    "(LSH must recover >= 70% of the exact pairs; measured 1.0 on the "
-    "fixtures). Precision is 1 by construction — every emitted pair is "
-    "exact-verified before it leaves the operator.",
+    doc="MinHash(32 perms) + LSH(8 bands x 4 rows) near-dup pairs with "
+    "candidate-local exact-Jaccard verification — the sub-quadratic "
+    "100 TB path, and the registered output IS that path's result: "
+    "signatures, band buckets, candidate join, and verification all use "
+    "cross-engine-stable arithmetic (sha60 base hash + polynomial "
+    "band-bucket fold), so the oracle replays the exact pair set — full "
+    "value parity, no all-pairs work anywhere in the plan. Precision is "
+    "1 by construction (every emitted pair is exact-verified); the "
+    "recall-vs-exact gate lives in tests/test_dedup.py at fixture "
+    "scale, NOT in the production operator (r6 verdict item 1: the "
+    "embedded O(pairs) denominator was the one scale-killer left).",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # the exact pair set is persisted eagerly because it feeds BOTH the
-    # denominator agg and the semi join below (lazy, it would run twice
-    # inside the one action). Brute shingle join, not the PPJoin
-    # variant: at threshold 0.2 the (1-t)n+1 prefix is ~80% of each
-    # set, so prefix filtering buys nothing (measured equal at sf0.1);
-    # the prefix path wins at the higher thresholds where
-    # `ngram_jaccard_prefixfilter` runs it.
-    exact = D.jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2).select(
-        "a_id", "b_id"
-    ).persist()
-    exact.count()
-    found = D.minhash_neardup(docs, "text", "doc_id", threshold=0.2).select(
-        "a_id", "b_id"
-    )
-    hits = exact.join(found, ["a_id", "b_id"], "left_semi")
-    return (
-        exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
-        .select(
-            "n_exact_pairs",
-            (F.col("_n_hit") / F.col("n_exact_pairs") >= 0.7).alias("recall_ok"),
-        )
-    )
+    return D.minhash_neardup(docs, "text", "doc_id", threshold=0.2, checkable=True)
 
 
 # 60-bit SimHash replayed in SQL: per-bit majority votes over sha60

@@ -17,9 +17,15 @@ per-replica key shifts so joins keep 1:1/1:N fan-outs:
   (quadratic within clone groups), not 10x more data. With it,
   replicas share no shingles: the honest "10x corpus" workload.
   n_chars is recomputed to stay consistent with the rewritten text.
-- embeddings: vec ids shifted, vectors kept (clone vectors would skew
-  near-dup components, so embedding queries are NOT part of the sf1
-  subset — see SCALE_SMOKE_R6.md).
+- embeddings: vec ids shifted AND each replica's vectors pushed
+  through a per-replica signed permutation of the 64 dims (an
+  orthogonal transform): within a replica every pairwise cosine is
+  EXACTLY preserved (each replica is an honest copy of the corpus
+  geometry, so near-dup structure scales linearly), while
+  cross-replica cosines are scrambled to ~random (no degenerate
+  10x clone clusters). Replica 0 is the identity, so sf1 embeds
+  sf0.1 verbatim. This unblocks the embedding families that
+  SCALE_SMOKE_R6.md had to exclude.
 - dims (region nation customer supplier part): copied unchanged.
 
 Usage: python scripts/make_scale_decade.py [mult] [out_dir]
@@ -31,6 +37,8 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -86,13 +94,47 @@ def main() -> int:
         ),
         " ",
     )
+    # empty/whitespace docs: split('') yields [''], which would gain a
+    # bare "~N" token (ADVICE r6) — keep them empty instead
+    tagged = F.when(F.length(F.trim(F.col("text"))) == 0, F.col("text")).otherwise(
+        tagged
+    )
+    # n_chars is int64 in the driver parquet (pinned by
+    # tests/test_fixture_canary.py); F.length alone would write int32
     docs_big = docs_big.withColumn("text", tagged).withColumn(
-        "n_chars", F.length("text")
+        "n_chars", F.length("text").cast("long")
     )
     write("documents", docs_big.drop("rep"), 16)
 
     emb = load_table(spark, SRC, "embeddings")
-    write("embeddings", replicated(emb, mult, ("vec_id",)).drop("rep"), 8)
+    dims = len(emb.select("embedding").first()[0])
+    rng = np.random.RandomState(7)  # fixed seed: fully deterministic output
+    parts = []
+    for rep in range(mult):
+        if rep == 0:
+            perm, signs = np.arange(dims), np.ones(dims)
+        else:
+            perm = rng.permutation(dims)
+            signs = rng.choice([-1.0, 1.0], size=dims)
+        rotated = F.array(
+            *[
+                (F.element_at("embedding", int(perm[i]) + 1) * float(signs[i])).cast(
+                    "float"
+                )
+                for i in range(dims)
+            ]
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + rep * KEY_STRIDE).alias("vec_id"),
+                rotated.alias("embedding"),
+                *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+            )
+        )
+    emb_big = parts[0]
+    for p in parts[1:]:
+        emb_big = emb_big.unionByName(p)
+    write("embeddings", emb_big, 8)
 
     spark.stop()
     return 0

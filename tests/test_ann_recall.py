@@ -132,3 +132,26 @@ def test_semdedup_matches_exact_within_cluster(spark):
             assert status[vid] == (not has_lower_dup), vid
             n_dropped += has_lower_dup
     assert n_dropped > 0, "fixture produced no semantic duplicates; test is vacuous"
+
+
+def test_collect_vectors_refuses_unbounded_input(spark):
+    """collect_vectors is the one deliberate driver-side collect in the
+    similarity wing; the row-count guard (VERDICT r6 item 6) must stop a
+    future caller from handing it a full embedding table. The guard
+    itself must be collect-safe: it limits to max_rows+1 BEFORE
+    collecting, so checking a huge input never OOMs the driver."""
+    import pytest as _pytest
+
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        collect_vectors,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    # bounded inputs pass through unchanged
+    ids, mat = collect_vectors(emb.limit(5))
+    assert len(ids) == 5 and mat.shape[0] == 5
+
+    # over-limit inputs raise, and the message routes to the scale path
+    with _pytest.raises(ValueError, match="block-partitioned"):
+        collect_vectors(emb, max_rows=3)

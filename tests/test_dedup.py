@@ -65,6 +65,55 @@ def test_minhash_lsh_recall_on_high_jaccard_pairs(spark):
         assert pair in exact and abs(exact[pair] - j) < 1e-9
 
 
+def test_minhash_checkable_path_matches_default_semantics(spark):
+    """The sha60/replayable-bucket path (what the registered
+    minhash_lsh_neardup query runs) must behave like the xxhash64 hot
+    path: precision 1 (every emitted pair is a true >= threshold pair)
+    and guaranteed recall on exact duplicates."""
+    df = _corpus(spark)
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in D.jaccard_pairs(df, threshold=0.5).collect()
+    }
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in D.minhash_neardup(df, threshold=0.5, checkable=True).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    for pair, j in got.items():
+        assert pair in exact and abs(exact[pair] - j) < 1e-9
+
+
+def test_minhash_lsh_recall_vs_exact_on_fixtures(spark):
+    """The recall-vs-exact gate, moved OUT of the registered production
+    query (r6 verdict item 1): at 100 TB the all-pairs exact denominator
+    is the scale-killer, so it is asserted here at fixture scale
+    (sf0.01, 500 docs) instead of executing inside the operator. Both
+    hash paths (xxhash64 hot, sha60 checkable) must recover >= 70% of
+    the exact-Jaccard >= 0.2 pairs; measured 1.0 on the fixtures."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    exact = {
+        (r.a_id, r.b_id)
+        for r in D.jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    D.release_cache()
+    assert exact, "fixtures must contain at least one exact near-dup pair"
+    for checkable in (False, True):
+        found = {
+            (r.a_id, r.b_id)
+            for r in D.minhash_neardup(
+                docs, threshold=0.2, checkable=checkable
+            ).collect()
+        }
+        D.release_cache()
+        recall = len(exact & found) / len(exact)
+        assert recall >= 0.7, f"checkable={checkable}: recall {recall:.3f} < 0.7"
+        # precision 1 by construction: every emitted pair is exact-verified
+        assert found <= exact
+
+
 def test_minhash_verification_kills_false_positives(spark):
     df = _corpus(spark)
     got = D.minhash_neardup(df, threshold=0.9).collect()

@@ -17,12 +17,18 @@ import pytest
 
 from notion_vector_store_etl_pipeline_spark.sources.tables import TABLES, load_table
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 SF_DIRS = [
     d
     for d in (
         "/root/testdata/sf0.001",
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
+        # derived decade (scripts/make_scale_decade.py), when materialized:
+        # it must honor the same physical schema contract (ADVICE r6
+        # caught an int32 n_chars divergence exactly here)
+        os.path.join(_REPO, ".scale/sf1"),
     )
     if os.path.isdir(d)
 ]

@@ -41,7 +41,14 @@ CASES = [
     ("label_centroids", ["Generate", "posexplode", "HashAggregate"], []),
     ("curation_funnel", ["WindowGroupLimit"], []),
     ("tpch_q4_order_priority", ["LeftSemi"], []),
-    ("tpch_q21_waiting_supplier", ["LeftSemi", "LeftAnti"], ["CartesianProduct"]),
+    # r7 aggregate rewrite: sole-late-supplier via per-order
+    # countDistinct census, never lineitem self-joins (the semi/anti
+    # formulation shuffled lineitem 3x and grew 3.81x/decade at sf1)
+    (
+        "tpch_q21_waiting_supplier",
+        ["HashAggregate", "TakeOrderedAndProject"],
+        ["CartesianProduct", "LeftSemi", "LeftAnti"],
+    ),
     ("tpch_q16_supplier_count", ["LeftAnti"], []),
     ("knn_topk", ["MapInPandas"], ["CartesianProduct"]),
     # blocked fuzzy match: hash join on the blocking key, never a cross
