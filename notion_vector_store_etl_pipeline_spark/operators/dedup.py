@@ -199,13 +199,39 @@ def band_bucket(cols: list[Column]) -> Column:
     return acc
 
 
+#: Band buckets holding more than this many docs switch from all-pairs
+#: enumeration to star edges (see minhash_lsh_candidates). A bucket of
+#: m colliding docs is almost always a true duplicate/template cluster;
+#: m^2/2 candidate pairs from one hot bucket is the classic near-dup
+#: skew blowup at 100 TB (one boilerplate template shared by 1M docs ->
+#: 5*10^11 pairs), while m-1 star edges preserve the downstream
+#: transitive clustering at linear cost.
+DENSE_BUCKET_CAP = 64
+
+
 def minhash_lsh_candidates(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4, checkable: bool = False
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    checkable: bool = False,
+    dense_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Band the signature and bucket-join in ONE pass: melt each row to
     (sid, band, bucket) via posexplode of the per-band bucket hashes,
     then a single self-join on (band, bucket). One scan of the
-    signatures, one shuffle — instead of `bands` recomputations."""
+    signatures, one shuffle — instead of `bands` recomputations.
+
+    ``dense_bucket_cap``: buckets with more than this many members emit
+    STAR edges (min-sid representative -> each member) instead of all
+    pairs — the skew guard for template/boilerplate mega-clusters. The
+    star preserves connected-component clustering (every member still
+    links into the same component through the representative) and exact
+    verification still applies per emitted pair; what is traded away is
+    the exhaustive pairwise list INSIDE a dense cluster, which at scale
+    is exactly the quadratic term that must not be materialized. The
+    bucket-size aggregation shares the (band, bucket) shuffle key with
+    the self-join, so the guard costs one map-side-combined agg, not an
+    extra wide exchange."""
     def band_cols(band: int) -> list[Column]:
         return [F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)]
 
@@ -218,14 +244,32 @@ def minhash_lsh_candidates(
             "sid", F.posexplode(F.array(*bucket_cols)).alias("band", "bucket")
         )
     )  # both sides of the bucket self-join
-    x = melted.select(F.col("sid").alias("a_id"), "band", "bucket")
-    y = melted.select(F.col("sid").alias("b_id"), "band", "bucket")
-    return (
+    if dense_bucket_cap is None:
+        x = melted.select(F.col("sid").alias("a_id"), "band", "bucket")
+        y = melted.select(F.col("sid").alias("b_id"), "band", "bucket")
+        return (
+            x.join(y, ["band", "bucket"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .dropDuplicates()
+        )
+    stats = melted.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_bsize"), F.min("sid").alias("_rep")
+    )
+    m = melted.join(stats, ["band", "bucket"])
+    sparse = m.filter(F.col("_bsize") <= dense_bucket_cap)
+    x = sparse.select(F.col("sid").alias("a_id"), "band", "bucket")
+    y = sparse.select(F.col("sid").alias("b_id"), "band", "bucket")
+    sparse_pairs = (
         x.join(y, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
-        .dropDuplicates()
     )
+    # _rep = min(sid) over the bucket, so a_id < b_id by construction
+    dense_pairs = m.filter(
+        (F.col("_bsize") > dense_bucket_cap) & (F.col("sid") != F.col("_rep"))
+    ).select(F.col("_rep").alias("a_id"), F.col("sid").alias("b_id"))
+    return sparse_pairs.unionByName(dense_pairs).dropDuplicates()
 
 
 def jaccard_verify_pairs(
@@ -273,19 +317,30 @@ def minhash_neardup(
     num_hashes: int = 32,
     bands: int = 8,
     checkable: bool = False,
+    dense_bucket_cap: int | None = DENSE_BUCKET_CAP,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — the 100 TB near-dup
     path: candidate generation AND verification are candidate-local,
     never all-pairs. ``checkable=True`` swaps xxhash64 for the
     cross-engine sha60 base hash and the replayable band-bucket
-    combiner, so a SQL oracle reproduces the emitted pair set exactly."""
+    combiner, so a SQL oracle reproduces the emitted pair set exactly.
+    ``dense_bucket_cap`` (on by default): buckets larger than the cap
+    contribute star edges instead of all pairs — the skew guard that
+    keeps one template/boilerplate mega-cluster from quadratic candidate
+    blowup (see :func:`minhash_lsh_candidates`); ``None`` disables."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, checkable=checkable)
     # persisted: verification reads candidates twice (the candidate-id
     # semi-join and the pair join) — without this the whole signature +
     # bucket-join pipeline would recompute
     candidates = _persist(
-        minhash_lsh_candidates(sigs, bands, rows_per_band, checkable=checkable)
+        minhash_lsh_candidates(
+            sigs,
+            bands,
+            rows_per_band,
+            checkable=checkable,
+            dense_bucket_cap=dense_bucket_cap,
+        )
     )
     return jaccard_verify_pairs(
         df, candidates, text_col, id_col, threshold=threshold

@@ -122,6 +122,90 @@ def test_minhash_verification_kills_false_positives(spark):
     assert pairs == {(1, 2)}
 
 
+def _template_cluster(spark, n=120):
+    """n docs sharing one boilerplate template, each with a few unique
+    trailing words — the adversarial-skew shape a real web corpus
+    guarantees (one template page replicated across a site). NOT exact
+    duplicates, so exact dedup does not collapse them; pairwise Jaccard
+    is high, and identical-prefix shingling makes every doc collide in
+    (mostly) the same LSH buckets."""
+    template = " ".join(f"boiler{i}" for i in range(40))
+    rows = [(i, f"{template} unique{i}a unique{i}b") for i in range(1, n + 1)]
+    rows.append((n + 1, "entirely unrelated text about spark adaptive execution"))
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def _components(pairs):
+    """Tiny union-find over (a_id, b_id) pairs -> {node: root}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_dense_bucket_cap_linear_candidates_on_template_cluster(spark):
+    """The skew guard: one 120-doc template cluster must yield O(n) star
+    candidates, not n^2/2 pairs, and the emitted verified pairs must
+    induce the SAME connected components as the uncapped all-pairs run
+    (the property 100 TB dedup actually needs)."""
+    df = _template_cluster(spark)
+    sigs = D.minhash_signatures(df)
+    capped = D.minhash_lsh_candidates(sigs, dense_bucket_cap=64).count()
+    D.release_cache()
+    uncapped = D.minhash_lsh_candidates(sigs, dense_bucket_cap=None).count()
+    D.release_cache()
+    # nearly every pair collides (a doc's unique-word shingles can steal
+    # one band's minimum): the uncapped candidate set is ~n^2/2
+    assert uncapped >= 0.95 * (120 * 119 // 2)
+    assert capped <= 8 * 119  # at most one star per band, linear in n
+
+    got_capped = {
+        (r.a_id, r.b_id)
+        for r in D.minhash_neardup(df, threshold=0.5).collect()
+    }
+    D.release_cache()
+    got_uncapped = {
+        (r.a_id, r.b_id)
+        for r in D.minhash_neardup(df, threshold=0.5, dense_bucket_cap=None).collect()
+    }
+    D.release_cache()
+    assert got_capped < got_uncapped  # star subset of the full pair list
+    assert _components(got_capped) == _components(got_uncapped)
+    # every cluster member reaches the representative
+    assert {b for _, b in got_capped} | {a for a, _ in got_capped} == set(range(1, 121))
+
+
+def test_dense_bucket_cap_is_inert_on_uniform_corpus(spark):
+    """With no bucket above the cap, the guarded path must emit exactly
+    the uncapped pair set — the production default cannot change results
+    on a healthy corpus."""
+    df = _corpus(spark)
+    for checkable in (False, True):
+        a = {
+            (r.a_id, r.b_id, r.jaccard)
+            for r in D.minhash_neardup(df, threshold=0.5, checkable=checkable).collect()
+        }
+        D.release_cache()
+        b = {
+            (r.a_id, r.b_id, r.jaccard)
+            for r in D.minhash_neardup(
+                df, threshold=0.5, checkable=checkable, dense_bucket_cap=None
+            ).collect()
+        }
+        D.release_cache()
+        assert a == b
+
+
 def test_simhash_deterministic_and_near(spark):
     df = _corpus(spark)
     sh1 = {r.doc_id: r.sh for r in df.select("doc_id", D.simhash64(F.col("text")).alias("sh")).collect()}
