@@ -90,6 +90,8 @@ HEADLINE = [
     # semi-structured extraction
     "json_extract_props",
     "variant_extract_props",
+    # round 7 addition: the skew-robust capped prefix-filter variant
+    "ngram_jaccard_prefixfilter_capped",
 ]
 
 
@@ -134,6 +136,19 @@ def main() -> None:
         # plan-canonically-identical DAGs on every call, so trial 2
         # would otherwise hit trial 1's cache and min(trials) would
         # exclude the persisted work entirely.
+        # SPARK_GRAFT_BENCH_WARM=1: one UNTIMED execution per query
+        # before its timed trials. The iterative operators (BFS,
+        # pagerank, label propagation) compile dozens of small codegen
+        # classes; their first 2-3 executions in a session are
+        # JIT-dominated (measured 17.8 -> 12.0 -> 5.9 -> 4.7 s for
+        # graph_reachability at sf1), so cold min-of-2 numbers measure
+        # the JIT, not the plan. Default OFF: the driver-recorded
+        # BENCH_r{N} keeps the cross-round cold-min methodology; the
+        # scale-evidence pages (SCALE_SMOKE_R7.md) record warm numbers
+        # and say so.
+        if os.environ.get("SPARK_GRAFT_BENCH_WARM") == "1":
+            spark.catalog.clearCache()
+            run(q.fn(spark, SF_DIR))
         trials = []
         for _ in range(n_trials):
             spark.catalog.clearCache()

@@ -427,10 +427,22 @@ def jaccard_pairs_prefix(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact-threshold Jaccard self-join via AllPairs-style prefix
     filtering (public algorithm: Bayardo et al., WWW'07): identical
     output to the brute-force shingle join, far fewer candidates.
+
+    ``max_shingle_freq``: optional stop-shingle cap (same semantics as
+    :func:`jaccard_pairs`): shingles occurring in more than this many
+    docs are removed BEFORE canonical ordering, so Jaccard is computed
+    over the capped shingle sets. This is the skew guard for template/
+    boilerplate corpora — WITHOUT it, exact pairwise enumeration over a
+    m-doc template cluster has Theta(m^2) TRUE OUTPUT pairs (every
+    template pair passes the threshold), which no candidate pruning can
+    avoid; the cap removes boilerplate from the similarity definition
+    itself, the standard semantic mitigation. ``None`` keeps the exact
+    uncapped semantics (the registered baseline).
 
     - canonical shingle order = ascending global frequency (rarest
       first), ties by string — the order that makes prefixes selective;
@@ -474,6 +486,11 @@ def jaccard_pairs_prefix(
     )  # feeds freq AND the ordering join — shingle the corpus once
     sh.count()  # eager: both consumers below must hit the cache
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
+    if max_shingle_freq is not None:
+        freq = freq.filter(F.col("freq") <= max_shingle_freq)
+    # with the cap, the inner join against the surviving frequencies
+    # drops hot shingles from every doc's set (docs left with zero
+    # shingles drop out of `ordered` entirely, mirroring the oracle)
     ordered = (
         sh.join(F.broadcast(freq), "h")
         .groupBy("sid")

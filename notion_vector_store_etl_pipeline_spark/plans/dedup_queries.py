@@ -374,3 +374,36 @@ def levenshtein_neardup_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_prefixfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.jaccard_pairs_prefix(docs, "text", "doc_id", k=3, threshold=0.5)
+
+
+@register(
+    "ngram_jaccard_prefixfilter_capped",
+    oracle=_SHINGLES_CAPPED_CTE
+    + """
+    SELECT a_id, b_id, jaccard FROM (
+      SELECT i.a_id, i.b_id,
+             round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+      FROM (
+        SELECT a.sid AS a_id, b.sid AS b_id, count(*) AS n_common
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.sid < b.sid
+        GROUP BY 1, 2
+      ) i
+      JOIN sizes sa ON sa.sid = i.a_id
+      JOIN sizes sb ON sb.sid = i.b_id
+    ) WHERE jaccard >= 0.5
+    """,
+    doc="The prefix-filtered exact Jaccard join WITH the stop-shingle "
+    f"cap (> {_HOT_SHINGLE_CAP} docs): Jaccard over capped shingle "
+    "sets, the skew-robust production configuration. The uncapped "
+    "variant's output on a m-doc template cluster is Theta(m^2) TRUE "
+    "pairs — quadratic in the cluster no matter the join strategy — "
+    "so at 100 TB the cap (or the MinHash star guard) is the semantic "
+    "mitigation; this registration pins its exact capped semantics "
+    "against the same capped brute-force oracle as "
+    "ngram_jaccard_selfjoin, at the prefix filter's 0.5 threshold.",
+)
+def ngram_jaccard_prefixfilter_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs_prefix(
+        docs, "text", "doc_id", k=3, threshold=0.5, max_shingle_freq=_HOT_SHINGLE_CAP
+    )

@@ -94,9 +94,20 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the scale path: UnionLoop re-scans+re-shuffles the edge relation "
     "each iteration and carries the undeduplicated walk between levels, "
     "so it grows ~2.8x per 10x data vs the loop's ~1.3x "
-    "(SCALE_SMOKE_R6.md sf1 decade). Kept registered: it is the "
-    "SQL-only surface for the same oracle and an independent "
-    "cross-check of the loop implementation.",
+    "(SCALE_SMOKE_R6.md sf1 decade). Round 7 re-examined the gap with "
+    "a controlled A/B at sf1: persisting the edge relation (plain or "
+    "pre-partitioned on src, the treatment bfs_reachability gives its "
+    "loop-invariant edges) makes UnionLoop SLOWER (bare 6.7 s vs "
+    "persisted 7.2 s vs persisted+repartitioned 7.2-16.8 s) — the "
+    "cache write plus the extra 1.5M-row exchange cost more than "
+    "re-deriving the cheap scan+concat union per iteration. The "
+    "residual decade growth is the work bound of UnionLoop itself "
+    "(it carries the undeduplicated walk between levels; the loop's "
+    "visited anti-join is what removes that term), so the variant is "
+    "kept bare and the scale recommendation stays with "
+    "graph_reachability (PLANS.md 'Recursive CTE vs driver loop'). "
+    "Kept registered: it is the SQL-only surface for the same oracle "
+    "and an independent cross-check of the loop implementation.",
 )
 def graph_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_edges(spark, sf_dir).createOrReplaceTempView("crawl_edges")

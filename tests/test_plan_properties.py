@@ -58,6 +58,13 @@ CASES = [
         ["HashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # r7: the declarative BFS must stay native WITH RECURSIVE
+    # (UnionLoop) over the BARE edge union — the controlled sf1 A/B
+    # showed persisting/pre-partitioning the edges makes UnionLoop
+    # slower (cache write + extra exchange beat re-deriving a cheap
+    # scan+concat union), so InMemory residue here means someone
+    # re-added the pessimization
+    ("graph_reachability_sql", ["UnionLoop"], ["InMemoryTableScan"]),
 ]
 
 
