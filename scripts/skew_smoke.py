@@ -52,6 +52,14 @@ def main() -> int:
 
     def timed(name: str, sf_dir: str) -> tuple[float, int]:
         fn = registry[name].fn
+        # one UNTIMED warmup per (query, corpus): the iterative/UDF-heavy
+        # operators are JIT-dominated on their first session execution,
+        # and the uniform corpus always runs first — without the warmup
+        # the uniform numbers absorb the JIT cost and the skew ratios
+        # read better than they are
+        release_cache()
+        spark.catalog.clearCache()
+        run(fn(spark, sf_dir))
         trials = []
         for _ in range(2):
             release_cache()
