@@ -50,75 +50,74 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 
 # Registration order matters operationally: the correctness driver
 # samples a prefix window of the registry (the first ~50), so the
-# window is spent deliberately. The _PRIORITY list below pins the
-# round-6 window: (a) the exactly-41 queries that have never had a
-# driver CORRECTNESS row in rounds 1-5 (computed from
-# CORRECTNESS_r01-r05: 116 distinct names sampled out of 157
-# registered — these are the other 41), then (b) nine re-proof slots
-# for queries whose source or measurement methodology changed this
-# round (hll_sketch_union is in the 41; the BFS pair and the
-# cache-carryover-remeasured pair ride in the re-proof tail) plus the
-# flagship families. Landing this window completes cross-round driver
-# verification of the ENTIRE registry: 116 + 41 = 157/157.
+# window is spent deliberately. Round-6 completed cross-round driver
+# verification of the entire registry (157/157, see VERDICT r6); from
+# round 7 on the window is a ROTATION: (a) queries added or changed
+# this round, which need a fresh proof row, then (b) the queries whose
+# latest green driver row is OLDEST (re-validation breadth — r1
+# vintage first, then r4), recomputed each round from the
+# CORRECTNESS_r0*.json files.
 _PRIORITY = (
-    # never-sampled (41): text analysis
-    "text_token_stats",
-    "token_count_bpe",
-    "lang_id_heuristic",
-    "quality_score",
-    "doc_fingerprint",
-    # never-sampled: multimodal (full Python-integration matrix)
-    "multimodal_decode_stub",
-    "multimodal_resize",
-    "multimodal_audio_features",
-    "multimodal_decode_arrow",
-    "multimodal_frame_sample",
-    # never-sampled: training / curation
-    "tfidf_top_terms",
-    "stratified_sample_per_group",
-    "curation_funnel",
-    "label_centroids",
-    "pii_mask",
-    # never-sampled: aggregates / analytics
-    "time_rollup_multi",
-    "profile_columns",
-    "hll_sketch_union",
-    "agg_percentiles",
-    "agg_stats_corr",
-    "agg_string_concat",
-    "histogram_width_bucket",
-    # never-sampled: dates / windows / events
-    "date_arithmetic",
-    "window_session_gap",
-    "window_lag_lead",
-    "window_tumbling_counts",
-    "filter_isin_notnull",
-    "agg_status_counts",
-    "every_nth_row",
-    "join_range_theta",
-    "join_asof_latest",
-    # never-sampled: semi-structured
-    "json_extract_props",
-    "from_json_schema_read",
-    "variant_extract_props",
-    "pivot_counts",
-    "unpivot_metrics",
-    # never-sampled: pandas-grouped / misc relational
-    "group_normalize_pandas",
-    "cogroup_conversion_stats",
-    "state_merge_upsert",
-    "sort_nulls_ordering",
-    "sample_deterministic",
-    # re-proofs (9): touched or re-measured this round + flagships
-    "graph_reachability",
-    "graph_reachability_sql",
+    # (a) new or changed in round 7 (8): the capped prefix-filter
+    # variant is NEW; minhash gained the dense-bucket star guard +
+    # decoupled recall gate; q21 was rewritten as the per-order census;
+    # the ngram pair and hll ride the shared tracked-persist registry
+    # change; graph_reachability_sql was A/B'd back to bare;
+    # knn_ivf_quantized exercises the new collect_vectors bound guard.
+    "ngram_jaccard_prefixfilter_capped",
     "minhash_lsh_neardup",
-    "graph_pagerank",
-    "neardup_components",
-    "semdedup_cluster_prune",
-    "knn_topk",
-    "dedup_exact_hash",
-    "tpch_q1_pricing_summary",
+    "tpch_q21_waiting_supplier",
+    "ngram_jaccard_prefixfilter",
+    "ngram_jaccard_selfjoin",
+    "graph_reachability_sql",
+    "hll_sketch_union",
+    "knn_ivf_quantized",
+    # (b) oldest proof rows: the 24 queries whose latest green row is
+    # still round 1.
+    "semi_join_filter",
+    "point_lookup",
+    "sort_topk",
+    "topk_per_group",
+    "limit_pages",
+    "scan_union_seed",
+    "setop_except",
+    "agg_rollup",
+    "agg_distinct_counts",
+    "dedup_first_wins",
+    "setop_intersect",
+    "join_salted_skew",
+    "setop_except_all",
+    "union_schema_evolution",
+    "setop_intersect_all",
+    "chunk_explode",
+    "chunk_explode_words",
+    "chunk_explode_udtf",
+    "chunk_ids",
+    "state_load",
+    "left_join_state",
+    "needs_vector_flag",
+    "anti_join_unchanged",
+    "stale_detect",
+    # (b) continued: 18 of the 35 round-4-vintage rows (alphabetical
+    # prefix; the remaining 17 lead the round-8 rotation).
+    "agg_approx_distinct",
+    "agg_group_sum",
+    "bloom_prejoin_filter",
+    "classifier_score_linear",
+    "contamination_ngram_overlap",
+    "domain_blocklist_filter",
+    "dq_expectations",
+    "embedding_norms",
+    "embedding_quantize_int8",
+    "hash_sha2",
+    "heavy_hitters_topk",
+    "join_broadcast_dim",
+    "join_inner_equi",
+    "knn_ivf_approx",
+    "knn_lsh_cosine",
+    "mixture_rebalance_lang",
+    "neardup_cluster_survivors",
+    "outlier_mad_filter",
 )
 
 _MODULES = (

@@ -119,7 +119,16 @@ def test_arrow_physical_schema_pinned(sf_dir):
 
     problems = []
     for name, want in EXPECTED_ARROW.items():
-        schema = pq.read_schema(os.path.join(sf_dir, f"{name}.parquet"))
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            # Spark-written tables (.scale decades) are directories of
+            # part files; the driver fixtures are single files. Any one
+            # part carries the full schema.
+            part = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )[0]
+            path = os.path.join(path, part)
+        schema = pq.read_schema(path)
         got = {f.name: str(f.type) for f in schema}
         if list(got) != list(want):
             problems.append(f"{name}: columns {list(got)} != expected {list(want)}")
