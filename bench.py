@@ -90,8 +90,11 @@ HEADLINE = [
     # semi-structured extraction
     "json_extract_props",
     "variant_extract_props",
-    # round 7 addition: the skew-robust capped prefix-filter variant
+    # round 7 additions: the skew-robust capped prefix-filter variant
+    # and the text-side end-to-end dedup pipeline (LSH pairs ->
+    # connected components)
     "ngram_jaccard_prefixfilter_capped",
+    "minhash_neardup_components",
 ]
 
 

@@ -124,10 +124,10 @@ _MH_BUCKET_CASE = "CASE t.band " + " ".join(
 ) + " END"
 
 
-@register(
-    "minhash_lsh_neardup",
-    oracle=_SHINGLES_CTE
-    + f"""
+# The complete replayable MinHash pipeline as reusable CTEs ending in
+# mh_pairs(a_id, b_id, jaccard) — shared by the pair query and the
+# components query so both oracles replay the identical pair set.
+_MH_PAIRS_CTES = f"""
     , hh AS (
       SELECT sid, shingle,
              CAST(('0x' || substr(sha256(shingle), 1, 15)) AS BIGINT) % {_MH_P} AS base
@@ -165,13 +165,23 @@ _MH_BUCKET_CASE = "CASE t.band " + " ".join(
       JOIN sh sa ON sa.sid = c.a_id
       JOIN sh sb ON sb.sid = c.b_id AND sb.shingle = sa.shingle
       GROUP BY 1, 2
+    ), mh_pairs AS (
+      SELECT a_id, b_id,
+             round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.sid = common.a_id
+      JOIN sizes sb ON sb.sid = common.b_id
+      WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2
     )
-    SELECT a_id, b_id,
-           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.sid = common.a_id
-    JOIN sizes sb ON sb.sid = common.b_id
-    WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2
+"""
+
+
+@register(
+    "minhash_lsh_neardup",
+    oracle=_SHINGLES_CTE
+    + _MH_PAIRS_CTES
+    + """
+    SELECT a_id, b_id, jaccard FROM mh_pairs
     """,
     doc="MinHash(32 perms) + LSH(8 bands x 4 rows) near-dup pairs with "
     "candidate-local exact-Jaccard verification — the sub-quadratic "
@@ -192,6 +202,49 @@ _MH_BUCKET_CASE = "CASE t.band " + " ".join(
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_neardup(docs, "text", "doc_id", threshold=0.2, checkable=True)
+
+
+@register(
+    "minhash_neardup_components",
+    oracle=_SHINGLES_CTE.replace("WITH words", "WITH RECURSIVE words", 1)
+    + _MH_PAIRS_CTES
+    + """
+    , edges AS (
+      SELECT a_id AS src, b_id AS dst FROM mh_pairs
+      UNION ALL
+      SELECT b_id, a_id FROM mh_pairs
+    ), walk(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component_id
+    FROM walk GROUP BY node
+    """,
+    doc="The TEXT-side 100 TB dedup pipeline end to end: MinHash-LSH "
+    "candidates (dense-bucket star guard) -> candidate-local exact "
+    "verify -> connected components -> (component_id per doc; "
+    "keep-one-per-component is component_id == doc_id). This is the "
+    "registered proof of the star guard's clustering claim: star "
+    "edges from a dense bucket link the same transitive clusters the "
+    "full pair enumeration would, so the dedup DECISION is identical "
+    "while the pair work stays linear in cluster size. Oracle replays "
+    "the identical pair set (shared mh_pairs CTEs) and the label "
+    "propagation as a recursive CTE. Embedding-side twin: "
+    "neardup_components.",
+)
+def minhash_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from notion_vector_store_etl_pipeline_spark.operators.traversal import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup(docs, "text", "doc_id", threshold=0.2, checkable=True)
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return connected_components(edges, nodes).select(
+        F.col("node").alias("doc_id"), F.col("component_id").cast("long").alias("component_id")
+    )
 
 
 # 60-bit SimHash replayed in SQL: per-bit majority votes over sha60

@@ -33,6 +33,7 @@ DEFAULT_QUERIES = (
     "ngram_jaccard_prefixfilter_capped",  # hot-shingle cap (prefix path)
     "ngram_jaccard_prefixfilter",  # UNCAPPED: documents the Theta(m^2)
     # true-output cost honestly — no mechanism can shrink real output
+    "minhash_neardup_components",  # LSH pairs -> components (r7)
     # embeddings-side: the vector clique
     "neardup_components",  # clique converges in one label iteration
     "neardup_cluster_survivors",
