@@ -95,6 +95,7 @@ HEADLINE = [
     # connected components)
     "ngram_jaccard_prefixfilter_capped",
     "minhash_neardup_components",
+    "minhash_incremental_probe",
 ]
 
 

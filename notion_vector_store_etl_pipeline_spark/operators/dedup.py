@@ -209,6 +209,24 @@ def band_bucket(cols: list[Column]) -> Column:
 DENSE_BUCKET_CAP = 64
 
 
+def melted_signature_buckets(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4, checkable: bool = False
+) -> DataFrame:
+    """(sid, band, bucket): each signature row melted to one row per
+    band via posexplode of the per-band bucket hashes — the shared
+    front half of the self-join and probe candidate generators."""
+    def band_cols(band: int) -> list[Column]:
+        return [F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)]
+
+    if checkable:
+        bucket_cols = [band_bucket(band_cols(band)) for band in range(bands)]
+    else:
+        bucket_cols = [F.xxhash64(*band_cols(band)) for band in range(bands)]
+    return signatures.select(
+        "sid", F.posexplode(F.array(*bucket_cols)).alias("band", "bucket")
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     bands: int = 8,
@@ -232,17 +250,8 @@ def minhash_lsh_candidates(
     bucket-size aggregation shares the (band, bucket) shuffle key with
     the self-join, so the guard costs one map-side-combined agg, not an
     extra wide exchange."""
-    def band_cols(band: int) -> list[Column]:
-        return [F.col(f"mh_{band * rows_per_band + r}") for r in range(rows_per_band)]
-
-    if checkable:
-        bucket_cols = [band_bucket(band_cols(band)) for band in range(bands)]
-    else:
-        bucket_cols = [F.xxhash64(*band_cols(band)) for band in range(bands)]
     melted = _persist(
-        signatures.select(
-            "sid", F.posexplode(F.array(*bucket_cols)).alias("band", "bucket")
-        )
+        melted_signature_buckets(signatures, bands, rows_per_band, checkable)
     )  # both sides of the bucket self-join
     if dense_bucket_cap is None:
         x = melted.select(F.col("sid").alias("a_id"), "band", "bucket")
@@ -344,6 +353,79 @@ def minhash_neardup(
     )
     return jaccard_verify_pairs(
         df, candidates, text_col, id_col, threshold=threshold
+    )
+
+
+def minhash_probe_neardup(
+    df: DataFrame,
+    batch_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    checkable: bool = False,
+    dense_bucket_cap: int | None = DENSE_BUCKET_CAP,
+) -> DataFrame:
+    """INCREMENTAL near-dup: probe a batch of new docs against the
+    existing corpus's LSH buckets — the join a 100 TB pipeline runs per
+    ingest instead of re-running the full self-join. ``batch_filter``
+    splits df into batch (True) and corpus (False). Candidates are
+    batch-x-corpus bucket collisions ONLY (never batch-batch or
+    corpus-corpus pairs — intra-batch dedup is the self-join's job),
+    so candidate volume is linear in batch size at a fixed collision
+    rate. Corpus buckets larger than ``dense_bucket_cap`` collapse to
+    their min-sid representative before the probe join: one match
+    against the representative is enough to flag a batch doc as
+    near-dup of the template cluster, and the hot bucket can no longer
+    multiply every probing batch doc by the cluster size. Exact
+    Jaccard verification per emitted pair, same as the self-join path.
+    Returns (batch_id, corpus_id, jaccard). At scale the corpus-side
+    melted buckets are the precomputable index: persist them once per
+    corpus version and only the batch side is computed per ingest."""
+    corpus = df.filter(~batch_filter)
+    batch = df.filter(batch_filter)
+    rows_per_band = num_hashes // bands
+    mc = _persist(
+        melted_signature_buckets(
+            minhash_signatures(corpus, text_col, id_col, num_hashes, checkable=checkable),
+            bands,
+            rows_per_band,
+            checkable,
+        )
+    )
+    mb = melted_signature_buckets(
+        minhash_signatures(batch, text_col, id_col, num_hashes, checkable=checkable),
+        bands,
+        rows_per_band,
+        checkable,
+    )
+    if dense_bucket_cap is not None:
+        stats = mc.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bsize"), F.min("sid").alias("_rep")
+        )
+        sparse = (
+            mc.join(stats, ["band", "bucket"])
+            .filter(F.col("_bsize") <= dense_bucket_cap)
+            .select("sid", "band", "bucket")
+        )
+        dense_reps = stats.filter(F.col("_bsize") > dense_bucket_cap).select(
+            F.col("_rep").alias("sid"), "band", "bucket"
+        )
+        mc = sparse.unionByName(dense_reps)
+    cand = (
+        mb.select(F.col("sid").alias("a_id"), "band", "bucket")
+        .join(mc.select(F.col("sid").alias("b_id"), "band", "bucket"), ["band", "bucket"])
+        .select("a_id", "b_id")
+        .dropDuplicates()
+    )
+    verified = jaccard_verify_pairs(
+        df, _persist(cand), text_col, id_col, k=3, threshold=threshold
+    )
+    return verified.select(
+        F.col("a_id").alias("batch_id"),
+        F.col("b_id").alias("corpus_id"),
+        "jaccard",
     )
 
 

@@ -58,13 +58,14 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # vintage first, then r4), recomputed each round from the
 # CORRECTNESS_r0*.json files.
 _PRIORITY = (
-    # (a) new or changed in round 7 (9): the capped prefix-filter
+    # (a) new or changed in round 7 (10): the capped prefix-filter
     # variant is NEW; minhash gained the dense-bucket star guard +
     # decoupled recall gate; q21 was rewritten as the per-order census;
     # the ngram pair and hll ride the shared tracked-persist registry
     # change; graph_reachability_sql was A/B'd back to bare;
     # knn_ivf_quantized exercises the new collect_vectors bound guard.
     "ngram_jaccard_prefixfilter_capped",
+    "minhash_incremental_probe",
     "minhash_neardup_components",
     "minhash_lsh_neardup",
     "tpch_q21_waiting_supplier",
@@ -100,8 +101,8 @@ _PRIORITY = (
     "anti_join_unchanged",
     "stale_detect",
     # (b) continued: 18 of the 35 round-4-vintage rows (alphabetical
-    # prefix; the remaining 18 (from outlier_mad_filter on) lead the
-    # round-8 rotation).
+    # prefix; the remaining 19 (from neardup_cluster_survivors on) lead
+    # the round-8 rotation).
     "agg_approx_distinct",
     "agg_group_sum",
     "bloom_prejoin_filter",
@@ -118,7 +119,6 @@ _PRIORITY = (
     "knn_ivf_approx",
     "knn_lsh_cosine",
     "mixture_rebalance_lang",
-    "neardup_cluster_survivors",
 )
 
 _MODULES = (

@@ -124,10 +124,10 @@ _MH_BUCKET_CASE = "CASE t.band " + " ".join(
 ) + " END"
 
 
-# The complete replayable MinHash pipeline as reusable CTEs ending in
-# mh_pairs(a_id, b_id, jaccard) — shared by the pair query and the
-# components query so both oracles replay the identical pair set.
-_MH_PAIRS_CTES = f"""
+# Shared replayable front half: shingle hash -> signatures -> melted
+# (sid, band, bucket), used by the self-join, components, and probe
+# oracles so all three replay identical signatures and buckets.
+_MH_MELT_CTES = f"""
     , hh AS (
       SELECT sid, shingle,
              CAST(('0x' || substr(sha256(shingle), 1, 15)) AS BIGINT) % {_MH_P} AS base
@@ -139,7 +139,14 @@ _MH_PAIRS_CTES = f"""
     ), melted AS (
       SELECT sid, t.band, {_MH_BUCKET_CASE} AS bucket
       FROM sig CROSS JOIN range(8) AS t(band)
-    ), bstat AS (
+    )
+"""
+
+# The complete replayable MinHash self-join pipeline as reusable CTEs
+# ending in mh_pairs(a_id, b_id, jaccard) — shared by the pair query
+# and the components query so both oracles replay the identical pairs.
+_MH_PAIRS_CTES = _MH_MELT_CTES + f"""
+    , bstat AS (
       SELECT band, bucket, count(*) AS bsize, min(sid) AS rep
       FROM melted GROUP BY band, bucket
     ), cand AS (
@@ -244,6 +251,65 @@ def minhash_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = docs.select(F.col("doc_id").alias("node"))
     return connected_components(edges, nodes).select(
         F.col("node").alias("doc_id"), F.col("component_id").cast("long").alias("component_id")
+    )
+
+
+@register(
+    "minhash_incremental_probe",
+    oracle=_SHINGLES_CTE
+    + _MH_MELT_CTES
+    + f"""
+    , mc AS (SELECT * FROM melted WHERE sid % 10 <> 0),
+    mb AS (SELECT * FROM melted WHERE sid % 10 = 0),
+    bstat AS (
+      SELECT band, bucket, count(*) AS bsize, min(sid) AS rep
+      FROM mc GROUP BY band, bucket
+    ), mcg AS (
+      -- corpus-side dense-bucket collapse: hot buckets keep only the
+      -- min-sid representative for the probe join
+      SELECT m.sid, m.band, m.bucket
+      FROM mc m JOIN bstat s ON s.band = m.band AND s.bucket = m.bucket
+      WHERE s.bsize <= {_MH_DENSE_CAP}
+      UNION ALL
+      SELECT rep, band, bucket FROM bstat WHERE bsize > {_MH_DENSE_CAP}
+    ), cand AS (
+      SELECT DISTINCT b.sid AS batch_id, c.sid AS corpus_id
+      FROM mb b JOIN mcg c ON b.band = c.band AND b.bucket = c.bucket
+    ), common AS (
+      SELECT cd.batch_id, cd.corpus_id, count(*) AS n_common
+      FROM cand cd
+      JOIN sh sa ON sa.sid = cd.batch_id
+      JOIN sh sb ON sb.sid = cd.corpus_id AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT batch_id, corpus_id,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.sid = common.batch_id
+    JOIN sizes sb ON sb.sid = common.corpus_id
+    WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.2
+    """,
+    doc="INCREMENTAL near-dup probe — the join a daily-ingest 100 TB "
+    "pipeline runs instead of re-running the full self-join: a batch "
+    "of new docs (doc_id % 10 = 0 here, ~10% of the corpus, standing "
+    "in for today's crawl) probes the existing corpus's LSH band "
+    "buckets; candidates are batch-x-corpus collisions only, so the "
+    "work is linear in batch size, and the corpus-side melted buckets "
+    "are the persistable index (computed once per corpus version). "
+    "Corpus buckets above the dense cap collapse to their min-id "
+    "representative before the probe (a hot template bucket cannot "
+    "multiply every probing doc by cluster size — matching the rep "
+    "already flags the batch doc). Exact-Jaccard verification per "
+    "pair; the oracle replays signatures, buckets, the collapse, and "
+    "the verified pair set bit-for-bit (shared melt CTEs with the "
+    "self-join family). Reference anchor: the incremental-skip charter "
+    "(Notion_openai_vector_etl.py:691-706) lifted from point lookups "
+    "to similarity space.",
+)
+def minhash_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_probe_neardup(
+        docs, F.col("doc_id") % 10 == 0, "text", "doc_id", threshold=0.2, checkable=True
     )
 
 

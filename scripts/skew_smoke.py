@@ -34,6 +34,7 @@ DEFAULT_QUERIES = (
     "ngram_jaccard_prefixfilter",  # UNCAPPED: documents the Theta(m^2)
     # true-output cost honestly — no mechanism can shrink real output
     "minhash_neardup_components",  # LSH pairs -> components (r7)
+    "minhash_incremental_probe",  # batch-x-corpus probe (r7)
     # embeddings-side: the vector clique
     "neardup_components",  # clique converges in one label iteration
     "neardup_cluster_survivors",

@@ -206,6 +206,63 @@ def test_dense_bucket_cap_is_inert_on_uniform_corpus(spark):
         assert a == b
 
 
+def test_minhash_probe_is_batch_x_corpus_only(spark):
+    """Incremental probe: candidates/pairs are batch-x-corpus only —
+    never batch-batch or corpus-corpus — and every emitted pair is a
+    true >= threshold pair found by the brute cross check."""
+    rows = [
+        (1, BASE),
+        (2, BASE.replace("lazy", "sleepy")),
+        (3, "completely different text about spark dataframes and shuffles"),
+        # batch (ids >= 100): 101 duplicates corpus doc 1; 102 is novel;
+        # 103 duplicates batch-mate 102 (must NOT pair: intra-batch)
+        (101, BASE),
+        (102, "a new document with words nobody else uses anywhere at all"),
+        (103, "a new document with words nobody else uses anywhere at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        (r.batch_id, r.corpus_id): r.jaccard
+        for r in D.minhash_probe_neardup(df, F.col("doc_id") >= 100, threshold=0.5).collect()
+    }
+    D.release_cache()
+    assert all(b >= 100 and c < 100 for b, c in got)  # bipartite only
+    assert (101, 1) in got and got[(101, 1)] == 1.0  # exact dup found
+    assert not any(b in (102, 103) for b, _ in got)  # intra-batch ignored
+    brute = {
+        (max(r.a_id, r.b_id), min(r.a_id, r.b_id)): r.jaccard
+        for r in D.jaccard_pairs(df, threshold=0.5).collect()
+    }
+    D.release_cache()
+    for pair, j in got.items():
+        assert pair in brute and abs(brute[pair] - j) < 1e-9
+
+
+def test_minhash_probe_dense_corpus_bucket_collapses_to_rep(spark):
+    """A template mega-cluster in the CORPUS must not multiply every
+    probing batch doc by cluster size: above the cap the probe joins
+    against the bucket's min-sid representative only."""
+    template = " ".join(f"boiler{i}" for i in range(40))
+    rows = [(i, f"{template} unique{i}a unique{i}b") for i in range(1, 101)]
+    rows.append((500, f"{template} fresh500a fresh500b"))  # the batch doc
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    capped = D.minhash_probe_neardup(
+        df, F.col("doc_id") >= 500, threshold=0.5, dense_bucket_cap=64
+    ).collect()
+    D.release_cache()
+    uncapped = D.minhash_probe_neardup(
+        df, F.col("doc_id") >= 500, threshold=0.5, dense_bucket_cap=None
+    ).collect()
+    D.release_cache()
+    # capped: the batch doc matches (at least) the cluster representative,
+    # with FAR fewer pairs than the full cluster fan-out
+    assert {r.corpus_id for r in capped} >= {1}
+    assert len(capped) <= 8  # <= one rep per band
+    assert len(uncapped) >= 90  # every cluster member collides otherwise
+    # the dedup DECISION (batch doc is a near-dup) is identical
+    assert bool(capped) == bool(uncapped)
+
+
 def test_simhash_deterministic_and_near(spark):
     df = _corpus(spark)
     sh1 = {r.doc_id: r.sh for r in df.select("doc_id", D.simhash64(F.col("text")).alias("sh")).collect()}

@@ -65,6 +65,11 @@ CASES = [
     # scan+concat union), so InMemory residue here means someone
     # re-added the pessimization
     ("graph_reachability_sql", ["UnionLoop"], ["InMemoryTableScan"]),
+    # r7 near-dup family: candidate generation is always a hash join on
+    # (band, bucket) — an all-pairs product sneaking in here is the
+    # exact 100 TB failure the star guard exists to prevent
+    ("minhash_lsh_neardup", [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    ("minhash_incremental_probe", [], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 ]
 
 
