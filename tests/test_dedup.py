@@ -206,6 +206,33 @@ def test_dense_bucket_cap_is_inert_on_uniform_corpus(spark):
         assert a == b
 
 
+def test_dense_bucket_cap_pairs_always_subset(spark):
+    """Soundness invariant of the star guard on an arbitrary mixed
+    corpus (template cluster + organic docs + unrelated docs): the
+    guarded verified pair set is ALWAYS a subset of the unguarded one
+    (star edges are a subset of each dense bucket's pairs, and
+    verification is identical), so the guard can only drop intra-
+    cluster pairs — never invent a false positive."""
+    rows = list(enumerate([BASE, BASE.replace("lazy", "sleepy"),
+                           "unrelated text about shuffle partitions and joins"], start=200))
+    template = " ".join(f"tmpl{i}" for i in range(30))
+    rows += [(i, f"{template} extra{i}") for i in range(1, 81)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    guarded = {
+        (r.a_id, r.b_id)
+        for r in D.minhash_neardup(df, threshold=0.3, dense_bucket_cap=8).collect()
+    }
+    D.release_cache()
+    unguarded = {
+        (r.a_id, r.b_id)
+        for r in D.minhash_neardup(df, threshold=0.3, dense_bucket_cap=None).collect()
+    }
+    D.release_cache()
+    assert guarded <= unguarded
+    # and the guard kept every doc connected to its cluster
+    assert _components(guarded).keys() == _components(unguarded).keys()
+
+
 def test_minhash_probe_is_batch_x_corpus_only(spark):
     """Incremental probe: candidates/pairs are batch-x-corpus only —
     never batch-batch or corpus-corpus — and every emitted pair is a
