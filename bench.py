@@ -18,6 +18,7 @@ import os
 import time
 
 from notion_vector_store_etl_pipeline_spark import get_spark
+from notion_vector_store_etl_pipeline_spark.operators.cache import release_cache
 from notion_vector_store_etl_pipeline_spark.plans import load_registry
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -151,21 +152,25 @@ def main() -> None:
         # scale-evidence pages (SCALE_SMOKE_R7.md) record warm numbers
         # and say so.
         if os.environ.get("SPARK_GRAFT_BENCH_WARM") == "1":
+            release_cache()
             spark.catalog.clearCache()
             run(q.fn(spark, SF_DIR))
         trials = []
         for _ in range(n_trials):
+            release_cache()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             run(q.fn(spark, SF_DIR))
             trials.append(time.perf_counter() - t0)
         if max(trials) > 2 * min(trials):
+            release_cache()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             run(q.fn(spark, SF_DIR))
             trials.append(time.perf_counter() - t0)
         timings[name] = round(min(trials), 3)
         # also drop residue before the next query's first trial
+        release_cache()
         spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -32,6 +32,14 @@ def persist_tracked(df: DataFrame, eager: bool = False) -> DataFrame:
     """
     df = df.persist()
     _PERSISTED.append(df)
+    # self-prune: sessions that clear caches via
+    # spark.catalog.clearCache() alone (bench.py historically) never
+    # empty this list, so it would accumulate a DataFrame reference per
+    # persist for the session lifetime. Once the list is large, drop
+    # entries whose cache is already gone (storageLevel reset by
+    # clearCache/unpersist) — a cheap driver-local check.
+    if len(_PERSISTED) > 256:
+        _PERSISTED[:] = [d for d in _PERSISTED if d.storageLevel.useMemory or d.storageLevel.useDisk]
     if eager:
         df.count()
     return df

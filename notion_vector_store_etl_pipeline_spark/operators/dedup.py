@@ -240,16 +240,23 @@ def minhash_lsh_candidates(
     signatures, one shuffle — instead of `bands` recomputations.
 
     ``dense_bucket_cap``: buckets with more than this many members emit
-    STAR edges (min-sid representative -> each member) instead of all
-    pairs — the skew guard for template/boilerplate mega-clusters. The
-    star preserves connected-component clustering (every member still
-    links into the same component through the representative) and exact
-    verification still applies per emitted pair; what is traded away is
-    the exhaustive pairwise list INSIDE a dense cluster, which at scale
-    is exactly the quadratic term that must not be materialized. The
-    bucket-size aggregation shares the (band, bucket) shuffle key with
-    the self-join, so the guard costs one map-side-combined agg, not an
-    extra wide exchange."""
+    STAR edges (min-sid representative -> each member) PLUS CHAIN edges
+    (consecutive members in sid order) instead of all pairs — the skew
+    guard for template/boilerplate mega-clusters, 2(m-1) edges instead
+    of m(m-1)/2. Exact verification still applies per emitted edge.
+    Connectivity guarantee: when the bucket is a genuine near-dup
+    cluster, EVERY chain edge passes verification, so the cluster stays
+    one component even if the min-sid representative happens to be a
+    banding false-positive whose star edges all fail (without the
+    chain, such an alien rep would silently disconnect the cluster —
+    see tests/test_dedup.py::test_dense_bucket_alien_rep_chain_rescue).
+    What is traded away is the exhaustive pairwise list INSIDE a dense
+    cluster (and pairs between non-adjacent members of a bucket that is
+    NOT a coherent cluster), which at scale is exactly the quadratic
+    term that must not be materialized. The bucket-size aggregation and
+    the chain window share the (band, bucket) shuffle key with the
+    self-join, so the guard costs one map-side-combined agg + one
+    window pass, not an extra wide exchange."""
     melted = _persist(
         melted_signature_buckets(signatures, bands, rows_per_band, checkable)
     )  # both sides of the bucket self-join
@@ -275,10 +282,21 @@ def minhash_lsh_candidates(
         .select("a_id", "b_id")
     )
     # _rep = min(sid) over the bucket, so a_id < b_id by construction
-    dense_pairs = m.filter(
-        (F.col("_bsize") > dense_bucket_cap) & (F.col("sid") != F.col("_rep"))
-    ).select(F.col("_rep").alias("a_id"), F.col("sid").alias("b_id"))
-    return sparse_pairs.unionByName(dense_pairs).dropDuplicates()
+    dense = m.filter(F.col("_bsize") > dense_bucket_cap)
+    star = dense.filter(F.col("sid") != F.col("_rep")).select(
+        F.col("_rep").alias("a_id"), F.col("sid").alias("b_id")
+    )
+    # chain edges: consecutive members in sid order (lead over the
+    # bucket). Ascending order makes a_id < b_id by construction.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "bucket").orderBy("sid")
+    chain = (
+        dense.select(
+            F.col("sid").alias("a_id"), F.lead("sid").over(w).alias("b_id")
+        ).filter(F.col("b_id").isNotNull())
+    )
+    return sparse_pairs.unionByName(star).unionByName(chain).dropDuplicates()
 
 
 def jaccard_verify_pairs(

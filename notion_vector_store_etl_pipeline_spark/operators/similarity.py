@@ -203,7 +203,10 @@ def quantize_codes(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def load_vectors_numpy(
-    spark, sf_dir: str, table: str = "embeddings"
+    spark,
+    sf_dir: str,
+    table: str = "embeddings",
+    max_rows: int = COLLECT_VECTORS_MAX_ROWS,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Load a (bounded) vector table as numpy, driver-side.
 
@@ -213,11 +216,23 @@ def load_vectors_numpy(
     fetch 20 rows is the wrong trade at any scale. Falls back to a
     Spark collect when the path isn't locally readable (object stores
     without a mounted FS).
+
+    Both paths enforce the same ``max_rows`` bound (default
+    COLLECT_VECTORS_MAX_ROWS), so behavior does not depend on which
+    path happened to run: a table too big to hand to the driver raises
+    the same error either way.
     """
     try:
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(f"{sf_dir}/{table}.parquet", columns=["vec_id", "embedding"])
+        if tbl.num_rows > max_rows:
+            raise ValueError(
+                f"load_vectors_numpy: {table} has {tbl.num_rows} rows > "
+                f"{max_rows} — this helper is for bounded sidecar tables "
+                "(centroids, query batches); use the distributed paths "
+                "for full embedding tables."
+            )
         ids = tbl.column("vec_id").to_numpy().astype(np.int64)
         mat = np.stack(
             tbl.column("embedding").to_pandas().map(lambda a: np.asarray(a, dtype=np.float64))
@@ -225,7 +240,7 @@ def load_vectors_numpy(
         return ids, mat
     except (OSError, FileNotFoundError):
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return collect_vectors(df, "vec_id", "embedding")
+        return collect_vectors(df, "vec_id", "embedding", max_rows=max_rows)
 
 
 def nearest_lists_numpy(

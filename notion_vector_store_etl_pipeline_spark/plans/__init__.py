@@ -100,7 +100,7 @@ _PRIORITY = (
     "needs_vector_flag",
     "anti_join_unchanged",
     "stale_detect",
-    # (b) continued: 18 of the 35 round-4-vintage rows (alphabetical
+    # (b) continued: 16 of the 35 round-4-vintage rows (alphabetical
     # prefix; the remaining 19 (from neardup_cluster_survivors on) lead
     # the round-8 rotation).
     "agg_approx_distinct",

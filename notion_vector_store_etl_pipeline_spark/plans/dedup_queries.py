@@ -153,6 +153,9 @@ _MH_PAIRS_CTES = _MH_MELT_CTES + f"""
       -- mirrors operators.dedup.minhash_lsh_candidates with the
       -- DENSE_BUCKET_CAP skew guard: sparse buckets -> all pairs,
       -- dense buckets -> star edges to the min-sid representative
+      -- PLUS consecutive-sid chain edges (the chain keeps a genuine
+      -- cluster connected even when the rep is a banding false
+      -- positive whose star edges fail verification)
       SELECT DISTINCT a_id, b_id FROM (
         SELECT a.sid AS a_id, b.sid AS b_id
         FROM melted a
@@ -165,6 +168,14 @@ _MH_PAIRS_CTES = _MH_MELT_CTES + f"""
         FROM melted m
         JOIN bstat s ON s.band = m.band AND s.bucket = m.bucket
         WHERE s.bsize > {_MH_DENSE_CAP} AND m.sid <> s.rep
+        UNION ALL
+        SELECT a_id, b_id FROM (
+          SELECT m.sid AS a_id,
+                 lead(m.sid) OVER (PARTITION BY m.band, m.bucket ORDER BY m.sid) AS b_id
+          FROM melted m
+          JOIN bstat s ON s.band = m.band AND s.bucket = m.bucket
+          WHERE s.bsize > {_MH_DENSE_CAP}
+        ) WHERE b_id IS NOT NULL
       )
     ), common AS (
       SELECT c.a_id, c.b_id, count(*) AS n_common
@@ -203,8 +214,11 @@ _MH_PAIRS_CTES = _MH_MELT_CTES + f"""
     "embedded O(pairs) denominator was the one scale-killer left). "
     f"Skew guard: band buckets with > {_MH_DENSE_CAP} members (a "
     "template/boilerplate mega-cluster) emit star edges to the min-id "
-    "representative instead of all pairs — linear in cluster size, "
-    "replayed identically by the oracle's bstat CTE.",
+    "representative plus consecutive-sid chain edges instead of all "
+    "pairs — 2(m-1) edges, linear in cluster size; the chain keeps a "
+    "genuine cluster connected even if the rep is a banding false "
+    "positive that fails verification. Replayed identically by the "
+    "oracle's bstat/lead CTEs.",
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -232,10 +246,12 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidates (dense-bucket star guard) -> candidate-local exact "
     "verify -> connected components -> (component_id per doc; "
     "keep-one-per-component is component_id == doc_id). This is the "
-    "registered proof of the star guard's clustering claim: star "
-    "edges from a dense bucket link the same transitive clusters the "
-    "full pair enumeration would, so the dedup DECISION is identical "
-    "while the pair work stays linear in cluster size. Oracle replays "
+    "registered proof of the dense-bucket guard's clustering claim: "
+    "star+chain edges from a dense bucket link the same transitive "
+    "clusters the full pair enumeration would whenever the bucket is "
+    "a genuine near-dup cluster (every chain edge verifies), so the "
+    "dedup DECISION is identical while pair work stays linear in "
+    "cluster size. Oracle replays "
     "the identical pair set (shared mh_pairs CTEs) and the label "
     "propagation as a recursive CTE. Embedding-side twin: "
     "neardup_components.",

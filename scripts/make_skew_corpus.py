@@ -85,8 +85,11 @@ def main() -> int:
     dims = len(emb.select("embedding").first()[0])
     in_clique = F.col("vec_id") % SKEW_MOD == 0
     # template = unit vector along a fixed diagonal; noise = tiny
-    # deterministic per-vec offset in one dimension so vectors are
-    # distinct but pairwise cosine stays > 0.99
+    # deterministic per-vec offset in one dimension keeping pairwise
+    # cosine > 0.99. The (vec_id % dims, vec_id % 7) scheme can repeat
+    # across replicas, so a few clique vectors are exact duplicates —
+    # harmless here: the clique exercises the near-dup/components
+    # paths either way, and nothing in the smoke assumes distinctness
     base = 1.0 / (dims ** 0.5)
     noise_dim = (F.col("vec_id") % dims).cast("int")
     clique_vec = F.transform(

@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 from notion_vector_store_etl_pipeline_spark import get_spark
+from notion_vector_store_etl_pipeline_spark.operators.cache import release_cache
 from notion_vector_store_etl_pipeline_spark.plans import load_registry
 from notion_vector_store_etl_pipeline_spark.sources import TABLES
 
@@ -70,7 +71,9 @@ def main() -> int:
             print(f"  duck-only={do}")
         # queries that eager-persist intermediates (registry contract
         # caveat in plans.__init__) would otherwise accumulate executor
-        # memory across the 157-query sweep
+        # memory across the full-registry sweep; release_cache also
+        # empties the tracked-persist registry's driver-side references
+        release_cache()
         spark.catalog.clearCache()
     spark.stop()
     print(f"\n{len(failures)} failures: {failures}")

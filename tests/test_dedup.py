@@ -167,7 +167,8 @@ def test_dense_bucket_cap_linear_candidates_on_template_cluster(spark):
     # nearly every pair collides (a doc's unique-word shingles can steal
     # one band's minimum): the uncapped candidate set is ~n^2/2
     assert uncapped >= 0.95 * (120 * 119 // 2)
-    assert capped <= 8 * 119  # at most one star per band, linear in n
+    # at most one star + one chain edge per member per band: linear in n
+    assert capped <= 16 * 119
 
     got_capped = {
         (r.a_id, r.b_id)
@@ -229,8 +230,42 @@ def test_dense_bucket_cap_pairs_always_subset(spark):
     }
     D.release_cache()
     assert guarded <= unguarded
-    # and the guard kept every doc connected to its cluster
-    assert _components(guarded).keys() == _components(unguarded).keys()
+
+    def partition(pairs):
+        comp = _components(pairs)
+        groups = {}
+        for node, root in comp.items():
+            groups.setdefault(root, set()).add(node)
+        return {frozenset(g) for g in groups.values()}
+
+    # and the guard preserved the component STRUCTURE, not just node
+    # coverage: same partition of docs into clusters up to relabeling
+    assert partition(guarded) == partition(unguarded)
+
+
+def test_dense_bucket_alien_rep_chain_rescue(spark):
+    """The failure mode the chain edges exist for: a dense bucket whose
+    min-sid representative is a banding FALSE POSITIVE (collides in the
+    bucket but is not a near-dup of the members). Star edges to the
+    alien rep all fail exact verification; without the chain the whole
+    genuine cluster would silently fall out of the output. Signatures
+    are fabricated directly so the collision is forced."""
+    template = " ".join(f"word{i}" for i in range(30))
+    rows = [(1, "utterly unrelated text about executors and shuffle spill files")]
+    rows += [(i, f"{template} unique{i}") for i in range(2, 71)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    schema = ", ".join(["sid: long"] + [f"mh_{j}: long" for j in range(32)])
+    sigs = spark.createDataFrame([(i, *([7] * 32)) for i in range(1, 71)], schema)
+    cand = D.minhash_lsh_candidates(sigs, dense_bucket_cap=8)
+    got = {
+        (r.a_id, r.b_id)
+        for r in D.jaccard_verify_pairs(df, cand, threshold=0.5).collect()
+    }
+    D.release_cache()
+    assert got, "chain edges must survive verification"
+    assert not any(1 in pair for pair in got)  # alien rep fully rejected
+    comp = _components(got)
+    assert {comp[i] for i in range(2, 71)} == {comp[2]}  # one cluster
 
 
 def test_minhash_probe_is_batch_x_corpus_only(spark):

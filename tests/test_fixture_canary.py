@@ -124,10 +124,15 @@ def test_arrow_physical_schema_pinned(sf_dir):
             # Spark-written tables (.scale decades) are directories of
             # part files; the driver fixtures are single files. Any one
             # part carries the full schema.
-            part = sorted(
-                f for f in os.listdir(path) if f.endswith(".parquet")
-            )[0]
-            path = os.path.join(path, part)
+            parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+            if not parts:
+                problems.append(
+                    f"{name} at {sf_dir}: directory has no part files "
+                    "(interrupted decade generation? re-run "
+                    "scripts/make_scale_decade.py)"
+                )
+                continue
+            path = os.path.join(path, parts[0])
         schema = pq.read_schema(path)
         got = {f.name: str(f.type) for f in schema}
         if list(got) != list(want):
