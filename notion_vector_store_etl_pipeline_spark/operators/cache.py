@@ -18,6 +18,19 @@ from pyspark.sql import DataFrame
 _PERSISTED: list[DataFrame] = []
 
 
+def _still_cached(df: DataFrame) -> bool:
+    """True when the DataFrame's cache is still live. ``storageLevel``
+    is a JVM round-trip; a module-level entry can outlive its
+    SparkSession (sequential test sessions), in which case the property
+    access raises — treat that as 'cache gone' and drop the entry
+    (ADVICE r7)."""
+    try:
+        lvl = df.storageLevel
+        return lvl.useMemory or lvl.useDisk
+    except Exception:
+        return False
+
+
 def persist_tracked(df: DataFrame, eager: bool = False) -> DataFrame:
     """persist() with registration so release_cache() can free it later.
 
@@ -39,13 +52,18 @@ def persist_tracked(df: DataFrame, eager: bool = False) -> DataFrame:
     # entries whose cache is already gone (storageLevel reset by
     # clearCache/unpersist) — a cheap driver-local check.
     if len(_PERSISTED) > 256:
-        _PERSISTED[:] = [d for d in _PERSISTED if d.storageLevel.useMemory or d.storageLevel.useDisk]
+        _PERSISTED[:] = [d for d in _PERSISTED if _still_cached(d)]
     if eager:
         df.count()
     return df
 
 
 def release_cache() -> None:
-    """Unpersist every intermediate registered so far."""
+    """Unpersist every intermediate registered so far. Entries whose
+    session has since stopped are dropped silently (same rationale as
+    the self-prune above)."""
     while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass

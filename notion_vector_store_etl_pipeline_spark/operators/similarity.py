@@ -225,14 +225,19 @@ def load_vectors_numpy(
     try:
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(f"{sf_dir}/{table}.parquet", columns=["vec_id", "embedding"])
-        if tbl.num_rows > max_rows:
+        path = f"{sf_dir}/{table}.parquet"
+        # footer-only row count BEFORE read_table: the bound must refuse
+        # an oversized table without first materializing it in driver
+        # memory (ADVICE r7 — a post-read check protects nothing)
+        num_rows = pq.ParquetFile(path).metadata.num_rows
+        if num_rows > max_rows:
             raise ValueError(
-                f"load_vectors_numpy: {table} has {tbl.num_rows} rows > "
+                f"load_vectors_numpy: {table} has {num_rows} rows > "
                 f"{max_rows} — this helper is for bounded sidecar tables "
                 "(centroids, query batches); use the distributed paths "
                 "for full embedding tables."
             )
+        tbl = pq.read_table(path, columns=["vec_id", "embedding"])
         ids = tbl.column("vec_id").to_numpy().astype(np.int64)
         mat = np.stack(
             tbl.column("embedding").to_pandas().map(lambda a: np.asarray(a, dtype=np.float64))

@@ -155,3 +155,21 @@ def test_collect_vectors_refuses_unbounded_input(spark):
     # over-limit inputs raise, and the message routes to the scale path
     with _pytest.raises(ValueError, match="block-partitioned"):
         collect_vectors(emb, max_rows=3)
+
+
+def test_load_vectors_numpy_footer_guard_precedes_read(spark, monkeypatch):
+    """The pyarrow fast path must refuse an oversized table from the
+    parquet FOOTER alone (ADVICE r7): pq.read_table must never run for
+    an input over the bound, otherwise the 'driver OOM guard' has
+    already materialized the table it is guarding against."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from notion_vector_store_etl_pipeline_spark.operators import similarity as S
+
+    def _boom(*a, **k):
+        raise AssertionError("read_table ran before the footer guard")
+
+    monkeypatch.setattr(pq, "read_table", _boom)
+    with _pytest.raises(ValueError, match="bounded sidecar"):
+        S.load_vectors_numpy(spark, SF, max_rows=3)
