@@ -97,6 +97,10 @@ HEADLINE = [
     "ngram_jaccard_prefixfilter_capped",
     "minhash_neardup_components",
     "minhash_incremental_probe",
+    # round 8 addition: the probe over the STORED corpus index — first
+    # trial pays the one-time index build, min-of-trials reports the
+    # per-ingest cost (no corpus-side signature recomputation)
+    "minhash_probe_stored_index",
 ]
 
 

@@ -35,6 +35,7 @@ DEFAULT_QUERIES = (
     # true-output cost honestly — no mechanism can shrink real output
     "minhash_neardup_components",  # LSH pairs -> components (r7)
     "minhash_incremental_probe",  # batch-x-corpus probe (r7)
+    "minhash_probe_stored_index",  # probe over the stored index (r8)
     # embeddings-side: the vector clique
     "neardup_components",  # clique converges in one label iteration
     "neardup_cluster_survivors",

@@ -300,10 +300,10 @@ def test_minhash_probe_is_batch_x_corpus_only(spark):
         assert pair in brute and abs(brute[pair] - j) < 1e-9
 
 
-def test_minhash_probe_dense_corpus_bucket_collapses_to_rep(spark):
+def test_minhash_probe_dense_corpus_bucket_collapses_to_keepers(spark):
     """A template mega-cluster in the CORPUS must not multiply every
     probing batch doc by cluster size: above the cap the probe joins
-    against the bucket's min-sid representative only."""
+    against the bucket's PROBE_DENSE_KEEP lowest-sid members only."""
     template = " ".join(f"boiler{i}" for i in range(40))
     rows = [(i, f"{template} unique{i}a unique{i}b") for i in range(1, 101)]
     rows.append((500, f"{template} fresh500a fresh500b"))  # the batch doc
@@ -316,13 +316,92 @@ def test_minhash_probe_dense_corpus_bucket_collapses_to_rep(spark):
         df, F.col("doc_id") >= 500, threshold=0.5, dense_bucket_cap=None
     ).collect()
     D.release_cache()
-    # capped: the batch doc matches (at least) the cluster representative,
+    # capped: the batch doc matches (at least) the cluster's lowest id,
     # with FAR fewer pairs than the full cluster fan-out
     assert {r.corpus_id for r in capped} >= {1}
-    assert len(capped) <= 8  # <= one rep per band
+    assert len(capped) <= 8 * D.PROBE_DENSE_KEEP  # <= keepers per band
     assert len(uncapped) >= 90  # every cluster member collides otherwise
     # the dedup DECISION (batch doc is a near-dup) is identical
     assert bool(capped) == bool(uncapped)
+
+
+def test_minhash_probe_dense_bucket_alien_rep_survives(spark):
+    """The probe-side twin of the chain-rescue test (r7 verdict item 1):
+    a dense corpus bucket whose min-sid member is a banding FALSE
+    POSITIVE (collides in the bucket, not a near-dup of the cluster).
+    With a 1-member collapse the batch doc would verify only against
+    the alien rep, fail exact Jaccard, and be silently missed; keeping
+    PROBE_DENSE_KEEP=2 members makes the second-lowest sid — a genuine
+    cluster member — a probe target too. The corpus index is fabricated
+    directly so the collision is forced."""
+    template = " ".join(f"word{i}" for i in range(30))
+    rows = [(1, "utterly unrelated text about executors and shuffle spill files")]
+    rows += [(i, f"{template} unique{i}") for i in range(2, 71)]
+    rows.append((500, f"{template} fresh500"))  # the probing batch doc
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    # every corpus doc (1..70) and the batch doc share one bucket per band
+    corpus_melted = spark.createDataFrame(
+        [(i, b, 7) for i in range(1, 71) for b in range(8)],
+        "sid: long, band: int, bucket: long",
+    )
+    batch_melted = spark.createDataFrame(
+        [(500, b, 7) for b in range(8)], "sid: long, band: int, bucket: long"
+    )
+    collapsed = D.collapse_dense_buckets(corpus_melted, dense_bucket_cap=8)
+    kept = {r.sid for r in collapsed.select("sid").distinct().collect()}
+    assert kept == {1, 2}  # alien rep + one genuine member
+    cand = D.minhash_probe_candidates(batch_melted, collapsed)
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in D.jaccard_verify_pairs(df, cand, threshold=0.5).collect()
+    }
+    D.release_cache()
+    assert (500, 2) in got  # flagged via the genuine member
+    assert not any(b == 1 for _, b in got)  # alien rep fully rejected
+    # counterfactual: the old 1-member collapse silently misses the doc
+    old = D.collapse_dense_buckets(corpus_melted, dense_bucket_cap=8, keep=1)
+    missed = D.jaccard_verify_pairs(
+        df, D.minhash_probe_candidates(batch_melted, old), threshold=0.5
+    ).count()
+    D.release_cache()
+    assert missed == 0
+
+
+def test_probe_over_stored_index_matches_fresh(spark, tmp_path):
+    """The stored-index contract: build_lsh_index -> write_lsh_index ->
+    load_lsh_index -> probe produces EXACTLY the pairs of the
+    compute-fresh probe, for both hash families — so a pipeline can
+    persist the index once per corpus version and trust every later
+    ingest's probe."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch_filter = F.col("doc_id") % 10 == 0
+    for checkable in (False, True):
+        fresh = {
+            (r.batch_id, r.corpus_id, r.jaccard)
+            for r in D.minhash_probe_neardup(
+                docs, batch_filter, threshold=0.2, checkable=checkable
+            ).collect()
+        }
+        D.release_cache()
+        path = str(tmp_path / f"lsh_index_{checkable}")
+        D.write_lsh_index(
+            D.build_lsh_index(docs.filter(~batch_filter), checkable=checkable), path
+        )
+        stored = {
+            (r.batch_id, r.corpus_id, r.jaccard)
+            for r in D.minhash_probe_neardup(
+                docs,
+                batch_filter,
+                threshold=0.2,
+                checkable=checkable,
+                corpus_index=D.load_lsh_index(spark, path),
+            ).collect()
+        }
+        D.release_cache()
+        assert stored == fresh
+        assert fresh, "fixture produced no probe pairs; parity is vacuous"
 
 
 def test_simhash_deterministic_and_near(spark):
