@@ -58,67 +58,65 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # vintage first, then r4), recomputed each round from the
 # CORRECTNESS_r0*.json files.
 _PRIORITY = (
-    # (a) new or changed in round 7 (10): the capped prefix-filter
-    # variant is NEW; minhash gained the dense-bucket star guard +
-    # decoupled recall gate; q21 was rewritten as the per-order census;
-    # the ngram pair and hll ride the shared tracked-persist registry
-    # change; graph_reachability_sql was A/B'd back to bare;
-    # knn_ivf_quantized exercises the new collect_vectors bound guard.
-    "ngram_jaccard_prefixfilter_capped",
+    # (a) new or changed in round 8 (2): the stored-index probe is NEW
+    # (never driver-sampled); minhash_incremental_probe's dense-bucket
+    # collapse changed from 1-member to PROBE_DENSE_KEEP=2 (r7 verdict
+    # item 1) so its oracle needs a fresh proof row.
+    "minhash_probe_stored_index",
     "minhash_incremental_probe",
-    "minhash_neardup_components",
-    "minhash_lsh_neardup",
-    "tpch_q21_waiting_supplier",
-    "ngram_jaccard_prefixfilter",
-    "ngram_jaccard_selfjoin",
-    "graph_reachability_sql",
-    "hll_sketch_union",
-    "knn_ivf_quantized",
-    # (b) oldest proof rows: the 24 queries whose latest green row is
-    # still round 1.
-    "semi_join_filter",
-    "point_lookup",
-    "sort_topk",
-    "topk_per_group",
-    "limit_pages",
-    "scan_union_seed",
-    "setop_except",
-    "agg_rollup",
-    "agg_distinct_counts",
-    "dedup_first_wins",
-    "setop_intersect",
-    "join_salted_skew",
-    "setop_except_all",
-    "union_schema_evolution",
-    "setop_intersect_all",
-    "chunk_explode",
-    "chunk_explode_words",
-    "chunk_explode_udtf",
-    "chunk_ids",
-    "state_load",
-    "left_join_state",
-    "needs_vector_flag",
-    "anti_join_unchanged",
-    "stale_detect",
-    # (b) continued: 16 of the 35 round-4-vintage rows (alphabetical
-    # prefix; the remaining 19 (from neardup_cluster_survivors on) lead
-    # the round-8 rotation).
-    "agg_approx_distinct",
-    "agg_group_sum",
-    "bloom_prejoin_filter",
-    "classifier_score_linear",
-    "contamination_ngram_overlap",
-    "domain_blocklist_filter",
-    "dq_expectations",
-    "embedding_norms",
-    "embedding_quantize_int8",
-    "hash_sha2",
-    "heavy_hitters_topk",
-    "join_broadcast_dim",
-    "join_inner_equi",
-    "knn_ivf_approx",
-    "knn_lsh_cosine",
-    "mixture_rebalance_lang",
+    # (b) oldest proof rows first (recomputed from CORRECTNESS_r0*.json
+    # at the start of r8): the 18 remaining round-4-vintage names.
+    "neardup_cluster_survivors",
+    "outlier_mad_filter",
+    "parse_bool_int",
+    "project_coalesce",
+    "regex_extract_id",
+    "regexp_extract_all_numbers",
+    "repetition_profile",
+    "safe_filename",
+    "sequence_packing",
+    "similarity_selfjoin",
+    "split_train_val_test",
+    "title_coalesce",
+    "train_export_shuffle",
+    "traversal_step",
+    "url_basename",
+    "uuid_normalize",
+    "winnowing_fingerprint",
+    "zorder_layout",
+    # (b) continued: 30 of the 45 round-5-vintage rows (alphabetical
+    # prefix; the remaining 15 — tpch_q20_part_promotion through
+    # window_sliding_counts — lead the round-9 rotation).
+    "agg_cube",
+    "agg_grouping_sets",
+    "array_hof_ops",
+    "dedup_embedding_cosine",
+    "hybrid_rrf_search",
+    "incremental_changed",
+    "interval_merge_islands",
+    "join_full_outer_coalesce",
+    "kmeans_assign",
+    "kmeans_update",
+    "knn_filtered",
+    "lateral_top_item",
+    "levenshtein_neardup_titles",
+    "map_explode_props",
+    "pit_interval_lookup",
+    "scd2_intervals",
+    "session_window_native",
+    "simhash_buckets",
+    "simhash_neardup",
+    "timeseries_gapfill",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_values",
+    "tpch_q12_priority_case_agg",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_avg",
+    "tpch_q18_large_volume",
+    "tpch_q19_or_predicates",
 )
 
 _MODULES = (
