@@ -2,6 +2,10 @@ from notion_vector_store_etl_pipeline_spark.streaming.windows import stream_tumb
 from notion_vector_store_etl_pipeline_spark.streaming.incremental_stream import (
     incremental_foreach_batch,
 )
+from notion_vector_store_etl_pipeline_spark.streaming.dedup_stream import (
+    probe_batch,
+    streaming_dedup_ingest,
+)
 from notion_vector_store_etl_pipeline_spark.streaming.enrich import (
     stream_dedup_first_wins,
     stream_static_enrich,
@@ -10,6 +14,8 @@ from notion_vector_store_etl_pipeline_spark.streaming.enrich import (
 )
 
 __all__ = [
+    "probe_batch",
+    "streaming_dedup_ingest",
     "stream_tumbling_counts",
     "incremental_foreach_batch",
     "stream_static_enrich",

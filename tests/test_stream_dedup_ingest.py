@@ -1,0 +1,208 @@
+"""Streaming ingest-dedup pipeline (VERDICT r7 item 5): micro-batched
+new docs probed against the STORED LSH corpus index inside
+foreachBatch, flagged dups diverted, clean docs + index deltas
+committed exactly-once. Parity target: the batch incremental probe
+(operators.dedup.minhash_probe_neardup) over the same split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from notion_vector_store_etl_pipeline_spark.operators import dedup as D
+from notion_vector_store_etl_pipeline_spark.streaming.dedup_stream import (
+    streaming_dedup_ingest,
+)
+
+SOURCE = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _split_fixture(spark, tmp_path):
+    docs = spark.read.parquet(SOURCE).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_path = str(tmp_path / "corpus")
+    batch_path = str(tmp_path / "incoming.parquet")
+    index_path = str(tmp_path / "lsh_index")
+    corpus.write.parquet(corpus_path)
+    # the paginated source reads one parquet FILE (it stands in for a
+    # remote API); write it ordered so page boundaries are deterministic
+    batch.orderBy("doc_id").toPandas().to_parquet(batch_path, index=False)
+    D.write_lsh_index(D.build_lsh_index(corpus), index_path)
+    return docs, corpus_path, batch_path, index_path
+
+
+def _run(spark, batch_path, corpus_path, index_path, out, ckpt, **kw):
+    q = streaming_dedup_ingest(
+        spark, batch_path, corpus_path, index_path, out, ckpt, **kw
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_stream_probe_matches_batch_probe(spark, tmp_path):
+    """With update_index=False every micro-batch is independent, so the
+    union of flagged pairs across batches must equal the BATCH
+    incremental probe's pair set exactly — streaming adds no drift —
+    and the clean store must hold exactly the unflagged batch docs."""
+    docs, corpus_path, batch_path, index_path = _split_fixture(spark, tmp_path)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(
+        spark,
+        batch_path,
+        corpus_path,
+        index_path,
+        out,
+        ckpt,
+        page_size=20,
+        pages_per_batch=1,
+        update_index=False,
+    )
+
+    stream_pairs = {
+        (r.batch_id, r.corpus_id, r.jaccard)
+        for r in spark.read.parquet(f"{out}/flagged").select(
+            "batch_id", "corpus_id", "jaccard"
+        ).collect()
+    }
+    batch_pairs = {
+        (r.batch_id, r.corpus_id, r.jaccard)
+        for r in D.minhash_probe_neardup(
+            docs, F.col("doc_id") % 10 == 0, threshold=0.2
+        ).collect()
+    }
+    D.release_cache()
+    assert stream_pairs == batch_pairs
+    assert batch_pairs, "fixture produced no probe pairs; parity is vacuous"
+
+    batch_ids = {r.doc_id for r in docs.filter(F.col("doc_id") % 10 == 0).collect()}
+    flagged_ids = {b for b, _, _ in stream_pairs}
+    clean_ids = {r.doc_id for r in spark.read.parquet(f"{out}/clean").collect()}
+    assert clean_ids == batch_ids - flagged_ids
+
+    # restart on the same checkpoint: nothing new to consume, outputs
+    # unchanged (exactly-once across restarts)
+    _run(
+        spark,
+        batch_path,
+        corpus_path,
+        index_path,
+        out,
+        ckpt,
+        page_size=20,
+        pages_per_batch=1,
+        update_index=False,
+    )
+    assert {
+        (r.batch_id, r.corpus_id, r.jaccard)
+        for r in spark.read.parquet(f"{out}/flagged").select(
+            "batch_id", "corpus_id", "jaccard"
+        ).collect()
+    } == stream_pairs
+    assert {r.doc_id for r in spark.read.parquet(f"{out}/clean").collect()} == clean_ids
+
+
+def test_stream_index_deltas_dedup_across_batches(spark, tmp_path):
+    """update_index=True: a doc that duplicates a CLEAN doc from an
+    earlier micro-batch must be flagged against it (the index grows by
+    per-batch deltas; the base index is never recomputed), while the
+    earlier doc itself stays clean."""
+    novel = (
+        "a genuinely novel document about adaptive query execution and "
+        "partition coalescing in distributed engines today"
+    )
+    rows = [
+        (1001, novel),
+        (1002, novel + " with one extra trailing clause appended"),  # near-dup of 1001
+        (1003, "entirely distinct content concerning tokenizer vocabularies"),
+    ]
+    import pandas as pd
+
+    batch_path = str(tmp_path / "incoming.parquet")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(batch_path)
+
+    corpus = spark.createDataFrame(
+        [(1, "old corpus text about warehouse inventory planning and restocking")],
+        "doc_id: long, text: string",
+    )
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "lsh_index")
+    corpus.write.parquet(corpus_path)
+    D.write_lsh_index(D.build_lsh_index(corpus), index_path)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # page_size=1, one page per batch -> one doc per micro-batch, in
+    # file order: 1001 first, then its near-dup 1002
+    _run(
+        spark,
+        batch_path,
+        corpus_path,
+        index_path,
+        out,
+        ckpt,
+        page_size=1,
+        pages_per_batch=1,
+        threshold=0.5,
+        update_index=True,
+    )
+
+    flagged = spark.read.parquet(f"{out}/flagged").select(
+        "batch_id", "corpus_id"
+    ).collect()
+    pairs = {(r.batch_id, r.corpus_id) for r in flagged}
+    assert pairs == {(1002, 1001)}  # cross-BATCH dup caught via delta
+    clean_ids = {r.doc_id for r in spark.read.parquet(f"{out}/clean").collect()}
+    assert clean_ids == {1001, 1003}
+    # the index deltas cover exactly the clean docs
+    delta_sids = {
+        r.sid for r in spark.read.parquet(f"{out}/index_delta").select("sid").collect()
+    }
+    assert delta_sids == {1001, 1003}
+
+
+def test_stream_replay_ignores_own_crashed_artifacts(spark, tmp_path):
+    """Crash-replay soundness of the per-batch overwrite discipline: if
+    a run died AFTER writing batch 0's clean docs + index delta but
+    BEFORE the epoch commit, the restart replays batch 0 — and must
+    ignore the crashed attempt's own artifacts (strict batch_id bound
+    in _read_prior_batches). Without the bound, the replayed doc finds
+    its own signature in the delta index and flags itself as its own
+    duplicate."""
+    import pandas as pd
+
+    doc = (1001, "some document text that is long enough to produce shingles here")
+    batch_path = str(tmp_path / "incoming.parquet")
+    pd.DataFrame([doc], columns=["doc_id", "text"]).to_parquet(batch_path, index=False)
+
+    corpus = spark.createDataFrame(
+        [(1, "unrelated corpus text about completely different considerations")],
+        "doc_id: long, text: string",
+    )
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "lsh_index")
+    corpus.write.parquet(corpus_path)
+    D.write_lsh_index(D.build_lsh_index(corpus), index_path)
+
+    # fabricate the crashed attempt: batch 0's artifacts exist on disk,
+    # but the (empty) checkpoint says batch 0 was never committed
+    out = str(tmp_path / "out")
+    batch_df = spark.createDataFrame([doc], "doc_id: long, text: string")
+    batch_df.write.parquet(f"{out}/clean/batch_id=0")
+    D.build_lsh_index(batch_df, dense_bucket_cap=None).write.parquet(
+        f"{out}/index_delta/batch_id=0"
+    )
+
+    _run(
+        spark,
+        batch_path,
+        corpus_path,
+        index_path,
+        out,
+        str(tmp_path / "ckpt"),
+        page_size=1,
+        pages_per_batch=1,
+        threshold=0.5,
+        update_index=True,
+    )
+    assert spark.read.parquet(f"{out}/flagged").count() == 0  # no self-flag
+    assert {r.doc_id for r in spark.read.parquet(f"{out}/clean").collect()} == {1001}
