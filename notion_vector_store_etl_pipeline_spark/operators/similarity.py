@@ -401,30 +401,52 @@ def ivf_coarse_rerank(
     return cands.groupBy("query_id").applyInPandas(per_query, schema)
 
 
+# cosine_selfjoin_pairs auto-sizing: cap rows per block so one task's
+# score matrix stays ~(4096^2 * 8B) = 134 MB regardless of input size.
+# The fixed n_blocks=8 this replaces was the round-8 sf10 lesson: at
+# 200k vectors a block pair held a 25k x 25k float64 score matrix
+# (~5 GB) and 32 concurrent Python workers OOM-killed the host JVM —
+# per-task memory MUST be bounded by a constant, with the block COUNT
+# (and thus task count) growing with the corpus instead.
+MAX_BLOCK_ROWS = 4096
+
+
 def cosine_selfjoin_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All-pairs (a_id < b_id) cosine >= threshold — block-partitioned.
 
-    Fully distributed exact self-join: vectors hash into ``n_blocks``
-    blocks, every unordered block pair (i <= j) becomes one shuffle
-    group, and each group is scored with a single GEMM inside
-    ``applyInPandas``. No driver-side collect anywhere in the plan.
+    Fully distributed exact self-join: vectors hash into blocks, every
+    unordered block pair (i <= j) becomes one shuffle group, and each
+    group is scored with a single GEMM inside ``applyInPandas``. No
+    driver-side collect anywhere in the plan.
 
-    Scale model: shuffle volume = n_blocks x input (each vector lands in
-    its n_blocks block-pairs), group memory = ~2n/n_blocks vectors, and
-    block-pair count = B(B+1)/2 independent tasks. B grows as the square
-    root of the desired parallelism — the standard block-nested GEMM
-    layout. Beyond exact-required workloads, the sub-quadratic path is
-    LSH/IVF candidate generation + exact verify.
+    ``n_blocks=None`` (default) sizes the block count from the input:
+    B = ceil(n / MAX_BLOCK_ROWS), floored at 8, so per-task memory is a
+    constant (~a 4096^2 score matrix) and the block-pair task count
+    B(B+1)/2 — not the per-task footprint — grows quadratically with
+    the corpus. That is the correct shape: exact all-pairs IS O(n^2)
+    work, and a 1000-executor cluster wants it as many bounded tasks,
+    never as few unbounded ones. The count() this costs is a parquet
+    metadata read on the registered inputs. Callers may still pass an
+    explicit block count (tests pin plan shapes with it).
+
+    Scale model: shuffle volume = B x input (each vector lands in its
+    B block-pairs), group memory = ~2n/B vectors, block-pair count =
+    B(B+1)/2 independent tasks. Beyond exact-required workloads, the
+    sub-quadratic path is LSH/IVF candidate generation + exact verify.
     """
+    import math
+
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
+    if n_blocks is None:
+        n_blocks = max(8, math.ceil(df.count() / MAX_BLOCK_ROWS))
     B = max(1, int(n_blocks))
     tagged = df.select(
         F.col(id_col).alias("_id"),

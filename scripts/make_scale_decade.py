@@ -28,7 +28,12 @@ per-replica key shifts so joins keep 1:1/1:N fan-outs:
   SCALE_SMOKE_R6.md had to exclude.
 - dims (region nation customer supplier part): copied unchanged.
 
-Usage: python scripts/make_scale_decade.py [mult] [out_dir]
+Usage: python scripts/make_scale_decade.py [mult] [out_dir] [tables]
+
+``tables`` (optional, comma-separated) restricts which tables are
+materialized — e.g. the sf10 smoke (mult=100) only needs
+``documents,embeddings,orders`` plus the dims for the six heavy
+families, not a 600M-row lineitem nobody times at that scale.
 """
 
 from __future__ import annotations
@@ -61,6 +66,11 @@ def replicated(df: DataFrame, mult: int, shift_cols: tuple[str, ...]) -> DataFra
 def main() -> int:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = sys.argv[2] if len(sys.argv) > 2 else ".scale/sf1"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+
+    def wanted(name: str) -> bool:
+        return only is None or name in only
+
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="make-scale-decade")
     spark.sparkContext.setLogLevel("ERROR")
@@ -71,40 +81,49 @@ def main() -> int:
         print(f"{name}: {spark.read.parquet(path).count():,} rows -> {path}")
 
     for dim in ("region", "nation", "customer", "supplier", "part"):
-        write(dim, load_table(spark, SRC, dim), 1)
+        if wanted(dim):
+            write(dim, load_table(spark, SRC, dim), 1)
 
-    orders = load_table(spark, SRC, "orders")
-    write("orders", replicated(orders, mult, ("o_orderkey",)).drop("rep"), 8)
+    if wanted("orders"):
+        orders = load_table(spark, SRC, "orders")
+        write("orders", replicated(orders, mult, ("o_orderkey",)).drop("rep"), 8)
 
-    li = load_table(spark, SRC, "lineitem")
-    write("lineitem", replicated(li, mult, ("l_orderkey",)).drop("rep"), 16)
+    if wanted("lineitem"):
+        li = load_table(spark, SRC, "lineitem")
+        write("lineitem", replicated(li, mult, ("l_orderkey",)).drop("rep"), 16)
 
-    ev = load_table(spark, SRC, "events")
-    ev_big = replicated(ev, mult, ("event_id", "user_id"))
-    # load_table's events adapter exposes ts/ts_ns from the raw file;
-    # write back the raw layout (ts only) so the adapter reapplies
-    write("events", ev_big.drop("rep", "ts_ns"), 8)
+    if wanted("events"):
+        ev = load_table(spark, SRC, "events")
+        ev_big = replicated(ev, mult, ("event_id", "user_id"))
+        # load_table's events adapter exposes ts/ts_ns from the raw file;
+        # write back the raw layout (ts only) so the adapter reapplies
+        write("events", ev_big.drop("rep", "ts_ns"), 8)
 
-    docs = load_table(spark, SRC, "documents")
-    docs_big = replicated(docs, mult, ("doc_id",))
-    tagged = F.array_join(
-        F.transform(
-            F.split(F.trim(F.col("text")), r"\s+"),
-            lambda w: F.concat(w, F.lit("~"), F.col("rep").cast("string")),
-        ),
-        " ",
-    )
-    # empty/whitespace docs: split('') yields [''], which would gain a
-    # bare "~N" token (ADVICE r6) — keep them empty instead
-    tagged = F.when(F.length(F.trim(F.col("text"))) == 0, F.col("text")).otherwise(
-        tagged
-    )
-    # n_chars is int64 in the driver parquet (pinned by
-    # tests/test_fixture_canary.py); F.length alone would write int32
-    docs_big = docs_big.withColumn("text", tagged).withColumn(
-        "n_chars", F.length("text").cast("long")
-    )
-    write("documents", docs_big.drop("rep"), 16)
+    if wanted("documents"):
+        docs = load_table(spark, SRC, "documents")
+        docs_big = replicated(docs, mult, ("doc_id",))
+        tagged = F.array_join(
+            F.transform(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda w: F.concat(w, F.lit("~"), F.col("rep").cast("string")),
+            ),
+            " ",
+        )
+        # empty/whitespace docs: split('') yields [''], which would gain a
+        # bare "~N" token (ADVICE r6) — keep them empty instead
+        tagged = F.when(F.length(F.trim(F.col("text"))) == 0, F.col("text")).otherwise(
+            tagged
+        )
+        # n_chars is int64 in the driver parquet (pinned by
+        # tests/test_fixture_canary.py); F.length alone would write int32
+        docs_big = docs_big.withColumn("text", tagged).withColumn(
+            "n_chars", F.length("text").cast("long")
+        )
+        write("documents", docs_big.drop("rep"), max(16, mult // 4))
+
+    if not wanted("embeddings"):
+        spark.stop()
+        return 0
 
     emb = load_table(spark, SRC, "embeddings")
     dims = len(emb.select("embedding").first()[0])
@@ -134,7 +153,7 @@ def main() -> int:
     emb_big = parts[0]
     for p in parts[1:]:
         emb_big = emb_big.unionByName(p)
-    write("embeddings", emb_big, 8)
+    write("embeddings", emb_big, max(8, mult // 4))
 
     spark.stop()
     return 0
