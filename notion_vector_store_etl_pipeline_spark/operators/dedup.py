@@ -125,7 +125,12 @@ def jaccard_pairs(
     )
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
-        sh = sh.join(F.broadcast(freq.select("shingle")), "shingle")
+        # no broadcast() hint: freq has CORPUS-VOCABULARY cardinality
+        # (one row per surviving distinct shingle — it grows with the
+        # data, unlike a dimension table), so a mandatory broadcast is
+        # a 100x-scale hazard. AQE broadcasts it at small SFs from
+        # runtime stats and falls back to shuffle join at scale.
+        sh = sh.join(freq.select("shingle"), "shingle")
     # sh feeds three consumers (sizes + both join sides) — compute the
     # shingle HOF explosion once, not three times
     sh = _persist(sh)
@@ -695,8 +700,12 @@ def jaccard_pairs_prefix(
     # with the cap, the inner join against the surviving frequencies
     # drops hot shingles from every doc's set (docs left with zero
     # shingles drop out of `ordered` entirely, mirroring the oracle)
+    # no broadcast() hint on freq: corpus-vocabulary cardinality (80M
+    # distinct shingle hashes at the sf10 smoke, ~GBs serialized), the
+    # classic mandatory-broadcast blowup at 100x — AQE picks broadcast
+    # at small SFs and shuffle join at scale from runtime stats
     ordered = (
-        sh.join(F.broadcast(freq), "h")
+        sh.join(freq, "h")
         .groupBy("sid")
         .agg(F.array_sort(F.collect_list(F.struct("freq", "h"))).alias("ranked"))
         .select(
