@@ -475,6 +475,43 @@ def load_lsh_index(spark, path: str) -> DataFrame:
     )
 
 
+def compact_lsh_index(
+    spark,
+    base_path: str,
+    delta_dir: str,
+    out_path: str,
+    dense_bucket_cap: int | None = DENSE_BUCKET_CAP,
+    keep: int = PROBE_DENSE_KEEP,
+) -> None:
+    """Fold streaming index deltas (streaming/dedup_stream.py writes
+    one per clean micro-batch) into the base index, producing the next
+    probe-ready index version at ``out_path`` — the periodic
+    maintenance job that keeps the per-ingest probe reading ONE
+    bucketed table instead of base + a growing delta pile. Union, one
+    re-collapse, one write; the corpus documents are never touched.
+
+    Collapse semantics vs rebuilding from scratch: keep-lowest-k is
+    stable under incremental application on the KEPT side (the merged
+    bucket's k lowest sids are among base's kept members plus the
+    deltas), so the compacted index never loses a probe target a
+    scratch-built index would keep. The one divergence is conservative:
+    a bucket whose base entry was already collapsed reports fewer
+    members than its true historical size, so it may stay under the
+    cap and retain MORE probe targets than a scratch build — extra
+    verification work on that bucket, never a missed flag. A full
+    rebuild (build_lsh_index over the whole corpus) remains the
+    periodic ground-truth refresh, e.g. whenever the corpus itself is
+    re-versioned."""
+    base = load_lsh_index(spark, base_path)
+    deltas = spark.read.parquet(delta_dir).select(
+        "sid", F.col("band").cast("int").alias("band"), "bucket"
+    )
+    merged = base.unionByName(deltas)
+    if dense_bucket_cap is not None:
+        merged = collapse_dense_buckets(merged, dense_bucket_cap, keep)
+    write_lsh_index(merged, out_path)
+
+
 def minhash_probe_candidates(batch_melted: DataFrame, corpus_index: DataFrame) -> DataFrame:
     """Bipartite candidate generation: batch-melted buckets joined to
     the corpus index on (band, bucket) — batch x corpus collisions

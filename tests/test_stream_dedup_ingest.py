@@ -206,3 +206,88 @@ def test_stream_replay_ignores_own_crashed_artifacts(spark, tmp_path):
     )
     assert spark.read.parquet(f"{out}/flagged").count() == 0  # no self-flag
     assert {r.doc_id for r in spark.read.parquet(f"{out}/clean").collect()} == {1001}
+
+
+def test_compact_lsh_index_equals_scratch_build(spark, tmp_path):
+    """Index maintenance: folding the stream's per-batch deltas into
+    the base index (compact_lsh_index) must yield an index whose probe
+    results equal a scratch build over base-corpus + streamed clean
+    docs (exact equality here — no dense buckets at fixture scale; for
+    over-cap buckets the compacted index is documented conservative:
+    never fewer probe targets than scratch)."""
+    docs = spark.read.parquet(SOURCE).select("doc_id", "text")
+    base_docs = docs.filter(F.col("doc_id") % 10 > 1)
+    delta_docs = docs.filter(F.col("doc_id") % 10 == 1)
+    batch_docs = docs.filter(F.col("doc_id") % 10 == 0)
+
+    base_path = str(tmp_path / "base_idx")
+    delta_dir = str(tmp_path / "deltas")
+    out_path = str(tmp_path / "compacted_idx")
+    D.write_lsh_index(D.build_lsh_index(base_docs), base_path)
+    # two "micro-batch" deltas, written the way the stream writes them
+    for i, part in enumerate((F.col("doc_id") % 20 == 1, F.col("doc_id") % 20 == 11)):
+        D.build_lsh_index(delta_docs.filter(part), dense_bucket_cap=None).write.parquet(
+            f"{delta_dir}/batch_id={i}"
+        )
+    D.compact_lsh_index(spark, base_path, delta_dir, out_path)
+
+    probe_input = docs  # batch + full corpus texts for verification
+    compacted = {
+        (r.batch_id, r.corpus_id, r.jaccard)
+        for r in D.minhash_probe_neardup(
+            probe_input,
+            F.col("doc_id") % 10 == 0,
+            threshold=0.2,
+            corpus_index=D.load_lsh_index(spark, out_path),
+        ).collect()
+    }
+    D.release_cache()
+    scratch_path = str(tmp_path / "scratch_idx")
+    D.write_lsh_index(
+        D.build_lsh_index(docs.filter(F.col("doc_id") % 10 != 0)), scratch_path
+    )
+    scratch = {
+        (r.batch_id, r.corpus_id, r.jaccard)
+        for r in D.minhash_probe_neardup(
+            probe_input,
+            F.col("doc_id") % 10 == 0,
+            threshold=0.2,
+            corpus_index=D.load_lsh_index(spark, scratch_path),
+        ).collect()
+    }
+    D.release_cache()
+    assert compacted == scratch
+    assert scratch, "no probe pairs at fixture scale; equality is vacuous"
+    assert batch_docs.count() > 0 and delta_docs.count() > 0
+
+
+def test_stored_index_probe_has_no_corpus_side_python(spark, tmp_path):
+    """The stored-index probe's core claim, pinned at PLAN level: with
+    a loaded index, the corpus contributes a parquet scan of the index
+    — NO shingle/signature Python stage. The fresh probe shingles both
+    sides; the stored probe only the batch, so its plan must contain
+    strictly fewer Arrow/pandas Python stages and must scan the index
+    path."""
+    docs = spark.read.parquet(SOURCE).select("doc_id", "text")
+    split = F.col("doc_id") % 10 == 0
+    path = str(tmp_path / "idx")
+    D.write_lsh_index(D.build_lsh_index(docs.filter(~split)), path)
+
+    def n_python_stages(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sum(
+            plan.count(tag)
+            for tag in ("ArrowEvalPython", "FlatMapsInPandas", "BatchEvalPython")
+        )
+
+    fresh = D.minhash_probe_neardup(docs, split, threshold=0.2)
+    stored = D.minhash_probe_neardup(
+        docs, split, threshold=0.2, corpus_index=D.load_lsh_index(spark, path)
+    )
+    try:
+        n_fresh, n_stored = n_python_stages(fresh), n_python_stages(stored)
+        stored_plan = stored._jdf.queryExecution().executedPlan().toString()
+    finally:
+        D.release_cache()
+    assert n_stored < n_fresh, (n_stored, n_fresh)
+    assert "idx" in stored_plan  # the index parquet scan is in the plan
