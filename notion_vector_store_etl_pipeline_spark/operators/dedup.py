@@ -475,6 +475,34 @@ def load_lsh_index(spark, path: str) -> DataFrame:
     )
 
 
+def write_lsh_index_bucketed(
+    index: DataFrame, table: str, n_buckets: int = 32, path: str | None = None
+) -> None:
+    """The cluster-scale index layout: a managed table bucketed on the
+    probe join's keys (band, bucket). The recurring probe join then
+    needs NO exchange on the corpus side — the scan itself reports the
+    hash partitioning, only the (small) batch side shuffles to match —
+    which at 100 TB converts the per-ingest cost from "shuffle the
+    index" to "scan the index bucket-to-bucket" (pinned at plan level
+    in tests/test_stream_dedup_ingest.py). The path-based
+    :func:`write_lsh_index` stays the portable variant: plain parquet
+    cannot carry bucketing metadata."""
+    writer = (
+        index.write.mode("overwrite")
+        .bucketBy(n_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def load_lsh_index_bucketed(spark, table: str) -> DataFrame:
+    """Read a bucketed index table back; the plain select preserves the
+    scan's bucket partitioning for the probe join."""
+    return spark.table(table).select("sid", "band", "bucket")
+
+
 def compact_lsh_index(
     spark,
     base_path: str,

@@ -291,3 +291,59 @@ def test_stored_index_probe_has_no_corpus_side_python(spark, tmp_path):
         D.release_cache()
     assert n_stored < n_fresh, (n_stored, n_fresh)
     assert "idx" in stored_plan  # the index parquet scan is in the plan
+
+
+def test_bucketed_index_probe_join_is_exchange_free_on_corpus_side(spark, tmp_path):
+    """The 100 TB probe layout: with the index stored as a table
+    bucketed on (band, bucket), the probe join's plan has NO exchange
+    on the index side — the bucketed scan itself satisfies the join's
+    distribution and only the batch side shuffles. Also checks result
+    parity with the path-based index."""
+    docs = spark.read.parquet(SOURCE).select("doc_id", "text")
+    split = F.col("doc_id") % 10 == 0
+    index = D.build_lsh_index(docs.filter(~split))
+    D.write_lsh_index_bucketed(
+        index, "lsh_idx_b", n_buckets=8, path=str(tmp_path / "lsh_idx_b")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        mb = D.melted_signature_buckets(
+            D.minhash_signatures(docs.filter(split)), 8, 4, False
+        )
+        cand = D.minhash_probe_candidates(mb, D.load_lsh_index_bucketed(spark, "lsh_idx_b"))
+
+        def simple_plan(df) -> str:
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        plan = simple_plan(cand)
+        formatted = cand._sc._jvm.PythonSQLUtils.explainString(
+            cand._jdf.queryExecution(), "formatted"
+        )
+        # the bucketed index scan satisfies the join's distribution
+        # itself — only the batch side (plus the trailing
+        # dropDuplicates) shuffles, so the bucketed plan must carry
+        # strictly fewer exchanges than the same join against a
+        # freshly-computed (unbucketed) index, where BOTH sides shuffle
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in formatted
+        cand_fresh = D.minhash_probe_candidates(
+            mb, D.build_lsh_index(docs.filter(~split))
+        )
+        assert plan.count("Exchange hashpartitioning") < simple_plan(
+            cand_fresh
+        ).count("Exchange hashpartitioning")
+        # value parity with the path-based index probe
+        path = str(tmp_path / "plain_idx")
+        D.write_lsh_index(index, path)
+        got_b = {(r.a_id, r.b_id) for r in cand.collect()}
+        got_p = {
+            (r.a_id, r.b_id)
+            for r in D.minhash_probe_candidates(
+                mb, D.load_lsh_index(spark, path)
+            ).collect()
+        }
+        assert got_b == got_p and got_b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS lsh_idx_b")
+        D.release_cache()
