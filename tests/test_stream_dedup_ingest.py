@@ -347,3 +347,38 @@ def test_bucketed_index_probe_join_is_exchange_free_on_corpus_side(spark, tmp_pa
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS lsh_idx_b")
         D.release_cache()
+
+
+def test_compact_lsh_index_dense_bucket_is_conservative(spark, tmp_path):
+    """The documented divergence at the dense-bucket margin: a bucket
+    already collapsed in the base index under-reports its true size,
+    so after compaction it may keep MORE probe targets than a scratch
+    build — never fewer. Fabricated indexes force the case: base
+    bucket collapsed to 2 members, deltas add 4 more (true size 10 >
+    cap 8; merged size 6 <= cap, so compaction keeps all 6)."""
+    base_melted = spark.createDataFrame(
+        [(i, 0, 7) for i in range(1, 11)], "sid: long, band: int, bucket: long"
+    )
+    base_path = str(tmp_path / "base")
+    D.write_lsh_index(D.collapse_dense_buckets(base_melted, dense_bucket_cap=8), base_path)
+    delta_dir = str(tmp_path / "deltas")
+    spark.createDataFrame(
+        [(i, 0, 7) for i in range(20, 24)], "sid: long, band: int, bucket: long"
+    ).write.parquet(f"{delta_dir}/batch_id=0")
+    out_path = str(tmp_path / "compacted")
+    D.compact_lsh_index(spark, base_path, delta_dir, out_path, dense_bucket_cap=8)
+    compacted = {r.sid for r in D.load_lsh_index(spark, out_path).collect()}
+
+    # scratch build over the full membership collapses to 2
+    scratch = D.collapse_dense_buckets(
+        base_melted.unionByName(
+            spark.createDataFrame(
+                [(i, 0, 7) for i in range(20, 24)], "sid: long, band: int, bucket: long"
+            )
+        ),
+        dense_bucket_cap=8,
+    )
+    scratch_sids = {r.sid for r in scratch.collect()}
+    assert scratch_sids == {1, 2}
+    assert compacted == {1, 2, 20, 21, 22, 23}  # superset: conservative
+    assert compacted >= scratch_sids
