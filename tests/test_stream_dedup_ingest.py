@@ -277,7 +277,12 @@ def test_stored_index_probe_has_no_corpus_side_python(spark, tmp_path):
         plan = df._jdf.queryExecution().executedPlan().toString()
         return sum(
             plan.count(tag)
-            for tag in ("ArrowEvalPython", "FlatMapsInPandas", "BatchEvalPython")
+            for tag in (
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+                "BatchEvalPython",
+            )
         )
 
     fresh = D.minhash_probe_neardup(docs, split, threshold=0.2)
