@@ -418,3 +418,42 @@ def test_simhash_deterministic_and_near(spark):
         D.hamming64(F.lit(sh1[1]).cast("long"), F.lit(sh1[4]).cast("long")).alias("h")
     ).first().h
     assert ham_far > ham  # unrelated text is farther
+
+
+from hypothesis import given, settings, strategies as st
+
+_MELT_ROW = st.tuples(
+    st.integers(min_value=1, max_value=40),  # sid
+    st.integers(min_value=0, max_value=2),  # band
+    st.integers(min_value=0, max_value=3),  # bucket
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(_MELT_ROW, min_size=1, max_size=60, unique=True), cap=st.integers(2, 8))
+def test_collapse_dense_buckets_properties(spark, rows, cap):
+    """Invariants of the keep-lowest-k collapse on arbitrary melted
+    indexes: (a) output is a subset of the input, (b) every bucket
+    keeps min(members, cap-or-keep) rows — at most cap when under the
+    cap, exactly PROBE_DENSE_KEEP when over, (c) the keep lowest sids
+    of every bucket always survive, (d) idempotent."""
+    melted = spark.createDataFrame(rows, "sid: long, band: int, bucket: long")
+    out = D.collapse_dense_buckets(melted, dense_bucket_cap=cap)
+    got = {(r.sid, r.band, r.bucket) for r in out.collect()}
+    src = set(rows)
+    assert got <= src  # (a)
+    by_bucket = {}
+    for sid, band, bucket in src:
+        by_bucket.setdefault((band, bucket), []).append(sid)
+    for key, sids in by_bucket.items():
+        kept = sorted(s for s, b, k in got if (b, k) == key)
+        sids.sort()
+        if len(sids) <= cap:
+            assert kept == sids  # under the cap: untouched
+        else:
+            assert kept == sids[: D.PROBE_DENSE_KEEP]  # (b), (c)
+    again = {
+        (r.sid, r.band, r.bucket)
+        for r in D.collapse_dense_buckets(out, dense_bucket_cap=cap).collect()
+    }
+    assert again == got  # (d)
