@@ -207,21 +207,31 @@ def load_vectors_numpy(
     sf_dir: str,
     table: str = "embeddings",
     max_rows: int = COLLECT_VECTORS_MAX_ROWS,
+    predicate=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Load a (bounded) vector table as numpy, driver-side.
 
-    Fast path reads the parquet footprint directly with pyarrow — the
-    centroid table / query batch of an ANN search is a small sidecar
-    artifact, and paying a full Spark job (~0.5-1s fixed latency) to
-    fetch 20 rows is the wrong trade at any scale. Falls back to a
-    Spark collect when the path isn't locally readable (object stores
-    without a mounted FS).
+    ``predicate`` (a Column) selects the bounded subset DISTRIBUTED —
+    the filter is pushed into the scan and only the survivors are
+    collected. This is the required form whenever the subset is carved
+    out of a full-size table (centroid samples, query batches): the
+    round-8 sf10 smoke proved that "load everything then filter on the
+    driver" correctly trips the max_rows guard at 200k vectors — the
+    guard did its job, the call pattern was the scale bug.
 
-    Both paths enforce the same ``max_rows`` bound (default
-    COLLECT_VECTORS_MAX_ROWS), so behavior does not depend on which
-    path happened to run: a table too big to hand to the driver raises
-    the same error either way.
+    Without a predicate, the fast path reads the parquet footprint
+    directly with pyarrow — a genuinely small sidecar FILE doesn't
+    warrant a Spark job (~0.5-1s fixed latency for 20 rows). Falls
+    back to a Spark collect when the path isn't a locally readable
+    single file (Spark-written directories, object stores).
+
+    All paths enforce the same ``max_rows`` bound (default
+    COLLECT_VECTORS_MAX_ROWS) on what is actually collected, so a set
+    too big to hand to the driver raises the same error either way.
     """
+    if predicate is not None:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet").filter(predicate)
+        return collect_vectors(df, "vec_id", "embedding", max_rows=max_rows)
     try:
         import pyarrow.parquet as pq
 

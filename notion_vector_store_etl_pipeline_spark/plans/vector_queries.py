@@ -82,27 +82,32 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     """Deterministic centroid sample (vec_id % 97 == 0) as numpy — the
     centroid table is a fixed, bounded design parameter (e.g. 2^16
     lists at 100 TB), stored as a small sidecar artifact of the index
-    build and loaded driver-side for broadcasting into kernels."""
+    build and loaded driver-side for broadcasting into kernels. The
+    sample is carved out DISTRIBUTED (predicate pushed into the scan)
+    — collecting the full table and filtering on the driver trips the
+    collect guard at scale, as it must (r8 sf10 finding)."""
     from notion_vector_store_etl_pipeline_spark.operators.similarity import (
         load_vectors_numpy,
     )
 
-    ids, mat = load_vectors_numpy(spark, sf_dir)
-    sel = ids % 97 == 0
-    return ids[sel], mat[sel]
+    ids, mat = load_vectors_numpy(
+        spark, sf_dir, predicate=F.col("vec_id") % 97 == 0
+    )
+    order = np.argsort(ids)
+    return ids[order], mat[order]
 
 
 def _query_batch(spark: SparkSession, sf_dir: str):
     """The 5-vector query workload (vec_id < 5) as numpy, driver-side —
-    an ANN search's query batch is input data, not the indexed table."""
+    an ANN search's query batch is input data, not the indexed table.
+    Selected distributed, same rationale as :func:`_ivf_centroids`."""
     from notion_vector_store_etl_pipeline_spark.operators.similarity import (
         load_vectors_numpy,
     )
 
-    ids, mat = load_vectors_numpy(spark, sf_dir)
-    sel = ids < 5
-    order = np.argsort(ids[sel])
-    return ids[sel][order], mat[sel][order]
+    ids, mat = load_vectors_numpy(spark, sf_dir, predicate=F.col("vec_id") < 5)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
 
 
 def _ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
