@@ -383,6 +383,7 @@ def minhash_probe_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tag += f"_{st.st_size}_{int(st.st_mtime)}"
     except OSError:
         pass  # non-local path (object store): dir tag only
+    base = sf_dir.strip("/").replace("/", "_")
     path = f"/tmp/nve_lsh_index/{tag}_v1"
     if not os.path.isdir(path):
         index = D.build_lsh_index(
@@ -394,6 +395,14 @@ def minhash_probe_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+        # retire memos of SUPERSEDED fixture versions for this dir
+        # (driver-regenerated fixtures change the size+mtime tag and
+        # would otherwise leave an orphan index per regeneration)
+        import glob
+
+        for old in glob.glob(f"/tmp/nve_lsh_index/{base}_*_v1"):
+            if old != path and not old.startswith(path + "."):
+                shutil.rmtree(old, ignore_errors=True)
     return D.minhash_probe_neardup(
         docs,
         batch_filter,
