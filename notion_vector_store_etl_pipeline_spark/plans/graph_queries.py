@@ -107,7 +107,12 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kept bare and the scale recommendation stays with "
     "graph_reachability (PLANS.md 'Recursive CTE vs driver loop'). "
     "Kept registered: it is the SQL-only surface for the same oracle "
-    "and an independent cross-check of the loop implementation.",
+    "and an independent cross-check of the loop implementation. "
+    "Round 8 closed the question at the third decade: on the sf10 "
+    "graph (15M orders) the engine ABORTS this variant with "
+    "RECURSION_ROW_LIMIT_EXCEEDED (the walk passes Spark's 1M-row "
+    "recursion safety limit) while the loop runs 9.2 s warm — "
+    "measured, not extrapolated (SCALE_SMOKE_R8.md §1d).",
 )
 def graph_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_edges(spark, sf_dir).createOrReplaceTempView("crawl_edges")
