@@ -365,44 +365,26 @@ def minhash_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the recurring probe join exchange-free on the corpus side.",
 )
 def minhash_probe_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import uuid
+    from notion_vector_store_etl_pipeline_spark.operators.index_memo import (
+        memoized_index,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     batch_filter = F.col("doc_id") % 10 == 0
-    # one stored index per (fixture dir, fixture version, index
-    # version): rebuilt when absent OR when the source parquet changes
-    # (size+mtime in the tag — driver-regenerated fixtures can never be
-    # served a stale index). _v1 bumps on any change to the index
-    # construction (signature family, collapse policy).
-    tag = sf_dir.strip("/").replace("/", "_")
-    src = f"{sf_dir}/documents.parquet"
-    try:
-        st = os.stat(src)
-        tag += f"_{st.st_size}_{int(st.st_mtime)}"
-    except OSError:
-        pass  # non-local path (object store): dir tag only
-    base = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/nve_lsh_index/{tag}_v1"
-    if not os.path.isdir(path):
-        index = D.build_lsh_index(
-            docs.filter(~batch_filter), "text", "doc_id", checkable=True
-        )
-        tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
-        D.write_lsh_index(index, tmp)
-        try:  # atomic publish: concurrent builders race benignly
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-        # retire memos of SUPERSEDED fixture versions for this dir
-        # (driver-regenerated fixtures change the size+mtime tag and
-        # would otherwise leave an orphan index per regeneration)
-        import glob
 
-        for old in glob.glob(f"/tmp/nve_lsh_index/{base}_*_v1"):
-            if old != path and not old.startswith(path + "."):
-                shutil.rmtree(old, ignore_errors=True)
+    # one stored index per (source fixture fingerprint, construction
+    # version) — size+mtime_ns keyed, per-user cache root, atomic
+    # publish; see operators/index_memo.py. v1 bumps on any change to
+    # the index construction (signature family, collapse policy).
+    def _build(tmp: str) -> None:
+        D.write_lsh_index(
+            D.build_lsh_index(
+                docs.filter(~batch_filter), "text", "doc_id", checkable=True
+            ),
+            tmp,
+        )
+
+    path = memoized_index(f"{sf_dir}/documents.parquet", "lsh", "v1", _build)
     return D.minhash_probe_neardup(
         docs,
         batch_filter,

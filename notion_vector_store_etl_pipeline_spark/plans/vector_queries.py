@@ -279,27 +279,31 @@ def knn_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate(spark, sf_dir, approx)
 
 
-def _ivf_quantized_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_quantized_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    index: DataFrame,
+    c_ids: np.ndarray,
+    c_mat: np.ndarray,
+    prune_lists: bool = False,
+) -> DataFrame:
+    """The per-query probe stage shared by the fresh and stored index
+    paths: quantize + probe the (bounded, driver-side) query batch with
+    the same kernels the index build used, broadcast the probes — the
+    indexed table never shuffles, candidates flow through one narrow
+    broadcast join. ``prune_lists=True`` additionally filters the index
+    to the probed list_ids BEFORE the join: on a STORED index
+    partitioned by list_id that filter is partition pruning — a
+    4-lists-per-query probe reads ~4/N_lists of the index, the IVF
+    contract at 100 TB. (On a freshly computed index the filter cannot
+    prune the scan — assignment is computed by the same pass — so the
+    fresh path skips it.)"""
     from notion_vector_store_etl_pipeline_spark.operators.similarity import (
         ivf_coarse_rerank,
         nearest_lists_numpy,
-        quantize_and_assign,
         quantize_codes,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
-    c_ids, c_mat = _ivf_centroids(spark, sf_dir)
-
-    # index build, ONE Arrow pass over the table: int8 codes + quantized
-    # norm computed once per vector, plus the home-list assignment. This
-    # replaced the interpreted HOF cosine + per-row windows that made
-    # this the bench's hottest query (BENCH_r01: 7.67s).
-    index = quantize_and_assign(vecs, c_ids, c_mat, topn=1, id_col="vec_id", emb_col="emb")
-
-    # the query batch is bounded workload data: quantize + probe it
-    # driver-side (same shared kernels) and broadcast — the indexed table
-    # never shuffles, candidates flow through one narrow broadcast join
     q_ids, q_mat = _query_batch(spark, sf_dir)
     q_codes, q_norms = quantize_codes(q_mat)
     probe_lists = nearest_lists_numpy(q_mat, c_ids, c_mat, 4)
@@ -317,12 +321,86 @@ def _ivf_quantized_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "query_id long, q_emb array<double>, q_quant array<long>, q_qn double, list_id long",
     )
+    if prune_lists:
+        needed = sorted({int(lid) for row in probe_lists for lid in row})
+        index = index.filter(F.col("list_id").isin(needed))
     cands = index.join(F.broadcast(probes), "list_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
     # stage 1 (int8 integer dot over all candidates) + stage 2 (exact
     # rerank of the quantized top-30) run batch-local per query group
     return ivf_coarse_rerank(cands, shortlist=30, topk=10)
+
+
+def _ivf_quantized_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        quantize_and_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
+    c_ids, c_mat = _ivf_centroids(spark, sf_dir)
+
+    # index build, ONE Arrow pass over the table: int8 codes + quantized
+    # norm computed once per vector, plus the home-list assignment. This
+    # replaced the interpreted HOF cosine + per-row windows that made
+    # this the bench's hottest query (BENCH_r01: 7.67s).
+    index = quantize_and_assign(vecs, c_ids, c_mat, topn=1, id_col="vec_id", emb_col="emb")
+    return _ivf_quantized_probe(spark, sf_dir, index, c_ids, c_mat)
+
+
+def _ivf_stored_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-index twin: build/write the IVF index at most once
+    per (fixture fingerprint, construction version), then probe the
+    STORED artifact — per-query cost is the probe alone (pruned
+    list scan + broadcast join + rerank), zero index-build work."""
+    from notion_vector_store_etl_pipeline_spark.operators.index_memo import (
+        memoized_index,
+    )
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        load_ivf_index,
+        quantize_and_assign,
+        write_ivf_index,
+    )
+
+    def _build(tmp: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
+        c_ids, c_mat = _ivf_centroids(spark, sf_dir)
+        write_ivf_index(
+            spark,
+            quantize_and_assign(vecs, c_ids, c_mat, topn=1, id_col="vec_id", emb_col="emb"),
+            c_ids,
+            c_mat,
+            tmp,
+        )
+
+    path = memoized_index(f"{sf_dir}/embeddings.parquet", "ivf", "v1", _build)
+    index, c_ids, c_mat = load_ivf_index(spark, path)
+    return _ivf_quantized_probe(spark, sf_dir, index, c_ids, c_mat, prune_lists=True)
+
+
+@register(
+    "knn_ivf_stored_index",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+    doc="knn_ivf_quantized run the way production runs it: against a "
+    "STORED IVF index (quantize_and_assign -> write_ivf_index once per "
+    "corpus version; load + probe per query batch) instead of "
+    "rebuilding codes+norms+assignment per run — the IVF twin of "
+    "minhash_probe_stored_index (VERDICT r8 missing #3). The stored "
+    "layout partitions vectors by list_id, so the probe's list filter "
+    "is PARTITION PRUNING: a 4-lists-per-query probe reads ~4/N of the "
+    "index. Result-identical to knn_ivf_quantized by construction "
+    "(same kernels, same centroid sidecar; pinned in tests/"
+    "test_ann_recall.py::test_ivf_stored_index_matches_fresh); checked "
+    "output is the same per-query recall@10 >= 0.3 gate.",
+)
+def knn_ivf_stored_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    approx = _ivf_stored_neighbors(spark, sf_dir).select("query_id", "cand_id")
+    return _recall_gate(spark, sf_dir, approx)
 
 
 @register(
