@@ -101,6 +101,10 @@ HEADLINE = [
     # trial pays the one-time index build, min-of-trials reports the
     # per-ingest cost (no corpus-side signature recomputation)
     "minhash_probe_stored_index",
+    # round 9 addition: the IVF twin of the stored-index pattern —
+    # min-of-trials reports the probe-only cost against the
+    # list_id-partitioned stored index (pruned scan + rerank)
+    "knn_ivf_stored_index",
 ]
 
 

@@ -528,7 +528,13 @@ def write_ivf_index(
     ``operators.dedup.write_lsh_index`` — VERDICT r8 missing #3: at
     100 TB codes+norms+assignment are computed once per corpus version,
     never per query)."""
-    index.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/vectors")
+    # repartition ON the partition column first: otherwise every write
+    # task emits a file into every list dir — num_tasks x num_lists
+    # small files at scale. With the shuffle, each list lands in
+    # exactly one task => one file per inverted list.
+    index.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/vectors")
     cent = spark.createDataFrame(
         [
             (int(cent_ids[i]), [float(x) for x in cent_mat[i]])

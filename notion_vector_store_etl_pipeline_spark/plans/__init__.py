@@ -58,65 +58,66 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # vintage first, then r4), recomputed each round from the
 # CORRECTNESS_r0*.json files.
 _PRIORITY = (
-    # (a) new or changed in round 8 (2): the stored-index probe is NEW
-    # (never driver-sampled); minhash_incremental_probe's dense-bucket
-    # collapse changed from 1-member to PROBE_DENSE_KEEP=2 (r7 verdict
-    # item 1) so its oracle needs a fresh proof row.
+    # (a) new or changed in round 9 (2): the stored-IVF probe is NEW
+    # (never driver-sampled); minhash_probe_stored_index's memo moved
+    # to the shared index_memo helper (mtime_ns fingerprint, hashed
+    # key, per-user root) so its query fn changed and gets a fresh
+    # proof row.
+    "knn_ivf_stored_index",
     "minhash_probe_stored_index",
-    "minhash_incremental_probe",
     # (b) oldest proof rows first (recomputed from CORRECTNESS_r0*.json
-    # at the start of r8): the 18 remaining round-4-vintage names.
-    "neardup_cluster_survivors",
-    "outlier_mad_filter",
-    "parse_bool_int",
-    "project_coalesce",
-    "regex_extract_id",
-    "regexp_extract_all_numbers",
-    "repetition_profile",
-    "safe_filename",
-    "sequence_packing",
-    "similarity_selfjoin",
-    "split_train_val_test",
-    "title_coalesce",
-    "train_export_shuffle",
-    "traversal_step",
-    "url_basename",
-    "uuid_normalize",
-    "winnowing_fingerprint",
-    "zorder_layout",
-    # (b) continued: 30 of the 45 round-5-vintage rows (alphabetical
-    # prefix; the remaining 15 — tpch_q20_part_promotion through
-    # window_sliding_counts — lead the round-9 rotation).
-    "agg_cube",
-    "agg_grouping_sets",
-    "array_hof_ops",
-    "dedup_embedding_cosine",
-    "hybrid_rrf_search",
-    "incremental_changed",
-    "interval_merge_islands",
-    "join_full_outer_coalesce",
-    "kmeans_assign",
-    "kmeans_update",
-    "knn_filtered",
-    "lateral_top_item",
-    "levenshtein_neardup_titles",
-    "map_explode_props",
-    "pit_interval_lookup",
-    "scd2_intervals",
-    "session_window_native",
-    "simhash_buckets",
-    "simhash_neardup",
-    "timeseries_gapfill",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_values",
-    "tpch_q12_priority_case_agg",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_avg",
-    "tpch_q18_large_volume",
-    "tpch_q19_or_predicates",
+    # at the start of r9): the 15 remaining round-5-vintage names.
+    "tpch_q20_part_promotion",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "window_first_last",
+    "window_ntile_cume",
+    "window_range_frame",
+    "window_running_total",
+    "window_sliding_counts",
+    # (b) continued: 33 of the 47 round-6-vintage rows (alphabetical
+    # prefix; the remaining 14 — semdedup_cluster_prune through
+    # window_tumbling_counts — lead the round-10 rotation).
+    "agg_percentiles",
+    "agg_stats_corr",
+    "agg_status_counts",
+    "agg_string_concat",
+    "cogroup_conversion_stats",
+    "curation_funnel",
+    "date_arithmetic",
+    "dedup_exact_hash",
+    "doc_fingerprint",
+    "every_nth_row",
+    "filter_isin_notnull",
+    "from_json_schema_read",
+    "graph_pagerank",
+    "graph_reachability",
+    "group_normalize_pandas",
+    "histogram_width_bucket",
+    "join_asof_latest",
+    "join_range_theta",
+    "json_extract_props",
+    "knn_topk",
+    "label_centroids",
+    "lang_id_heuristic",
+    "multimodal_audio_features",
+    "multimodal_decode_arrow",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "neardup_components",
+    "pii_mask",
+    "pivot_counts",
+    "profile_columns",
+    "quality_score",
+    "sample_deterministic",
 )
 
 _MODULES = (

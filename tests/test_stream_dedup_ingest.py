@@ -7,6 +7,8 @@ committed exactly-once. Parity target: the batch incremental probe
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from notion_vector_store_etl_pipeline_spark.operators import dedup as D
@@ -496,6 +498,7 @@ def _planted_stream_fixture(tmp_path):
     return batch_path, corpus_rows
 
 
+@pytest.mark.slow
 def test_stream_across_compaction_boundary(spark, tmp_path):
     """The round-9 lifecycle test (VERDICT r8 next-round #1): a 26-batch
     stream with compact_every=10 must (a) produce EXACTLY the same
@@ -681,3 +684,91 @@ def test_latest_committed_batch(spark, tmp_path):
         [d for d in __import__("os").listdir(f"{out}/clean") if d.startswith("batch_id=")]
     )
     assert latest_committed_batch(ckpt) == n_batches - 1
+
+
+@pytest.mark.slow
+def test_stream_restart_resumes_against_compacted_state(spark, tmp_path):
+    """Ops-shaped lifecycle: run 1 ingests 12 one-doc batches and
+    compacts at batch 10 (manifest v1, through batch 9); the source
+    then GROWS and the stream restarts on the same checkpoint. The
+    resumed batches must anchor on the manifest — dups are caught
+    whether the partner lives in (a) the compacted corpus version
+    (partner from batch 2, folded), (b) the uncompacted tail (partner
+    from batch 13, after the watermark), or (c) a post-restart delta
+    (partner from batch 16) — and the manifest is not re-folded."""
+    import pandas as pd
+
+    from notion_vector_store_etl_pipeline_spark.streaming.dedup_stream import (
+        read_compaction_manifest,
+    )
+
+    def doc(i, topic):
+        return (
+            1000 + i,
+            f"stream document number {i} concerning {topic} with several "
+            f"additional carefully distinct words about {topic} handling",
+        )
+
+    topics = [
+        "tokenizer vocabularies", "adaptive execution", "columnar layouts",
+        "watermark semantics", "broadcast thresholds", "inventory restocking",
+        "gradient checkpointing", "sparse attention", "curriculum sampling",
+        "parquet footers", "speculative decoding", "rope scaling",
+        "flash kernels", "optimizer states", "mixture routing",
+        "context caching", "beam search", "grammar constraints",
+        "kv eviction", "lora adapters",
+    ]
+    rows = [doc(i, topics[i]) for i in range(20)]
+    rows[3] = (1003, rows[1][1] + " plus one extra trailing clause")
+    rows[15] = (1015, rows[2][1] + " plus one extra trailing clause")   # vs compacted
+    rows[18] = (1018, rows[13][1] + " plus one extra trailing clause")  # vs tail
+    rows[19] = (1019, rows[16][1] + " plus one extra trailing clause")  # vs new delta
+
+    corpus = spark.createDataFrame(
+        [(900, "corpus document about entirely separate subject matter of "
+               "orchestral arrangement and woodwind maintenance routines")],
+        "doc_id: long, text: string",
+    )
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "lsh_index")
+    corpus.write.parquet(corpus_path)
+    D.write_lsh_index(D.build_lsh_index(corpus), index_path)
+
+    batch_path = str(tmp_path / "incoming.parquet")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    kw = dict(
+        page_size=1, pages_per_batch=1, threshold=0.5,
+        update_index=True, compact_every=10,
+    )
+    # run 1: the first 12 docs only
+    pd.DataFrame(rows[:12], columns=["doc_id", "text"]).to_parquet(
+        batch_path, index=False
+    )
+    _run(spark, batch_path, corpus_path, index_path, out, ckpt, **kw)
+    man = read_compaction_manifest(out)
+    assert man["version"] == 1 and man["through_batch"] == 9
+
+    # the source grows (same prefix — an append-only crawl cursor),
+    # stream restarts on the SAME checkpoint and resumes at batch 12
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        batch_path, index=False
+    )
+    _run(spark, batch_path, corpus_path, index_path, out, ckpt, **kw)
+
+    flagged = {
+        (r.batch_id, r.corpus_id)
+        for r in spark.read.parquet(f"{out}/flagged")
+        .select("batch_id", "corpus_id")
+        .collect()
+    }
+    assert flagged == {
+        (1003, 1001),
+        (1015, 1002),
+        (1018, 1013),
+        (1019, 1016),
+    }
+    clean = {r.doc_id for r in spark.read.parquet(f"{out}/clean").collect()}
+    assert clean == {1000 + i for i in range(20)} - {1003, 1015, 1018, 1019}
+    # no further compaction ran (batch 20 never arrived): same manifest
+    man2 = read_compaction_manifest(out)
+    assert man2 == man
