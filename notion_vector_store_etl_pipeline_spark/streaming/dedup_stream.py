@@ -199,9 +199,13 @@ def _manifest_path(out_dir: str) -> str:
 
 def read_compaction_manifest(out_dir: str) -> dict | None:
     """The stream's compaction watermark: ``{"version": k, "index_path"
-    or "index_table": ..., "corpus_paths": [...], "through_batch": N}``
-    meaning deltas/clean with ``batch_id <= N`` are folded into the
-    listed version and must not be re-read from the per-batch trees."""
+    or "index_table": ..., "corpus_base": ..., "through_batch": N}``
+    meaning deltas/clean with ``batch_id <= N`` are folded into
+    compacted version k and must not be re-read from the per-batch
+    trees. Folded clean docs live under ``corpus_versions/v=<j>``
+    partition dirs; readers filter ``v <= k``, so an orphan version
+    from a crashed compaction is invisible until its manifest
+    publishes."""
     try:
         with open(_manifest_path(out_dir)) as f:
             return json.load(f)
@@ -242,6 +246,7 @@ def compact_stream_state(
     keep: int = PROBE_DENSE_KEEP,
     bucketed_table: str | None = None,
     n_buckets: int = 32,
+    prune_deltas: bool = False,
 ) -> dict | None:
     """Fold the stream's committed per-batch state through
     ``through_batch`` into the next compacted version and publish the
@@ -257,11 +262,26 @@ def compact_stream_state(
       With ``bucketed_table`` set, each version is also registered as
       a bucketed TABLE ``{bucketed_table}_v{k}`` so the probe join
       stays exchange-free on the index side across compactions.
-    - corpus: the clean tail is rewritten ONCE into
-      ``corpus_versions/v{k}`` and appended to the manifest's corpus
-      path list — additive, the base corpus and prior versions are
-      never rewritten, and per-batch verification reads a path list
-      bounded by the compaction count, not the batch count.
+    - corpus: the clean tail is rewritten ONCE into the
+      ``corpus_versions/v=<k>`` PARTITION of a single versions root —
+      additive (the base corpus and prior versions are never
+      rewritten), and because every version is a partition of ONE
+      datasource, the per-batch corpus read stays a constant THREE
+      scan branches (base ∪ versions-root ∪ tail) no matter how many
+      compactions have run. The first cut of this kept a
+      list-of-paths manifest and unioned one scan per version; an
+      80-batch smoke showed per-batch latency CLIMBING with each
+      compaction (~+0.5 s per extra scan branch: fixed per-stage
+      overhead, not data volume) while the uncompacted run stayed
+      flat — the partition layout is what makes compaction actually
+      pay (SCALE_SMOKE_R9.md §2).
+    - ``prune_deltas=True`` additionally DELETES the folded
+      ``index_delta/batch_id<=through`` dirs: their content lives in
+      the compacted index version, replays can only touch batches
+      above the watermark, and removing them keeps the delta tree's
+      directory listing bounded by compact_every instead of stream
+      age. (``clean/`` is never pruned — it is the stream's OUTPUT,
+      owned by downstream consumers.)
 
     ``through_batch`` must only cover committed batches — pass
     :func:`latest_committed_batch` (or ``current_batch - 1`` from
@@ -291,7 +311,6 @@ def compact_stream_state(
         n_buckets=n_buckets,
         base_table=cur_table,
     )
-    corpus_paths = list(man["corpus_paths"]) if man else [base_corpus_path]
     folded = _read_prior_batches(
         spark,
         f"{out_dir}/clean",
@@ -300,17 +319,26 @@ def compact_stream_state(
         after_batch=prev_through,
     )
     if folded is not None:
-        corpus_out = f"{out_dir}/corpus_versions/v{k}"
-        folded.write.mode("overwrite").parquet(corpus_out)
-        corpus_paths = corpus_paths + [corpus_out]
+        folded.write.mode("overwrite").parquet(f"{out_dir}/corpus_versions/v={k}")
     manifest = {
         "version": k,
         "index_path": None if tbl else idx_out,
         "index_table": tbl,
-        "corpus_paths": corpus_paths,
+        "corpus_base": man["corpus_base"] if man else base_corpus_path,
         "through_batch": through_batch,
     }
     _write_manifest(out_dir, manifest)
+    if prune_deltas:
+        import shutil
+
+        delta_root = f"{out_dir}/index_delta"
+        for d in os.listdir(delta_root):
+            if d.startswith("batch_id="):
+                try:
+                    if int(d.split("=", 1)[1]) <= through_batch:
+                        shutil.rmtree(os.path.join(delta_root, d), ignore_errors=True)
+                except ValueError:
+                    pass
     return manifest
 
 
@@ -320,12 +348,24 @@ def _load_anchor_index(spark: SparkSession, manifest: dict) -> DataFrame:
     return load_lsh_index(spark, manifest["index_path"])
 
 
-def _load_anchor_corpus(spark: SparkSession, corpus_paths: list[str]) -> DataFrame:
-    dfs = [spark.read.parquet(p).select("doc_id", "text") for p in corpus_paths]
-    out = dfs[0]
-    for df in dfs[1:]:
-        out = out.unionByName(df)
-    return out
+def _load_anchor_corpus(
+    spark: SparkSession, manifest: dict, out_dir: str
+) -> DataFrame:
+    """Base corpus ∪ the folded clean versions — TWO scan branches
+    regardless of how many compactions have run: all versions are
+    ``v=<j>`` partitions of one root, and the ``v <= version`` filter
+    (a partition filter) both prunes nothing in the steady state and
+    hides any orphan version a crashed compaction left behind."""
+    base = spark.read.parquet(manifest["corpus_base"]).select("doc_id", "text")
+    root = f"{out_dir}/corpus_versions"
+    if manifest["version"] > 0 and os.path.isdir(root):
+        folded = (
+            spark.read.parquet(root)
+            .filter(F.col("v") <= manifest["version"])
+            .select("doc_id", "text")
+        )
+        base = base.unionByName(folded)
+    return base
 
 
 def streaming_dedup_ingest(
@@ -345,6 +385,7 @@ def streaming_dedup_ingest(
     index_table: str | None = None,
     compact_every: int | None = None,
     compact_bucketed_table: str | None = None,
+    compact_prune_deltas: bool = False,
     intra_batch: bool = False,
 ) -> StreamingQuery:
     """Start the streaming ingest-dedup query.
@@ -372,9 +413,10 @@ def streaming_dedup_ingest(
     register_paginated_source(spark)
 
     base_manifest = {
+        "version": 0,
         "index_path": None if index_table else index_path,
         "index_table": index_table,
-        "corpus_paths": [corpus_path],
+        "corpus_base": corpus_path,
         "through_batch": -1,
     }
 
@@ -400,10 +442,11 @@ def streaming_dedup_ingest(
                 base_index_table=index_table,
                 base_corpus_path=corpus_path,
                 bucketed_table=compact_bucketed_table,
+                prune_deltas=compact_prune_deltas,
             )
         anchor = man or base_manifest
         index = _load_anchor_index(spark, anchor)
-        docs = _load_anchor_corpus(spark, anchor["corpus_paths"])
+        docs = _load_anchor_corpus(spark, anchor, out_dir)
         after = anchor["through_batch"]
         if update_index:
             deltas = _read_prior_batches(

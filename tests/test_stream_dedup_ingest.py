@@ -565,8 +565,9 @@ def test_stream_across_compaction_boundary(spark, tmp_path):
     out = str(tmp_path / "out_compacted")
     man = read_compaction_manifest(out)
     assert man["version"] == 2 and man["through_batch"] == 19
-    v1 = {r.doc_id for r in spark.read.parquet(man["corpus_paths"][1]).collect()}
-    v2 = {r.doc_id for r in spark.read.parquet(man["corpus_paths"][2]).collect()}
+    versions = spark.read.parquet(f"{out}/corpus_versions")
+    v1 = {r.doc_id for r in versions.filter(F.col("v") == 1).collect()}
+    v2 = {r.doc_id for r in versions.filter(F.col("v") == 2).collect()}
     flagged_ids = {b for b, _ in outs["compacted"]["flagged"]}
     assert v1 == {1000 + i for i in range(10)} - flagged_ids
     assert v2 == {1000 + i for i in range(10, 20)} - flagged_ids
@@ -603,12 +604,44 @@ def test_compact_stream_state_idempotent(spark, tmp_path):
     man1 = compact_stream_state(
         spark, out, through_batch=9,
         base_index_path=index_path, base_corpus_path=corpus_path,
+        prune_deltas=True,
     )
     man2 = compact_stream_state(
         spark, out, through_batch=9,
         base_index_path=index_path, base_corpus_path=corpus_path,
+        prune_deltas=True,
     )
     assert man1 == man2 and man1["version"] == 1 and man1["through_batch"] == 9
+
+    # prune_deltas removed exactly the FOLDED delta dirs; later batches'
+    # deltas survive and a follow-up compaction folds them from disk
+    import os
+
+    remaining = {
+        d for d in os.listdir(f"{out}/index_delta") if d.startswith("batch_id=")
+    }
+    assert remaining == {f"batch_id={i}" for i in range(10, 26)}
+    man3 = compact_stream_state(
+        spark, out, through_batch=19,
+        base_index_path=index_path, base_corpus_path=corpus_path,
+        prune_deltas=True,
+    )
+    assert man3["version"] == 2 and man3["through_batch"] == 19
+    # the v2 index covers the docs whose deltas were folded in BOTH
+    # rounds (nothing lost to pruning)
+    idx_sids = {
+        r.sid
+        for r in D.load_lsh_index(spark, f"{out}/index_versions/v2")
+        .select("sid")
+        .collect()
+    }
+    clean_through_19 = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/clean")
+        .filter(F.col("batch_id") < 20)
+        .collect()
+    }
+    assert clean_through_19 <= idx_sids
 
 
 def test_stream_intra_batch_dedup_option(spark, tmp_path):
