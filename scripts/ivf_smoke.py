@@ -1,0 +1,125 @@
+"""Stored-IVF index: what persisting the index is WORTH per probe
+(VERDICT r8 missing #3 follow-through, round-9 evidence page §4).
+
+The fresh path (``knn_ivf_quantized``) recomputes codes + norms +
+centroid assignment over the whole table on every run; the stored path
+(``knn_ivf_stored_index``) pays that once per corpus version
+(``write_ivf_index``) and each probe is then a partition-pruned list
+scan + broadcast join + rerank. This smoke times, per fixture:
+
+  - fresh  : build + probe, the per-run cost today (min-of-2 warm)
+  - build  : one-time write_ivf_index cost (single timing — it is
+             paid once per corpus VERSION, warm trials would be
+             dishonest)
+  - stored : probe-over-stored-index only (min-of-2 warm), with the
+             result asserted row-identical to fresh
+
+    python scripts/ivf_smoke.py [sf_dir ...]
+
+Prints one row per sf_dir and a JSON line for the evidence page.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from notion_vector_store_etl_pipeline_spark import get_spark
+from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+    load_ivf_index,
+    quantize_and_assign,
+    write_ivf_index,
+)
+from notion_vector_store_etl_pipeline_spark.plans.vector_queries import (
+    _ivf_centroids,
+    _ivf_quantized_probe,
+)
+from notion_vector_store_etl_pipeline_spark.sources import load_table
+from notion_vector_store_etl_pipeline_spark.functions import vectors as V
+
+
+def main() -> int:
+    sf_dirs = sys.argv[1:] or [".scale/sf1"]
+    spark = get_spark(app_name="ivf-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for sf_dir in sf_dirs:
+        work = tempfile.mkdtemp(prefix="ivf_smoke_")
+        try:
+            c_ids, c_mat = _ivf_centroids(spark, sf_dir)
+
+            def fresh_df():
+                emb = load_table(spark, sf_dir, "embeddings")
+                vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
+                index = quantize_and_assign(
+                    vecs, c_ids, c_mat, topn=1, id_col="vec_id", emb_col="emb"
+                )
+                return _ivf_quantized_probe(spark, sf_dir, index, c_ids, c_mat)
+
+            def timed(mk_df) -> float:
+                best = float("inf")
+                for trial in range(3):  # trial 0 = untimed JIT warmup
+                    spark.catalog.clearCache()
+                    t0 = time.monotonic()
+                    mk_df().write.mode("overwrite").format("noop").save()
+                    el = time.monotonic() - t0
+                    if trial > 0:
+                        best = min(best, el)
+                return best
+
+            fresh_s = timed(fresh_df)
+
+            t0 = time.monotonic()
+            emb = load_table(spark, sf_dir, "embeddings")
+            vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
+            write_ivf_index(
+                spark,
+                quantize_and_assign(
+                    vecs, c_ids, c_mat, topn=1, id_col="vec_id", emb_col="emb"
+                ),
+                c_ids,
+                c_mat,
+                f"{work}/ivf",
+            )
+            build_s = time.monotonic() - t0
+
+            def stored_df():
+                index, s_ids, s_mat = load_ivf_index(spark, f"{work}/ivf")
+                return _ivf_quantized_probe(
+                    spark, sf_dir, index, s_ids, s_mat, prune_lists=True
+                )
+
+            stored_s = timed(stored_df)
+
+            f_rows = sorted(map(tuple, fresh_df().collect()))
+            s_rows = sorted(map(tuple, stored_df().collect()))
+            assert f_rows == s_rows, "stored probe diverged from fresh"
+
+            n_lists = len(c_ids)
+            print(
+                f"{sf_dir}: fresh={fresh_s:.2f}s build_once={build_s:.2f}s "
+                f"stored_probe={stored_s:.2f}s probe_ratio={stored_s / fresh_s:.2f} "
+                f"lists={n_lists} rows={len(f_rows)}"
+            )
+            results[sf_dir] = {
+                "fresh_s": round(fresh_s, 2),
+                "build_once_s": round(build_s, 2),
+                "stored_probe_s": round(stored_s, 2),
+                "n_lists": n_lists,
+                "rows": len(f_rows),
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(results))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -10,6 +10,8 @@ next-round #1/#6). Options exercise the round-9 lifecycle pieces:
     python scripts/stream_smoke.py [sf_dir] [n_batches] [flags]
 
     --compact-every=K   in-stream compaction every K batches
+    --prune             delete folded index-delta dirs at each
+                        compaction (compact_prune_deltas)
     --bucketed          anchor on a BUCKETED index table
                         (write_lsh_index_bucketed), the exchange-free
                         probe layout
@@ -52,6 +54,7 @@ def main() -> int:
             compact_every = int(f.split("=")[1])
     bucketed = "--bucketed" in flags
     intra = "--intra" in flags
+    prune = "--prune" in flags
 
     spark = get_spark(app_name="stream-smoke")
     spark.sparkContext.setLogLevel("ERROR")
@@ -101,6 +104,7 @@ def main() -> int:
             index_table=index_table,
             compact_every=compact_every,
             compact_bucketed_table=("stream_smoke_cidx" if bucketed else None),
+            compact_prune_deltas=prune,
             intra_batch=intra,
         )
         q.processAllAvailable()
@@ -132,6 +136,7 @@ def main() -> int:
             "page_size": page_size,
             "bucketed": bucketed,
             "compact_every": compact_every,
+            "prune": prune,
             "intra": intra,
             "index_build_s": round(build_s, 2),
             "flagged_pairs": flagged,
