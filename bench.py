@@ -105,6 +105,7 @@ HEADLINE = [
     # min-of-trials reports the probe-only cost against the
     # list_id-partitioned stored index (pruned scan + rerank)
     "knn_ivf_stored_index",
+    "knn_ivf_incremental",
 ]
 
 

@@ -545,20 +545,96 @@ def write_ivf_index(
     cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def _read_ivf_vectors(spark, path: str) -> DataFrame:
+    """Lazily scan one IVF vectors tree (base or delta), casting the
+    discovered ``list_id`` partition column back to long so probe
+    filters on it stay partition pruning."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(f"{path}/vectors").withColumn(
+        "list_id", F.col("list_id").cast("long")
+    )
+
+
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarray]:
     """Read a stored IVF index back: the lazily-scanned vectors
     DataFrame (list_id cast back to long from the discovered partition
     column — probe filters on it prune partitions) plus the sidecar
     centroids as driver-side numpy, ready for
     :func:`nearest_lists_numpy` probing."""
-    from pyspark.sql import functions as F
-
-    vectors = spark.read.parquet(f"{path}/vectors").withColumn(
-        "list_id", F.col("list_id").cast("long")
-    )
+    vectors = _read_ivf_vectors(spark, path)
     c_ids, c_mat = collect_vectors(spark.read.parquet(f"{path}/centroids"))
     order = np.argsort(c_ids)
     return vectors, c_ids[order], c_mat[order]
+
+
+def append_ivf_delta(
+    spark,
+    new_vectors: DataFrame,
+    index_path: str,
+    delta_path: str,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+) -> None:
+    """Per-ingest growth for a stored IVF index — the vectors-side twin
+    of the LSH ``index_delta`` (streaming/dedup_stream.py): newly
+    arrived vectors are quantized and assigned against the base index's
+    OWN centroid sidecar (one Arrow kernel pass over the NEW vectors
+    only — the base is never recomputed, never rescanned) and written
+    as a ``list_id``-partitioned DELTA tree. A probe unions base +
+    deltas (:func:`load_ivf_index_with_deltas`); the probe's list
+    filter prunes partitions on BOTH trees. Assignment is per-vector
+    and centroid-relative, so union-of-assignments equals
+    assignment-of-the-union exactly — no approximation is introduced
+    by ingesting incrementally (pinned in tests/test_ann_recall.py).
+
+    The deliberate limit, documented rather than hidden: deltas reuse
+    the BASE's centroids. Under distribution drift the new vectors'
+    lists grow imbalanced and recall at fixed n_probes decays — the
+    rebuild trigger is a centroid refresh (a new corpus version), not
+    compaction, which only folds trees (:func:`compact_ivf_index`)."""
+    _, c_ids, c_mat = load_ivf_index(spark, index_path)
+    delta = quantize_and_assign(
+        new_vectors, c_ids, c_mat, topn=1, id_col=id_col, emb_col=emb_col
+    )
+    delta.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{delta_path}/vectors")
+
+
+def load_ivf_index_with_deltas(
+    spark, path: str, delta_paths: list[str]
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Base index ∪ appended delta trees, with the base's centroid
+    sidecar (the only centroids any of the trees were assigned
+    against)."""
+    vectors, c_ids, c_mat = load_ivf_index(spark, path)
+    for dp in delta_paths:
+        vectors = vectors.unionByName(_read_ivf_vectors(spark, dp))
+    return vectors, c_ids, c_mat
+
+
+def compact_ivf_index(
+    spark, base_path: str, delta_paths: list[str], out_path: str
+) -> None:
+    """Fold delta trees into the next stored-index VERSION: one
+    ``list_id``-partitioned rewrite of base ∪ deltas plus a carried-over
+    centroid sidecar — after enough appends the probe's per-list read
+    touches many small delta files, and compaction restores
+    one-file-per-list (the same roll-forward-versions discipline as
+    ``compact_lsh_index``; the base version is never mutated). The
+    sidecar is copied verbatim: compaction folds TREES, it never moves
+    centroids, so a compacted index probes bit-identically to
+    base+deltas (pinned in tests/test_ann_recall.py)."""
+    vectors = _read_ivf_vectors(spark, base_path)
+    for dp in delta_paths:
+        vectors = vectors.unionByName(_read_ivf_vectors(spark, dp))
+    vectors.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{out_path}/vectors")
+    spark.read.parquet(f"{base_path}/centroids").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out_path}/centroids")
 
 
 def semdedup_prune(

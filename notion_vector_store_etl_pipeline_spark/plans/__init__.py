@@ -63,6 +63,7 @@ _PRIORITY = (
     # to the shared index_memo helper (mtime_ns fingerprint, hashed
     # key, per-user root) so its query fn changed and gets a fresh
     # proof row.
+    "knn_ivf_incremental",
     "knn_ivf_stored_index",
     "minhash_probe_stored_index",
     # (b) oldest proof rows first (recomputed from CORRECTNESS_r0*.json

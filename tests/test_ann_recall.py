@@ -7,6 +7,8 @@ rows-only check, so recall against the exact oracle is the real test
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from notion_vector_store_etl_pipeline_spark.plans import load_registry
 from notion_vector_store_etl_pipeline_spark.plans.vector_queries import _ivf_neighbors
 
@@ -216,3 +218,108 @@ def test_ivf_stored_index_matches_fresh(spark, tmp_path, monkeypatch):
     before = sorted(os.listdir(cache))
     _ivf_stored_neighbors(spark, SF).collect()
     assert sorted(os.listdir(cache)) == before
+
+
+def test_ivf_incremental_matches_full(spark, tmp_path, monkeypatch):
+    """Incremental-ingest soundness: base(90%) + per-run delta(10%)
+    probes EXACTLY like the full rebuild — assignment is per-vector and
+    centroid-relative, so union-of-assignments == assignment-of-union;
+    no recall is lost by ingesting incrementally. Also pins partition
+    pruning on the stored base."""
+    monkeypatch.setenv("NVE_INDEX_CACHE_DIR", str(tmp_path / "cache"))
+    from notion_vector_store_etl_pipeline_spark.plans.vector_queries import (
+        _ivf_incremental_neighbors,
+        _ivf_quantized_neighbors,
+    )
+
+    full = {
+        (r.query_id, r.cand_id, r.score, r.rn)
+        for r in _ivf_quantized_neighbors(spark, SF).collect()
+    }
+    inc_df = _ivf_incremental_neighbors(spark, SF)
+    inc = {(r.query_id, r.cand_id, r.score, r.rn) for r in inc_df.collect()}
+    assert inc == full and inc
+
+    plan = inc_df._sc._jvm.PythonSQLUtils.explainString(
+        inc_df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*list_id[^\]]*\]", plan), (
+        "stored base scan lost its list_id partition filter"
+    )
+
+
+def test_ivf_delta_append_and_compaction_equivalence(spark, tmp_path):
+    """The on-disk lifecycle: write a base index over the resident
+    vectors, append_ivf_delta for the arrivals (assigned against the
+    base's OWN sidecar — the base is never rescanned for assignment),
+    then (a) probing base+delta == probing a fresh index over ALL
+    vectors with the same centroids, and (b) compact_ivf_index folds
+    the trees into a version that probes bit-identically and carries
+    the sidecar verbatim."""
+    import numpy as np
+
+    from notion_vector_store_etl_pipeline_spark.functions import vectors as V
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        append_ivf_delta,
+        compact_ivf_index,
+        load_ivf_index,
+        load_ivf_index_with_deltas,
+        quantize_and_assign,
+        write_ivf_index,
+    )
+    from notion_vector_store_etl_pipeline_spark.plans.vector_queries import (
+        _ivf_centroids,
+        _ivf_quantized_probe,
+    )
+    from notion_vector_store_etl_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
+    resident = vecs.filter((F.col("vec_id") % 10) != 3)
+    arrived = vecs.filter((F.col("vec_id") % 10) == 3)
+    c_ids, c_mat = _ivf_centroids(spark, SF)
+
+    base = str(tmp_path / "base")
+    write_ivf_index(
+        spark,
+        quantize_and_assign(resident, c_ids, c_mat, topn=1, id_col="vec_id", emb_col="emb"),
+        c_ids,
+        c_mat,
+        base,
+    )
+    delta = str(tmp_path / "delta0")
+    append_ivf_delta(spark, arrived, base, delta)
+
+    full = str(tmp_path / "full")
+    write_ivf_index(
+        spark,
+        quantize_and_assign(vecs, c_ids, c_mat, topn=1, id_col="vec_id", emb_col="emb"),
+        c_ids,
+        c_mat,
+        full,
+    )
+
+    def probe(index, ids, mat):
+        return {
+            (r.query_id, r.cand_id, r.score, r.rn)
+            for r in _ivf_quantized_probe(
+                spark, SF, index, ids, mat, prune_lists=True
+            ).collect()
+        }
+
+    want = probe(*load_ivf_index(spark, full))
+    got = probe(*load_ivf_index_with_deltas(spark, base, [delta]))
+    assert got == want and got
+
+    compacted = str(tmp_path / "v1")
+    compact_ivf_index(spark, base, [delta], compacted)
+    assert probe(*load_ivf_index(spark, compacted)) == want
+
+    # sidecar carried verbatim; vector sets identical
+    s_base = sorted(map(tuple, spark.read.parquet(f"{base}/centroids").collect()))
+    s_comp = sorted(map(tuple, spark.read.parquet(f"{compacted}/centroids").collect()))
+    assert s_comp == s_base
+    n_full = spark.read.parquet(f"{full}/vectors").count()
+    assert spark.read.parquet(f"{compacted}/vectors").count() == n_full
