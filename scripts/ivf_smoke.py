@@ -13,6 +13,10 @@ scan + broadcast join + rerank. This smoke times, per fixture:
              dishonest)
   - stored : probe-over-stored-index only (min-of-2 warm), with the
              result asserted row-identical to fresh
+  - incr   : the per-INGEST shape (knn_ivf_incremental): assign the
+             newly-arrived 10% of vectors against a stored 90% base's
+             own centroid sidecar + probe base ∪ delta (min-of-2
+             warm), result asserted row-identical to fresh
 
     python scripts/ivf_smoke.py [sf_dir ...]
 
@@ -97,20 +101,57 @@ def main() -> int:
 
             stored_s = timed(stored_df)
 
+            # the per-ingest shape: stored 90% base, per-run delta
+            # assignment of the arriving 10% + pruned probe of the union
+            from pyspark.sql import functions as F
+
+            new_pred = (F.col("vec_id") % 10) == 3
+            emb = load_table(spark, sf_dir, "embeddings")
+            vecs90 = emb.select(
+                "vec_id", V.as_double("embedding").alias("emb")
+            ).filter(~new_pred)
+            write_ivf_index(
+                spark,
+                quantize_and_assign(
+                    vecs90, c_ids, c_mat, topn=1, id_col="vec_id", emb_col="emb"
+                ),
+                c_ids,
+                c_mat,
+                f"{work}/ivf90",
+            )
+
+            def incr_df():
+                index, s_ids, s_mat = load_ivf_index(spark, f"{work}/ivf90")
+                arrived = load_table(spark, sf_dir, "embeddings").select(
+                    "vec_id", V.as_double("embedding").alias("emb")
+                ).filter(new_pred)
+                delta = quantize_and_assign(
+                    arrived, s_ids, s_mat, topn=1, id_col="vec_id", emb_col="emb"
+                )
+                return _ivf_quantized_probe(
+                    spark, sf_dir, index.unionByName(delta), s_ids, s_mat,
+                    prune_lists=True,
+                )
+
+            incr_s = timed(incr_df)
+
             f_rows = sorted(map(tuple, fresh_df().collect()))
             s_rows = sorted(map(tuple, stored_df().collect()))
             assert f_rows == s_rows, "stored probe diverged from fresh"
+            i_rows = sorted(map(tuple, incr_df().collect()))
+            assert f_rows == i_rows, "incremental probe diverged from fresh"
 
             n_lists = len(c_ids)
             print(
                 f"{sf_dir}: fresh={fresh_s:.2f}s build_once={build_s:.2f}s "
                 f"stored_probe={stored_s:.2f}s probe_ratio={stored_s / fresh_s:.2f} "
-                f"lists={n_lists} rows={len(f_rows)}"
+                f"incr={incr_s:.2f}s lists={n_lists} rows={len(f_rows)}"
             )
             results[sf_dir] = {
                 "fresh_s": round(fresh_s, 2),
                 "build_once_s": round(build_s, 2),
                 "stored_probe_s": round(stored_s, 2),
+                "incr_s": round(incr_s, 2),
                 "n_lists": n_lists,
                 "rows": len(f_rows),
             }
