@@ -118,7 +118,6 @@ _PRIORITY = (
     "pivot_counts",
     "profile_columns",
     "quality_score",
-    "sample_deterministic",
 )
 
 _MODULES = (

@@ -12,6 +12,12 @@ next-round #1/#6). Options exercise the round-9 lifecycle pieces:
     --compact-every=K   in-stream compaction every K batches
     --prune             delete folded index-delta dirs at each
                         compaction (compact_prune_deltas)
+    --stream-frac=N     stream every Nth doc (default 20, i.e. a 5%
+                        stream; --stream-frac=2 streams HALF the docs
+                        — by stream end the accumulated prior-clean
+                        data rivals the corpus itself, which is what
+                        makes the uncompacted run's O(stream-age)
+                        data term visible inside a bounded smoke)
     --bucketed          anchor on a BUCKETED index table
                         (write_lsh_index_bucketed), the exchange-free
                         probe layout
@@ -49,9 +55,12 @@ def main() -> int:
     sf_dir = args[0] if args else ".scale/sf1"
     n_batches = int(args[1]) if len(args) > 1 else 20
     compact_every = None
+    stream_frac = 20
     for f in flags:
         if f.startswith("--compact-every="):
             compact_every = int(f.split("=")[1])
+        if f.startswith("--stream-frac="):
+            stream_frac = int(f.split("=")[1])
     bucketed = "--bucketed" in flags
     intra = "--intra" in flags
     prune = "--prune" in flags
@@ -63,8 +72,8 @@ def main() -> int:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "text"
         )
-        corpus = docs.filter(F.col("doc_id") % 20 != 0)
-        stream = docs.filter(F.col("doc_id") % 20 == 0)
+        corpus = docs.filter(F.col("doc_id") % stream_frac != 0)
+        stream = docs.filter(F.col("doc_id") % stream_frac == 0)
         n_stream = stream.count()
         n_corpus = corpus.count()
         page_size = math.ceil(n_stream / n_batches)
