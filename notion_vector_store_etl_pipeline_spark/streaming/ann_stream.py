@@ -1,0 +1,217 @@
+"""Streaming vector ingest into a stored IVF index — the ANN twin of
+the streaming ingest-dedup loop (streaming/dedup_stream.py), completing
+the index LIFECYCLE symmetry between the text (LSH) and vector (IVF)
+sides: stored base index → per-batch deltas → in-stream compaction
+behind an atomic manifest.
+
+Shape: a micro-batched stream of arriving embedding vectors (the
+paginated source — pages of today's embedding job) is quantized and
+assigned, per batch inside ``foreachBatch``, against the stored IVF
+base index's OWN centroid sidecar (:func:`operators.similarity
+.append_ivf_delta`'s kernel — one Arrow pass over the NEW vectors
+only; the base is never recomputed, never rescanned) and written as a
+``batch_id``-keyed delta tree, itself ``list_id``-partitioned so a
+consumer's probe prunes partitions on every tree. With
+``compact_every=K``, every K-th batch folds committed deltas into the
+next index version (:func:`operators.similarity.compact_ivf_index`)
+and publishes an atomic manifest; consumers anchor on the manifest and
+read only the delta TAIL, so probe-side state stays O(K deltas)
+regardless of stream age — the same bounded-growth discipline proven
+for the dedup stream (SCALE_SMOKE_R9.md §2), reusing its manifest
+machinery. The reference anchor is the same: the manifest is read once
+per run, not once per file (Notion_openai_vector_etl.py:625 vs the
+per-file loop :678-739).
+
+Exactly-once: each batch's only artifact is its ``batch_id=N`` delta
+dir written with overwrite — a crash between the write and the epoch
+commit replays the batch and the rewrite is byte-idempotent. Unlike
+the dedup loop, per-batch work here reads NO other batch's artifacts,
+so there is no self-probe hazard to bound; compaction at batch N still
+folds through N-1 only (committed by construction) and re-triggering
+on replay is an idempotent no-op.
+
+Soundness: assignment is per-vector and centroid-relative, and every
+delta (and every compacted version, whose sidecar is carried verbatim)
+shares the base's centroids — so base ∪ deltas probes EXACTLY like a
+full rebuild over the union with those centroids
+(tests/test_stream_ann_ingest.py). Centroid drift under distribution
+shift is the documented rebuild trigger (a new corpus version), not
+anything this loop does.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+    compact_ivf_index,
+    load_ivf_index,
+    load_ivf_index_with_deltas,
+    quantize_and_assign,
+)
+from notion_vector_store_etl_pipeline_spark.sources.paginated import (
+    register_paginated_source,
+)
+from notion_vector_store_etl_pipeline_spark.streaming.dedup_stream import (
+    _write_manifest,
+    read_compaction_manifest,
+)
+
+
+def _delta_dirs(out_dir: str, after_batch: int, before_batch: int) -> list[str]:
+    """Enumerate the ``delta/batch_id=N`` trees with ``after_batch < N <
+    before_batch`` — one os.listdir of name comparisons, the same
+    O(tail)-listing discipline as the dedup stream's
+    ``_read_prior_batches`` (a recurring reader of a growing
+    partitioned tree must select partitions BEFORE any reader sees the
+    root, or the listing becomes the O(age) term)."""
+    root = f"{out_dir}/delta"
+    if not os.path.isdir(root):
+        return []
+    dirs = []
+    for d in os.listdir(root):
+        if not d.startswith("batch_id="):
+            continue
+        try:
+            bid = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        if after_batch < bid < before_batch:
+            dirs.append(os.path.join(root, d))
+    return sorted(dirs)
+
+
+def load_stream_ann_state(
+    spark: SparkSession,
+    out_dir: str,
+    base_index_path: str,
+    before_batch: int,
+):
+    """The probe entry point for a consumer of the ingested index:
+    anchor on the compaction manifest (compacted version if any, else
+    the base) and union only the delta TAIL above its watermark.
+    ``before_batch`` is a strict upper bound — pass latest committed
+    batch + 1 so a crashed attempt's orphan delta is never served.
+    Returns ``(vectors, cent_ids, cent_mat)`` like
+    :func:`operators.similarity.load_ivf_index`."""
+    man = read_compaction_manifest(out_dir)
+    base = man["index_path"] if man else base_index_path
+    after = man["through_batch"] if man else -1
+    return load_ivf_index_with_deltas(
+        spark, base, _delta_dirs(out_dir, after, before_batch)
+    )
+
+
+def compact_ann_stream_state(
+    spark: SparkSession,
+    out_dir: str,
+    through_batch: int,
+    base_index_path: str,
+    prune_deltas: bool = False,
+) -> dict | None:
+    """Fold committed delta trees through ``through_batch`` into the
+    next stored-index version and publish the manifest. Idempotent: a
+    ``through_batch`` at or below the manifest watermark returns the
+    manifest unchanged (replay-safe), and a crash between the version
+    write and the publish leaves only an orphan version dir the retried
+    compaction overwrites. ``prune_deltas`` deletes the folded delta
+    dirs (their content lives in the new version; replays only touch
+    batches above the watermark), keeping the delta tree's listing
+    bounded by compact_every instead of stream age."""
+    man = read_compaction_manifest(out_dir)
+    prev = man["through_batch"] if man else -1
+    if through_batch <= prev:
+        return man
+    deltas = _delta_dirs(out_dir, prev, through_batch + 1)
+    if not deltas:
+        return man
+    k = (man["version"] + 1) if man else 1
+    base = man["index_path"] if man else base_index_path
+    out_path = f"{out_dir}/index_versions/v{k}"
+    compact_ivf_index(spark, base, deltas, out_path)
+    manifest = {
+        "version": k,
+        "index_path": out_path,
+        "through_batch": through_batch,
+    }
+    _write_manifest(out_dir, manifest)
+    if prune_deltas:
+        import shutil
+
+        for d in deltas:
+            shutil.rmtree(d, ignore_errors=True)
+    return manifest
+
+
+def streaming_vector_ingest(
+    spark: SparkSession,
+    source_path: str,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    page_size: int = 1000,
+    pages_per_batch: int = 1,
+    compact_every: int | None = None,
+    prune_deltas: bool = False,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> StreamingQuery:
+    """Start the streaming vector-ingest query.
+
+    ``source_path``: parquet of arriving vectors (``id_col``,
+    ``emb_col``) streamed page-by-page through the paginated source
+    (offsets = cursor, resume owned by the checkpoint). ``index_path``:
+    the stored IVF base index whose centroid sidecar defines every
+    assignment. Outputs under ``out_dir``: ``delta/batch_id=N`` (the
+    arriving vectors' codes+norms+assignment, list_id-partitioned) and,
+    with ``compact_every``, ``index_versions/v<k>`` + the manifest."""
+    from notion_vector_store_etl_pipeline_spark.functions import vectors as V
+
+    register_paginated_source(spark)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        man = read_compaction_manifest(out_dir)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # fold through batch_id - 1: every earlier batch is
+            # committed (this stream is processing batch_id), so the
+            # watermark can never cover a crashed attempt's artifacts
+            man = compact_ann_stream_state(
+                spark,
+                out_dir,
+                through_batch=batch_id - 1,
+                base_index_path=index_path,
+                prune_deltas=prune_deltas,
+            )
+        anchor = man["index_path"] if man else index_path
+        # the sidecar is tiny (the centroid table is a bounded design
+        # parameter) and identical across versions by construction
+        _, c_ids, c_mat = load_ivf_index(spark, anchor)
+        vecs = batch.select(
+            F.col(id_col).alias("vec_id"), V.as_double(emb_col).alias("emb")
+        )
+        delta = quantize_and_assign(
+            vecs, c_ids, c_mat, topn=1, id_col="vec_id", emb_col="emb"
+        )
+        # batch_id-keyed overwrite => replay-idempotent (exactly-once)
+        delta.repartition("list_id").write.mode("overwrite").partitionBy(
+            "list_id"
+        ).parquet(f"{out_dir}/delta/batch_id={batch_id}/vectors")
+
+    stream = (
+        spark.readStream.format("paginated")
+        .option("path", source_path)
+        .option("page_size", str(page_size))
+        .option("pages_per_batch", str(pages_per_batch))
+        .load()
+    )
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
