@@ -58,6 +58,32 @@ def persist_tracked(df: DataFrame, eager: bool = False) -> DataFrame:
     return df
 
 
+def tracked_snapshot() -> set[int]:
+    """Identity snapshot of the currently tracked persists — pair with
+    :func:`release_tracked_except` to scope a composite operator's
+    cache lifetime to the operator call (streaming probe_batch: the
+    call ends with an eager checkpoint, so every cache registered
+    DURING it — its own and nested operators' — is fully consumed by
+    then and safe to drop, ADVICE r9)."""
+    return {id(df) for df in _PERSISTED}
+
+
+def release_tracked_except(snapshot: set[int]) -> None:
+    """Unpersist every tracked entry registered since ``snapshot`` was
+    taken, leaving pre-existing entries (and their positions) alone."""
+    keep = []
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        if id(df) in snapshot:
+            keep.append(df)
+        else:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    _PERSISTED.extend(reversed(keep))
+
+
 def release_cache() -> None:
     """Unpersist every intermediate registered so far. Entries whose
     session has since stopped are dropped silently (same rationale as

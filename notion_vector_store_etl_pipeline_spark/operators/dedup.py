@@ -515,7 +515,8 @@ def compact_lsh_index(
     bucketed_table: str | None = None,
     n_buckets: int = 32,
     base_table: str | None = None,
-) -> None:
+    delta_dirs: list[str] | None = None,
+) -> bool:
     """Fold streaming index deltas (streaming/dedup_stream.py writes
     one per clean micro-batch) into the base index, producing the next
     probe-ready index version at ``out_path`` — the periodic
@@ -548,12 +549,40 @@ def compact_lsh_index(
     bucketed index would silently drop the exchange-free probe layout
     the bucketed writer exists to provide (VERDICT r8 missing #2).
     ``base_table`` reads the CURRENT index from a bucketed table
-    instead of ``base_path`` (pass ``base_path=None`` then)."""
+    instead of ``base_path`` (pass ``base_path=None`` then).
+
+    Delta enumeration (ADVICE r9): the matching ``batch_id=`` dirs are
+    enumerated EXPLICITLY (``operators.statefs.batch_dirs`` — on a
+    bounded window, constructed from the contiguous epoch range, no
+    root listing) and handed to the reader with ``basePath``, instead
+    of ``spark.read.parquet(root)`` + a filter: the root read would
+    file-list every leaf ever written (the O(stream-age) term
+    ``_read_prior_batches`` was rewritten to kill) and CRASHES with
+    'Unable to infer schema' when the root exists but the tail is
+    empty (reachable after ``prune_deltas``). An empty tail is an
+    early return: nothing to fold, no version written. Callers that
+    already enumerated (``compact_stream_state``) pass ``delta_dirs``
+    to skip the re-walk. Returns True iff a compacted version was
+    written."""
+    from notion_vector_store_etl_pipeline_spark.operators.statefs import (
+        batch_dirs,
+        state_fs,
+    )
+
+    if delta_dirs is None:
+        delta_dirs = batch_dirs(
+            state_fs(spark, delta_dir),
+            delta_dir,
+            after_batch if after_batch is not None else -1,
+            (through_batch + 1) if through_batch is not None else 2**62,
+        )
+    if not delta_dirs:
+        return False
     if base_table is not None:
         base = load_lsh_index_bucketed(spark, base_table)
     else:
         base = load_lsh_index(spark, base_path)
-    deltas = spark.read.parquet(delta_dir)
+    deltas = spark.read.option("basePath", delta_dir).parquet(*delta_dirs)
     if after_batch is not None:
         deltas = deltas.filter(F.col("batch_id") > after_batch)
     if through_batch is not None:
@@ -566,6 +595,7 @@ def compact_lsh_index(
         write_lsh_index_bucketed(merged, bucketed_table, n_buckets, path=out_path)
     else:
         write_lsh_index(merged, out_path)
+    return True
 
 
 def minhash_probe_candidates(batch_melted: DataFrame, corpus_index: DataFrame) -> DataFrame:

@@ -83,7 +83,15 @@ def memoized_index(
     if not os.path.isdir(path):
         os.makedirs(root, exist_ok=True)
         tmp = f"{path}.build-{uuid.uuid4().hex[:8]}"
-        build(tmp)
+        try:
+            build(tmp)
+        except BaseException:
+            # a failed build must not strand its temp tree: the
+            # retirement glob ends in _{version} and can never match
+            # the .build-* suffix, so orphans would accumulate forever
+            # (ADVICE r9)
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         try:  # atomic publish: concurrent builders race benignly
             os.rename(tmp, path)
         except OSError:

@@ -58,66 +58,63 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # vintage first, then r4), recomputed each round from the
 # CORRECTNESS_r0*.json files.
 _PRIORITY = (
-    # (a) new or changed in round 9 (2): the stored-IVF probe is NEW
-    # (never driver-sampled); minhash_probe_stored_index's memo moved
-    # to the shared index_memo helper (mtime_ns fingerprint, hashed
-    # key, per-user root) so its query fn changed and gets a fresh
-    # proof row.
-    "knn_ivf_incremental",
-    "knn_ivf_stored_index",
-    "minhash_probe_stored_index",
+    # (a) new in round 10 (1): the centroid-refresh rebuild probe —
+    # never driver-sampled.
+    "knn_ivf_rebuilt",
     # (b) oldest proof rows first (recomputed from CORRECTNESS_r0*.json
-    # at the start of r9): the 15 remaining round-5-vintage names.
-    "tpch_q20_part_promotion",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "window_first_last",
-    "window_ntile_cume",
-    "window_range_frame",
-    "window_running_total",
-    "window_sliding_counts",
-    # (b) continued: 33 of the 47 round-6-vintage rows (alphabetical
-    # prefix; the remaining 14 — semdedup_cluster_prune through
-    # window_tumbling_counts — lead the round-10 rotation).
-    "agg_percentiles",
-    "agg_stats_corr",
-    "agg_status_counts",
-    "agg_string_concat",
-    "cogroup_conversion_stats",
-    "curation_funnel",
-    "date_arithmetic",
-    "dedup_exact_hash",
-    "doc_fingerprint",
-    "every_nth_row",
-    "filter_isin_notnull",
-    "from_json_schema_read",
-    "graph_pagerank",
-    "graph_reachability",
-    "group_normalize_pandas",
-    "histogram_width_bucket",
-    "join_asof_latest",
-    "join_range_theta",
-    "json_extract_props",
-    "knn_topk",
-    "label_centroids",
-    "lang_id_heuristic",
-    "multimodal_audio_features",
-    "multimodal_decode_arrow",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "neardup_components",
-    "pii_mask",
-    "pivot_counts",
-    "profile_columns",
-    "quality_score",
+    # at the start of r10): the 15 remaining round-6-vintage names.
+    "sample_deterministic",
+    "semdedup_cluster_prune",
+    "sort_nulls_ordering",
+    "state_merge_upsert",
+    "stratified_sample_per_group",
+    "text_token_stats",
+    "tfidf_top_terms",
+    "time_rollup_multi",
+    "token_count_bpe",
+    "tpch_q1_pricing_summary",
+    "unpivot_metrics",
+    "variant_extract_props",
+    "window_lag_lead",
+    "window_session_gap",
+    "window_tumbling_counts",
+    # (b) continued: 34 of the 49 round-7-vintage rows (alphabetical
+    # prefix; the remaining 15 — ngram_jaccard_prefixfilter_capped
+    # through union_schema_evolution — lead the round-11 rotation).
+    "agg_approx_distinct",
+    "agg_distinct_counts",
+    "agg_group_sum",
+    "agg_rollup",
+    "anti_join_unchanged",
+    "bloom_prejoin_filter",
+    "chunk_explode",
+    "chunk_explode_udtf",
+    "chunk_explode_words",
+    "chunk_ids",
+    "classifier_score_linear",
+    "contamination_ngram_overlap",
+    "dedup_first_wins",
+    "domain_blocklist_filter",
+    "dq_expectations",
+    "embedding_norms",
+    "embedding_quantize_int8",
+    "graph_reachability_sql",
+    "hash_sha2",
+    "heavy_hitters_topk",
+    "hll_sketch_union",
+    "join_broadcast_dim",
+    "join_inner_equi",
+    "join_salted_skew",
+    "knn_ivf_approx",
+    "knn_ivf_quantized",
+    "knn_lsh_cosine",
+    "left_join_state",
+    "limit_pages",
+    "minhash_lsh_neardup",
+    "minhash_neardup_components",
+    "mixture_rebalance_lang",
+    "needs_vector_flag",
+    "ngram_jaccard_prefixfilter",
 )
 
 _MODULES = (

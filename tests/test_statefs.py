@@ -1,0 +1,139 @@
+"""The streaming state layer's filesystem shim (operators/statefs.py —
+VERDICT r9 missing #1): the SAME state operations must work over plain
+POSIX paths (the local fast path) and Hadoop-FS URIs (the cluster
+path: object stores, HDFS). The Hadoop backend is exercised here with
+``file:`` URIs, which route through the real JVM
+``org.apache.hadoop.fs.FileSystem`` stack — the exact code path an
+``s3a://`` root takes, minus the network.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from notion_vector_store_etl_pipeline_spark.operators.statefs import (
+    HadoopFS,
+    PosixFS,
+    batch_dirs,
+    path_scheme,
+    read_json,
+    state_fs,
+    write_json_atomic,
+)
+
+
+def test_path_scheme():
+    assert path_scheme("/root/x/y") == ""
+    assert path_scheme("relative/path") == ""
+    assert path_scheme("s3a://bucket/key") == "s3a"
+    assert path_scheme("file:/tmp/x") == "file"
+    assert path_scheme("hdfs://nn:8020/data") == "hdfs"
+    # a colon later in the path is not a scheme
+    assert path_scheme("/data/weird:name") == ""
+
+
+def test_state_fs_routing(spark, tmp_path):
+    assert isinstance(state_fs(None, str(tmp_path)), PosixFS)
+    assert isinstance(state_fs(spark, f"file:{tmp_path}"), HadoopFS)
+
+
+def test_scheme_without_session_fails_loudly():
+    """The hole this module closes: an object-store path silently
+    degrading to 'no state'. Without a session the shim must refuse,
+    never fall back to os.* calls that see nothing."""
+    with pytest.raises(ValueError, match="URI scheme"):
+        state_fs(None, "s3a://bucket/state")
+
+
+@pytest.mark.parametrize("scheme", ["posix", "hadoop"])
+def test_fs_roundtrip(spark, tmp_path, scheme):
+    root = str(tmp_path / "state") if scheme == "posix" else f"file:{tmp_path}/state"
+    fs = state_fs(spark, root)
+    assert not fs.exists(f"{root}/m.json")
+    assert read_json(fs, f"{root}/m.json") is None
+    write_json_atomic(fs, f"{root}/m.json", {"version": 1, "through_batch": 9})
+    assert fs.exists(f"{root}/m.json")
+    assert read_json(fs, f"{root}/m.json") == {"version": 1, "through_batch": 9}
+    # overwrite publishes the new content
+    write_json_atomic(fs, f"{root}/m.json", {"version": 2, "through_batch": 19})
+    assert read_json(fs, f"{root}/m.json")["version"] == 2
+    # no stray temp files left behind by the atomic publish
+    names = fs.list_names(root)
+    assert names == ["m.json"], names
+    fs.delete_recursive(root)
+    assert not fs.exists(root)
+
+
+@pytest.mark.parametrize("scheme", ["posix", "hadoop"])
+def test_batch_dirs_constructed_and_listed(spark, tmp_path, scheme):
+    """With a watermark the tail dirs are constructed from the
+    contiguous epoch range (no root listing); without one, a single
+    listing. Both must agree, skip non-batch dirs, and tolerate gaps
+    (empty batches write nothing)."""
+    local_root = tmp_path / "deltas"
+    for b in [0, 1, 2, 4, 5]:  # gap at 3 = an empty batch
+        (local_root / f"batch_id={b}").mkdir(parents=True)
+    (local_root / "_compaction").mkdir()
+    (local_root / "batch_id=junk").mkdir()
+    root = str(local_root) if scheme == "posix" else f"file:{local_root}"
+    fs = state_fs(spark, root)
+
+    def names(dirs):
+        return [d.rsplit("/", 1)[1] for d in dirs]
+
+    # startup (no watermark): listing path
+    assert names(batch_dirs(fs, root, -1, 6)) == [
+        "batch_id=0",
+        "batch_id=1",
+        "batch_id=2",
+        "batch_id=4",
+        "batch_id=5",
+    ]
+    # bounded window: constructed from the range, existence-checked
+    assert names(batch_dirs(fs, root, 1, 6)) == [
+        "batch_id=2",
+        "batch_id=4",
+        "batch_id=5",
+    ]
+    assert batch_dirs(fs, root, 4, 5) == []
+    assert batch_dirs(fs, f"{root}/nope", -1, 6) == []
+    # open-ended upper bound (consumers probing "everything committed"
+    # pass a huge before): must fall back to listing, never enumerate
+    # the range by construction
+    assert names(batch_dirs(fs, root, 1, 10**9)) == [
+        "batch_id=2",
+        "batch_id=4",
+        "batch_id=5",
+    ]
+
+
+def test_hadoop_batch_dirs_sees_what_posix_os_calls_miss(spark, tmp_path):
+    """The r9 failure mode, inverted into a regression pin: os.listdir
+    semantics over a scheme'd root return nothing (os.path.isdir is
+    False for 'file:/...'), while the shim resolves the same dirs."""
+    local_root = tmp_path / "d"
+    (local_root / "batch_id=0").mkdir(parents=True)
+    uri_root = f"file:{local_root}"
+    assert not os.path.isdir(uri_root)  # the silent-degradation hazard
+    fs = state_fs(spark, uri_root)
+    assert [d.rsplit("/", 1)[1] for d in batch_dirs(fs, uri_root, -1, 10)] == [
+        "batch_id=0"
+    ]
+
+
+def test_spark_reads_what_hadoop_shim_wrote(spark, tmp_path):
+    """End-to-end over the JVM backend: parquet written by Spark to a
+    file: URI is discoverable via the shim's enumeration and readable
+    via the same explicit-dirs pattern the stream uses."""
+    root = f"file:{tmp_path}/clean"
+    df = spark.range(3).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text")
+    df.write.parquet(f"{root}/batch_id=0")
+    df.write.parquet(f"{root}/batch_id=1")
+    fs = state_fs(spark, root)
+    dirs = batch_dirs(fs, root, -1, 2)
+    assert len(dirs) == 2
+    got = spark.read.option("basePath", root).parquet(*dirs)
+    assert got.count() == 6
+    assert set(got.columns) == {"doc_id", "text", "batch_id"}
