@@ -45,6 +45,9 @@ HEADLINE = [
     "knn_topk",
     "similarity_selfjoin",
     "neardup_components",
+    # round 10: the sub-quadratic (IVF-blocked) twin, benched beside
+    # the exact baseline so the trade is a visible number
+    "neardup_components_ivf_blocked",
     "minhash_lsh_neardup",
     "ngram_jaccard_selfjoin",
     "ngram_jaccard_prefixfilter",

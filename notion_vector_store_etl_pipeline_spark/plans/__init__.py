@@ -58,9 +58,11 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # vintage first, then r4), recomputed each round from the
 # CORRECTNESS_r0*.json files.
 _PRIORITY = (
-    # (a) new in round 10 (1): the centroid-refresh rebuild probe —
-    # never driver-sampled.
+    # (a) new in round 10 (3): the centroid-refresh rebuild probe and
+    # the IVF-blocked neardup twins — never driver-sampled.
     "knn_ivf_rebuilt",
+    "neardup_pairs_ivf_blocked",
+    "neardup_components_ivf_blocked",
     # (b) oldest proof rows first (recomputed from CORRECTNESS_r0*.json
     # at the start of r10): the 15 remaining round-6-vintage names.
     "sample_deterministic",
@@ -113,8 +115,6 @@ _PRIORITY = (
     "minhash_lsh_neardup",
     "minhash_neardup_components",
     "mixture_rebalance_lang",
-    "needs_vector_flag",
-    "ngram_jaccard_prefixfilter",
 )
 
 _MODULES = (

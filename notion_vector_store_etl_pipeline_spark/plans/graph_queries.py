@@ -108,13 +108,23 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_reachability (PLANS.md 'Recursive CTE vs driver loop'). "
     "Kept registered: it is the SQL-only surface for the same oracle "
     "and an independent cross-check of the loop implementation. "
-    "Round 8 closed the question at the third decade: on the sf10 "
-    "graph (15M orders) the engine ABORTS this variant with "
-    "RECURSION_ROW_LIMIT_EXCEEDED (the walk passes Spark's 1M-row "
-    "recursion safety limit) while the loop runs 9.2 s warm — "
-    "measured, not extrapolated (SCALE_SMOKE_R8.md §1d).",
+    "Round 8 found the third decade blocked: Spark's 1M-row recursion "
+    "safety limit ABORTS the sf10 walk (RECURSION_ROW_LIMIT_EXCEEDED, "
+    "SCALE_SMOKE_R8.md §1d). Round 10 closed that: the limit is a "
+    "plain config (spark.sql.cteRecursionRowLimit), this query lifts "
+    "it (termination stays doubly bounded by the walk's depth < 10 "
+    "predicate and the cteRecursionLevelLimit=100 level guard), and "
+    "the measured sf10 result is rows-identical to the loop at 1.4x "
+    "its wall-clock (26.9 s vs 19.4 s cold — SCALE_SMOKE_R10.md §3). "
+    "No longer engine-refused anywhere; the loop remains the "
+    "recommendation at 100x for the growth-term reason above.",
 )
 def graph_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the default 1M-row recursion guard aborts legitimate deep-corpus
+    # walks (measured at sf10); depth stays bounded by the WHERE
+    # predicate + the level-limit guard, so lift the row guard for the
+    # session (read at UnionLoop execution time, after this returns)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
     build_edges(spark, sf_dir).createOrReplaceTempView("crawl_edges")
     _seeds(spark).createOrReplaceTempView("crawl_seeds")
     return spark.sql(

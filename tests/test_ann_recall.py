@@ -415,3 +415,71 @@ def test_ivf_rebuild_equals_fresh_on_union(spark, tmp_path):
 
     got = probe(rebuilt)
     assert got == probe(fresh) and got
+
+
+def test_ivf_blocked_pairs_subset_of_exact(spark):
+    """The blocked near-dup pair set must be a strict SUBSET of the
+    exact all-pairs result with IDENTICAL scores (blocking may only
+    lose candidates, never invent or re-score them), its recall must
+    be meaningful, and recall must be monotone in `probes` (probes=2
+    lists are per-vector supersets of probes=1, so co-residence can
+    only grow)."""
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        cosine_selfjoin_pairs,
+        ivf_blocked_pairs,
+    )
+    from notion_vector_store_etl_pipeline_spark.plans.vector_queries import (
+        _SEMDEDUP_THR,
+        _ivf_centroids,
+    )
+    from notion_vector_store_etl_pipeline_spark.sources import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r.a_id, r.b_id): r.score
+        for r in cosine_selfjoin_pairs(
+            emb, _SEMDEDUP_THR, n_blocks=8
+        ).collect()
+    }
+    assert exact, "exact baseline returned nothing"
+
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    c_ids, c_mat = _ivf_centroids(spark, SF)
+    by_probe = {}
+    for probes in (1, 2):
+        got = {
+            (r.a_id, r.b_id): r.score
+            for r in ivf_blocked_pairs(
+                vecs, c_ids, c_mat, _SEMDEDUP_THR, probes=probes
+            ).collect()
+        }
+        for pair, score in got.items():
+            assert pair in exact, f"blocked invented pair {pair}"
+            assert abs(score - exact[pair]) < 1e-9, f"score drift at {pair}"
+        by_probe[probes] = got
+
+    assert set(by_probe[1]) <= set(by_probe[2]), "probes must be monotone"
+    recall = len(by_probe[2]) / len(exact)
+    assert recall >= 0.5, f"blocked pair recall collapsed: {recall:.2f}"
+
+
+def test_blocked_components_refine_exact(spark):
+    """Components over the blocked pair subgraph must REFINE the exact
+    components: two ids in one blocked cluster are always in one exact
+    cluster (missing edges can only split clusters, never merge
+    unrelated ones)."""
+    reg = load_registry()
+    exact = {
+        r.vec_id: r.component_id
+        for r in reg["neardup_components"].fn(spark, SF).collect()
+    }
+    blocked = reg["neardup_components_ivf_blocked"].fn(spark, SF).collect()
+    assert len(blocked) == len(exact)
+
+    by_cluster: dict = {}
+    for r in blocked:
+        by_cluster.setdefault(r.component_id, set()).add(exact[r.vec_id])
+    for cid, exact_ids in by_cluster.items():
+        assert len(exact_ids) == 1, (
+            f"blocked cluster {cid} spans exact clusters {exact_ids}"
+        )
