@@ -46,8 +46,11 @@ HEADLINE = [
     "similarity_selfjoin",
     "neardup_components",
     # round 10: the sub-quadratic (IVF-blocked) twin, benched beside
-    # the exact baseline so the trade is a visible number
+    # the exact baseline so the trade is a visible number, and the
+    # per-ingest probe (vector twin of minhash_incremental_probe)
     "neardup_components_ivf_blocked",
+    "neardup_probe_ivf_blocked",
+    "neardup_probe_ivf_stored",
     "minhash_lsh_neardup",
     "ngram_jaccard_selfjoin",
     "ngram_jaccard_prefixfilter",

@@ -760,6 +760,91 @@ def ivf_blocked_pairs(
     return per_list.dropDuplicates(["a_id", "b_id"])
 
 
+def ivf_blocked_probe(
+    vecs: DataFrame,
+    batch_pred,
+    cent_ids: np.ndarray,
+    cent_mat: np.ndarray,
+    threshold: float,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+) -> DataFrame:
+    """INCREMENTAL vector near-dup probe — the vector-side twin of
+    ``operators.dedup.minhash_probe_neardup``: rows matching
+    ``batch_pred`` (today's arrivals) probe the standing corpus for
+    cosine >= ``threshold`` matches through shared IVF lists, so the
+    pairwise work is batch x list-local-corpus, never corpus x corpus.
+    Output: ``(batch_id, corpus_id, score)``.
+
+    Both sides are assigned to their ``probes`` nearest centroids in
+    ONE :func:`nearest_lists` pass (the sidecar should be carved from
+    the CORPUS — index-build-time state; passing arrivals-derived
+    centroids would make results depend on the batch). Per-list work
+    is a bipartite GEMM (batch-members x corpus-members of that list),
+    so a hot list multiplies by its corpus occupancy only, and dedup
+    on (batch_id, corpus_id) removes multi-list co-residence exactly
+    as in :func:`ivf_blocked_pairs`. Intra-batch duplicates are out of
+    scope by design (same charter as the text probe: the stream wing
+    owns intra-batch).
+    """
+    from pyspark.sql import functions as F
+
+    tagged = vecs.select(
+        F.col(id_col),
+        F.col(emb_col),
+        batch_pred.cast("boolean").alias("_is_batch"),
+    )
+    assigned = nearest_lists(
+        tagged, cent_ids, cent_mat, probes, id_col=id_col, emb_col=emb_col
+    )
+    return _bipartite_list_probe(assigned, threshold, id_col, emb_col)
+
+
+def _bipartite_list_probe(
+    assigned: DataFrame, threshold: float, id_col: str, emb_col: str
+) -> DataFrame:
+    """Shared probe kernel: ``assigned`` rows (``id_col``, ``emb_col``,
+    ``_is_batch``, ``list_id``) group by list; each list runs one
+    bipartite GEMM (batch members x corpus members of THAT list), and
+    multi-list co-residence dedups on the pair key. Used by both the
+    fresh-assignment probe (:func:`ivf_blocked_probe`) and the
+    stored-index probe path (the index side arrives pre-assigned from
+    a ``write_ivf_index`` tree)."""
+    schema = StructType(
+        [
+            StructField("batch_id", LongType()),
+            StructField("corpus_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def probe(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"batch_id": [], "corpus_id": [], "score": []}).astype(
+            {"batch_id": np.int64, "corpus_id": np.int64, "score": np.float64}
+        )
+        is_b = pdf["_is_batch"].to_numpy(dtype=bool)
+        if not is_b.any() or is_b.all():
+            return empty
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack(
+            pdf[emb_col].map(lambda a: np.asarray(a, dtype=np.float64))
+        )
+        _, unit = _unit_matrix(ids.copy(), mat)
+        scores = np.round(unit[is_b] @ unit[~is_b].T, 6)
+        b, c = np.nonzero(scores >= threshold)
+        return pd.DataFrame(
+            {
+                "batch_id": ids[is_b][b],
+                "corpus_id": ids[~is_b][c],
+                "score": scores[b, c],
+            }
+        )
+
+    per_list = assigned.groupBy("list_id").applyInPandas(probe, schema)
+    return per_list.dropDuplicates(["batch_id", "corpus_id"])
+
+
 def semdedup_prune(
     vecs: DataFrame,
     cent_ids: np.ndarray,

@@ -58,11 +58,13 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # vintage first, then r4), recomputed each round from the
 # CORRECTNESS_r0*.json files.
 _PRIORITY = (
-    # (a) new in round 10 (3): the centroid-refresh rebuild probe and
-    # the IVF-blocked neardup twins — never driver-sampled.
+    # (a) new in round 10 (5): the centroid-refresh rebuild probe and
+    # the IVF-blocked neardup family — never driver-sampled.
     "knn_ivf_rebuilt",
     "neardup_pairs_ivf_blocked",
     "neardup_components_ivf_blocked",
+    "neardup_probe_ivf_blocked",
+    "neardup_probe_ivf_stored",
     # (b) oldest proof rows first (recomputed from CORRECTNESS_r0*.json
     # at the start of r10): the 15 remaining round-6-vintage names.
     "sample_deterministic",
@@ -113,8 +115,6 @@ _PRIORITY = (
     "left_join_state",
     "limit_pages",
     "minhash_lsh_neardup",
-    "minhash_neardup_components",
-    "mixture_rebalance_lang",
 )
 
 _MODULES = (

@@ -812,6 +812,171 @@ def neardup_components_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# shared by the fresh and stored probe registrations — the stored
+# index IS the same assignment materialized once, so one oracle serves
+# both (same pattern as _MH_PROBE_ORACLE on the text side)
+_IVF_PROBE_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cent AS (
+      SELECT vec_id AS cid, emb AS cemb FROM e
+      WHERE vec_id % 97 = 0 AND vec_id % 10 <> 0
+    ),
+    asg AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.emb, c.cemb)
+                         / (sqrt(list_dot_product(e.emb, e.emb))
+                            * sqrt(list_dot_product(c.cemb, c.cemb))), 6) DESC,
+                          c.cid) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn <= {_IVF_BLOCK_PROBES}
+    ),
+    cand AS (
+      SELECT DISTINCT b.vec_id AS batch_id, a.vec_id AS corpus_id
+      FROM asg a JOIN asg b ON a.list_id = b.list_id
+      WHERE a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+    )
+    SELECT c.batch_id, c.corpus_id,
+           round(list_dot_product(ea.emb, eb.emb)
+             / (sqrt(list_dot_product(ea.emb, ea.emb))
+                * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS score
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.batch_id
+    JOIN e eb ON eb.vec_id = c.corpus_id
+    WHERE round(list_dot_product(ea.emb, eb.emb)
+            / (sqrt(list_dot_product(ea.emb, ea.emb))
+               * sqrt(list_dot_product(eb.emb, eb.emb))), 6) >= {_SEMDEDUP_THR}
+    """
+
+
+@register(
+    "neardup_probe_ivf_blocked",
+    oracle=_IVF_PROBE_ORACLE,
+    doc="INCREMENTAL vector near-dup probe — the vector-side twin of "
+    "`minhash_incremental_probe`: a batch of arriving vectors "
+    "(vec_id % 10 = 0, ~10% of the corpus, standing in for today's "
+    "ingest) probes the standing corpus through shared IVF lists "
+    f"(probes={_IVF_BLOCK_PROBES}, sidecar carved from the CORPUS side "
+    "only — index-build-time state, so results never depend on the "
+    "batch). Work is bipartite (batch x list-local corpus), linear in "
+    "batch size for a fixed list layout — the per-ingest economics of "
+    "the whole dedup wing, now symmetric across text (MinHash LSH) "
+    "and vectors (IVF). Exact cosine verify, multi-list co-residence "
+    "deduped; intra-batch pairs out of scope by the same charter as "
+    "the text probe.",
+)
+def neardup_probe_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        ivf_blocked_probe,
+        load_vectors_numpy,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
+    c_ids, c_mat = load_vectors_numpy(
+        spark,
+        sf_dir,
+        predicate=(F.col("vec_id") % 97 == 0) & (F.col("vec_id") % 10 != 0),
+    )
+    order = np.argsort(c_ids)
+    return ivf_blocked_probe(
+        vecs,
+        F.col("vec_id") % 10 == 0,
+        c_ids[order],
+        c_mat[order],
+        _SEMDEDUP_THR,
+        probes=_IVF_BLOCK_PROBES,
+    )
+
+
+@register(
+    "neardup_probe_ivf_stored",
+    oracle=_IVF_PROBE_ORACLE,
+    doc="The incremental vector probe run the way production runs it: "
+    "against a STORED IVF index of the corpus (quantize_and_assign "
+    f"topn={_IVF_BLOCK_PROBES} -> write_ivf_index once per corpus "
+    "version, memoized; per ingest only the BATCH is assigned, against "
+    "the index's own sidecar). Value-identical to "
+    "`neardup_probe_ivf_blocked` BY CONSTRUCTION (same oracle SQL; "
+    "Spark-side equivalence pinned in tests/test_ann_recall.py::"
+    "test_probe_stored_matches_fresh) — what this registration adds is "
+    "the cost shape: corpus-side assignment is never recomputed per "
+    "ingest, the stored side is list_id-partitioned so the pre-join "
+    "semi filter on the batch's probed lists is partition pruning, and "
+    "bench trials after the first measure the true per-ingest cost "
+    "(batch assignment + bipartite list-local verify) — the number "
+    "that matters at 100 TB where the corpus is 1000x the daily batch. "
+    "The vector-side completion of minhash_probe_stored_index.",
+)
+def neardup_probe_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from notion_vector_store_etl_pipeline_spark.operators.index_memo import (
+        memoized_index,
+    )
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        _bipartite_list_probe,
+        load_ivf_index,
+        load_vectors_numpy,
+        nearest_lists,
+        quantize_and_assign,
+        write_ivf_index,
+    )
+
+    batch_pred = F.col("vec_id") % 10 == 0
+
+    def _build(tmp: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.select("vec_id", V.as_double("embedding").alias("emb")).filter(
+            ~batch_pred
+        )
+        c_ids, c_mat = load_vectors_numpy(
+            spark,
+            sf_dir,
+            predicate=(F.col("vec_id") % 97 == 0) & (F.col("vec_id") % 10 != 0),
+        )
+        order = np.argsort(c_ids)
+        # topn=_IVF_BLOCK_PROBES: each corpus vector is REPLICATED into
+        # its top-P lists (standard multi-assignment), so the stored
+        # probe's collision semantics match the fresh probe's exactly
+        write_ivf_index(
+            spark,
+            quantize_and_assign(
+                corpus,
+                c_ids[order],
+                c_mat[order],
+                topn=_IVF_BLOCK_PROBES,
+                id_col="vec_id",
+                emb_col="emb",
+            ),
+            c_ids[order],
+            c_mat[order],
+            tmp,
+        )
+
+    path = memoized_index(f"{sf_dir}/embeddings.parquet", "ivfprobe", "v1", _build)
+    vectors, c_ids, c_mat = load_ivf_index(spark, path)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.select("vec_id", V.as_double("embedding").alias("emb")).filter(
+        batch_pred
+    )
+    batch_asg = nearest_lists(
+        batch, c_ids, c_mat, _IVF_BLOCK_PROBES, id_col="vec_id", emb_col="emb"
+    ).select("vec_id", "emb", F.lit(True).alias("_is_batch"), "list_id")
+
+    # only lists the batch actually probes are read from the stored
+    # side (list_id is the partition column -> pruned scan at scale)
+    probed = batch_asg.select("list_id").distinct()
+    corpus_side = (
+        vectors.join(F.broadcast(probed), "list_id", "left_semi")
+        .select("vec_id", "emb", F.lit(False).alias("_is_batch"), "list_id")
+    )
+    return _bipartite_list_probe(
+        corpus_side.unionByName(batch_asg), _SEMDEDUP_THR, "vec_id", "emb"
+    )
+
+
 _LSH_BITS = 4
 _LSH_BANDS = 8
 

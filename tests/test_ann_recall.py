@@ -483,3 +483,57 @@ def test_blocked_components_refine_exact(spark):
         assert len(exact_ids) == 1, (
             f"blocked cluster {cid} spans exact clusters {exact_ids}"
         )
+
+
+def test_ivf_blocked_probe_subset_and_sides(spark):
+    """The incremental probe must emit only batch x corpus pairs (no
+    intra-batch, no corpus x corpus), every pair must exist in the
+    exact bipartite result with an identical score, and recall vs the
+    exact bipartite baseline must be meaningful."""
+    from notion_vector_store_etl_pipeline_spark.plans import load_registry
+    from notion_vector_store_etl_pipeline_spark.plans.vector_queries import (
+        _SEMDEDUP_THR,
+    )
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        cosine_selfjoin_pairs,
+    )
+    from notion_vector_store_etl_pipeline_spark.sources import load_table
+
+    reg = load_registry()
+    got = reg["neardup_probe_ivf_blocked"].fn(spark, SF).collect()
+    assert got, "probe returned nothing"
+    for r in got:
+        assert r.batch_id % 10 == 0, f"non-batch id on batch side: {r.batch_id}"
+        assert r.corpus_id % 10 != 0, f"batch id on corpus side: {r.corpus_id}"
+
+    emb = load_table(spark, SF, "embeddings")
+    exact_bi = {
+        (r.a_id, r.b_id): r.score
+        for r in cosine_selfjoin_pairs(emb, _SEMDEDUP_THR, n_blocks=8).collect()
+        if (r.a_id % 10 == 0) != (r.b_id % 10 == 0)
+    }
+    hits = 0
+    for r in got:
+        key = (min(r.batch_id, r.corpus_id), max(r.batch_id, r.corpus_id))
+        assert key in exact_bi, f"probe invented pair {key}"
+        assert abs(r.score - exact_bi[key]) < 1e-9, f"score drift at {key}"
+        hits += 1
+    assert hits / len(exact_bi) >= 0.1, (hits, len(exact_bi))
+
+
+def test_probe_stored_matches_fresh(spark):
+    """The stored-index probe must be value-identical to the fresh
+    probe (same sidecar carve-out, same top-P replication — the index
+    is just the corpus-side assignment materialized once)."""
+    from notion_vector_store_etl_pipeline_spark.plans import load_registry
+
+    reg = load_registry()
+    fresh = {
+        (r.batch_id, r.corpus_id): r.score
+        for r in reg["neardup_probe_ivf_blocked"].fn(spark, SF).collect()
+    }
+    stored = {
+        (r.batch_id, r.corpus_id): r.score
+        for r in reg["neardup_probe_ivf_stored"].fn(spark, SF).collect()
+    }
+    assert fresh and stored == fresh
