@@ -738,12 +738,46 @@ def ivf_blocked_pairs(
     found iff SOME list contains both ends; duplicates from multi-list
     co-residence are dropped on (a_id, b_id) — scores are identical
     across lists (same per-vector normalization, same round-6 dot).
+
+    Skew guard: a template cluster piles its members into ONE list,
+    and "one task per list" would make that a single unbounded GEMM
+    (a 50k-member list is a 20 GB score matrix). Lists larger than
+    ``MAX_BLOCK_ROWS`` are therefore split into hash blocks and every
+    unordered block pair of the SAME list becomes one task — the
+    :func:`cosine_selfjoin_pairs` decomposition applied list-locally,
+    with the IDENTICAL pair set (each unordered id pair of a list
+    lands in exactly one block pair). Normal lists have one block and
+    keep the one-GEMM fast path; the only added cost is a per-list
+    count (an L-row aggregate, broadcast back).
     """
+    from pyspark.sql import functions as F
+
     assigned = nearest_lists(
         vecs, cent_ids, cent_mat, probes, id_col=id_col, emb_col=emb_col
     )
 
+    # per-list block count: ceil(m_l / block_rows), 1 for normal lists
+    counts = assigned.groupBy("list_id").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(MAX_BLOCK_ROWS)).cast("int").alias("_nb")
+    )
+    rep = (
+        assigned.join(F.broadcast(counts), "list_id")
+        .withColumn(
+            "_blk", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb")).cast("int")
+        )
+        .withColumn("_other", F.explode(F.sequence(F.lit(0), F.col("_nb") - 1)))
+        .select(
+            "list_id",
+            F.least("_blk", "_other").alias("_bi"),
+            F.greatest("_blk", "_other").alias("_bj"),
+            id_col,
+            emb_col,
+            "_blk",
+        )
+    )
+
     def pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, bi, bj = key
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         order = np.argsort(ids)
         ids = ids[order]
@@ -751,13 +785,34 @@ def ivf_blocked_pairs(
             pdf[emb_col].iloc[order].map(lambda a: np.asarray(a, dtype=np.float64))
         )
         _, unit = _unit_matrix(ids.copy(), mat)
-        scores = np.round(unit @ unit.T, 6)
-        mask = (ids[:, None] < ids[None, :]) & (scores >= threshold)
-        a, b = np.nonzero(mask)
-        return pd.DataFrame({"a_id": ids[a], "b_id": ids[b], "score": scores[a, b]})
+        if bi == bj:
+            scores = np.round(unit @ unit.T, 6)
+            mask = (ids[:, None] < ids[None, :]) & (scores >= threshold)
+            a, b = np.nonzero(mask)
+            return pd.DataFrame(
+                {"a_id": ids[a], "b_id": ids[b], "score": scores[a, b]}
+            )
+        side = pdf["_blk"].to_numpy()[order] == bi
+        id_i, id_j = ids[side], ids[~side]
+        if len(id_i) == 0 or len(id_j) == 0:
+            return pd.DataFrame({"a_id": [], "b_id": [], "score": []}).astype(
+                {"a_id": np.int64, "b_id": np.int64, "score": np.float64}
+            )
+        scores = np.round(unit[side] @ unit[~side].T, 6)
+        a, b = np.nonzero(scores >= threshold)
+        ai, bj_ids = id_i[a], id_j[b]
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(ai, bj_ids),
+                "b_id": np.maximum(ai, bj_ids),
+                "score": scores[a, b],
+            }
+        )
 
-    per_list = assigned.groupBy("list_id").applyInPandas(pairs, _SELF_SCHEMA)
-    return per_list.dropDuplicates(["a_id", "b_id"])
+    per_block = rep.groupBy("list_id", "_bi", "_bj").applyInPandas(
+        pairs, _SELF_SCHEMA
+    )
+    return per_block.dropDuplicates(["a_id", "b_id"])
 
 
 def ivf_blocked_probe(
@@ -805,12 +860,50 @@ def _bipartite_list_probe(
     assigned: DataFrame, threshold: float, id_col: str, emb_col: str
 ) -> DataFrame:
     """Shared probe kernel: ``assigned`` rows (``id_col``, ``emb_col``,
-    ``_is_batch``, ``list_id``) group by list; each list runs one
+    ``_is_batch``, ``list_id``) group by list; each group runs one
     bipartite GEMM (batch members x corpus members of THAT list), and
     multi-list co-residence dedups on the pair key. Used by both the
     fresh-assignment probe (:func:`ivf_blocked_probe`) and the
     stored-index probe path (the index side arrives pre-assigned from
-    a ``write_ivf_index`` tree)."""
+    a ``write_ivf_index`` tree).
+
+    Skew guard (same shape as :func:`ivf_blocked_pairs`): the CORPUS
+    side of a hot list is hash-split into ``ceil(m_l/MAX_BLOCK_ROWS)``
+    blocks and the list's batch members are replicated into each block
+    — every (batch, corpus) pair lands in exactly one task, per-task
+    corpus occupancy is bounded, and lists with no corpus members are
+    dropped before the shuffle (the inner join with the corpus-side
+    counts). Normal lists have one block and keep the fast path."""
+    from pyspark.sql import functions as F
+
+    counts = (
+        assigned.filter(~F.col("_is_batch"))
+        .groupBy("list_id")
+        .agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(MAX_BLOCK_ROWS))
+            .cast("int")
+            .alias("_nb")
+        )
+    )
+    rep = (
+        assigned.join(F.broadcast(counts), "list_id")
+        .withColumn(
+            "_cblk",
+            F.when(
+                F.col("_is_batch"), F.lit(None).cast("int")
+            ).otherwise(F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb")).cast("int")),
+        )
+        .withColumn(
+            "_grp",
+            F.explode(
+                F.when(
+                    F.col("_is_batch"), F.sequence(F.lit(0), F.col("_nb") - 1)
+                ).otherwise(F.array(F.col("_cblk")))
+            ),
+        )
+        .select("list_id", "_grp", id_col, emb_col, "_is_batch")
+    )
+
     schema = StructType(
         [
             StructField("batch_id", LongType()),
@@ -841,8 +934,8 @@ def _bipartite_list_probe(
             }
         )
 
-    per_list = assigned.groupBy("list_id").applyInPandas(probe, schema)
-    return per_list.dropDuplicates(["batch_id", "corpus_id"])
+    per_group = rep.groupBy("list_id", "_grp").applyInPandas(probe, schema)
+    return per_group.dropDuplicates(["batch_id", "corpus_id"])
 
 
 def semdedup_prune(

@@ -537,3 +537,37 @@ def test_probe_stored_matches_fresh(spark):
         for r in reg["neardup_probe_ivf_stored"].fn(spark, SF).collect()
     }
     assert fresh and stored == fresh
+
+
+def test_blocked_neardup_skew_guard_preserves_pairs(spark, monkeypatch):
+    """The hot-list sub-blocking (lists > MAX_BLOCK_ROWS split into
+    hash block pairs; probe corpus side hash-split with batch
+    replicated) must preserve the EXACT pair sets: force every list to
+    sub-block by shrinking the block cap and compare against the
+    one-task-per-list output."""
+    from notion_vector_store_etl_pipeline_spark.operators import similarity as S
+    from notion_vector_store_etl_pipeline_spark.plans import load_registry
+
+    reg = load_registry()
+    base_pairs = {
+        (r.a_id, r.b_id, r.score)
+        for r in reg["neardup_pairs_ivf_blocked"].fn(spark, SF).collect()
+    }
+    base_probe = {
+        (r.batch_id, r.corpus_id, r.score)
+        for r in reg["neardup_probe_ivf_blocked"].fn(spark, SF).collect()
+    }
+    assert base_pairs and base_probe
+
+    # 500 vectors over ~6 lists => every list far exceeds a cap of 8
+    monkeypatch.setattr(S, "MAX_BLOCK_ROWS", 8)
+    forced_pairs = {
+        (r.a_id, r.b_id, r.score)
+        for r in reg["neardup_pairs_ivf_blocked"].fn(spark, SF).collect()
+    }
+    forced_probe = {
+        (r.batch_id, r.corpus_id, r.score)
+        for r in reg["neardup_probe_ivf_blocked"].fn(spark, SF).collect()
+    }
+    assert forced_pairs == base_pairs
+    assert forced_probe == base_probe
