@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from notion_vector_store_etl_pipeline_spark.functions import vectors as V
+from notion_vector_store_etl_pipeline_spark.operators.cache import persist_tracked
 from notion_vector_store_etl_pipeline_spark.plans import register
 from notion_vector_store_etl_pipeline_spark.sources import load_table
 
@@ -961,9 +962,20 @@ def neardup_probe_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.select("vec_id", V.as_double("embedding").alias("emb")).filter(
         batch_pred
     )
-    batch_asg = nearest_lists(
-        batch, c_ids, c_mat, _IVF_BLOCK_PROBES, id_col="vec_id", emb_col="emb"
-    ).select("vec_id", "emb", F.lit(True).alias("_is_batch"), "list_id")
+    # Assign the batch ONCE and pin it: the assignment feeds four
+    # consumers of one action (the probed-lists semi filter, the union's
+    # batch branch, the kernel's block-count join, and the stored scan's
+    # dynamic-pruning subqueries) — unpersisted, Spark re-runs the
+    # Arrow assignment pass per branch (~6x over the day's ingest in
+    # the formatted plan). The frame is micro-batch-sized (probes x
+    # batch rows), the same persist contract the streaming probe_batch
+    # uses; eager so concurrent branches can't race the cache populate.
+    batch_asg = persist_tracked(
+        nearest_lists(
+            batch, c_ids, c_mat, _IVF_BLOCK_PROBES, id_col="vec_id", emb_col="emb"
+        ).select("vec_id", "emb", F.lit(True).alias("_is_batch"), "list_id"),
+        eager=True,
+    )
 
     # only lists the batch actually probes are read from the stored
     # side (list_id is the partition column -> pruned scan at scale)
