@@ -117,6 +117,11 @@ HEADLINE = [
     # built once; min-of-trials reports the pruned probe of the
     # REBUILT index, same economics as the stored-index entries
     "knn_ivf_rebuilt",
+    # round 10 addition: the corpus-wide blocked neardup sweep off the
+    # STORED index — min-of-trials reports the sweep alone (no
+    # assignment pass; the count branch reads only the list_id
+    # partition column)
+    "neardup_pairs_ivf_stored",
 ]
 
 

@@ -750,11 +750,30 @@ def ivf_blocked_pairs(
     keep the one-GEMM fast path; the only added cost is a per-list
     count (an L-row aggregate, broadcast back).
     """
-    from pyspark.sql import functions as F
-
     assigned = nearest_lists(
         vecs, cent_ids, cent_mat, probes, id_col=id_col, emb_col=emb_col
     )
+    return blocked_pairs_from_assigned(assigned, threshold, id_col, emb_col)
+
+
+def blocked_pairs_from_assigned(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+) -> DataFrame:
+    """The post-assignment half of :func:`ivf_blocked_pairs`: list-local
+    exact scoring (with the hot-list sub-blocking skew guard) over rows
+    that ALREADY carry a ``list_id`` — either freshly assigned
+    (:func:`nearest_lists`) or read back from a stored
+    :func:`write_ivf_index` tree. The split matters at scale: the fresh
+    path's plan evaluates ``assigned`` twice (the block-count aggregate
+    and the replicated pair branch are separate consumers), so fresh =
+    two assignment GEMM passes over the corpus; handed a stored tree
+    instead, the count branch scans ONLY the ``list_id`` partition
+    column (zero data bytes) and the corpus-wide assignment is never
+    recomputed — one partitioned read replaces both passes."""
+    from pyspark.sql import functions as F
 
     # per-list block count: ceil(m_l / block_rows), 1 for normal lists
     counts = assigned.groupBy("list_id").agg(

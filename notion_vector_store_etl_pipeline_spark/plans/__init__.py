@@ -58,10 +58,11 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # vintage first, then r4), recomputed each round from the
 # CORRECTNESS_r0*.json files.
 _PRIORITY = (
-    # (a) new in round 10 (5): the centroid-refresh rebuild probe and
+    # (a) new in round 10 (6): the centroid-refresh rebuild probe and
     # the IVF-blocked neardup family — never driver-sampled.
     "knn_ivf_rebuilt",
     "neardup_pairs_ivf_blocked",
+    "neardup_pairs_ivf_stored",
     "neardup_components_ivf_blocked",
     "neardup_probe_ivf_blocked",
     "neardup_probe_ivf_stored",

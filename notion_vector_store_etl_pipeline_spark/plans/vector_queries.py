@@ -775,6 +775,64 @@ def neardup_pairs_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_pairs_ivf_stored",
+    oracle=_IVF_BLOCKED_PAIRS_CTE
+    + """
+    SELECT a_id, b_id, score FROM vpairs
+    """,
+    doc="The corpus-wide blocked near-dup sweep run the way production "
+    "runs it: against a STORED IVF index of the FULL population "
+    f"(quantize_and_assign topn={_IVF_BLOCK_PROBES} -> write_ivf_index "
+    "once per corpus version, memoized). Value-identical to "
+    "`neardup_pairs_ivf_blocked` by construction (same oracle; "
+    "Spark-side equivalence pinned in tests/test_ann_recall.py::"
+    "test_pairs_stored_matches_fresh). What it adds is the cost shape "
+    "the fresh plan cannot have: fresh evaluates the assignment TWICE "
+    "(the block-count aggregate and the pair branch are separate "
+    "consumers of one lazy plan), i.e. two corpus-wide GEMM passes per "
+    "sweep; here the count branch scans only the list_id PARTITION "
+    "column of the stored tree (zero data bytes) and assignment cost "
+    "is paid once per corpus version, amortized across every sweep, "
+    "probe, and ANN query that shares the index.",
+)
+def neardup_pairs_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from notion_vector_store_etl_pipeline_spark.operators.index_memo import (
+        memoized_index,
+    )
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        blocked_pairs_from_assigned,
+        load_ivf_index,
+        quantize_and_assign,
+        write_ivf_index,
+    )
+
+    def _build(tmp: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
+        c_ids, c_mat = _ivf_centroids(spark, sf_dir)
+        write_ivf_index(
+            spark,
+            quantize_and_assign(
+                vecs,
+                c_ids,
+                c_mat,
+                topn=_IVF_BLOCK_PROBES,
+                id_col="vec_id",
+                emb_col="emb",
+            ),
+            c_ids,
+            c_mat,
+            tmp,
+        )
+
+    path = memoized_index(f"{sf_dir}/embeddings.parquet", "ivfpairs", "v1", _build)
+    vectors, _, _ = load_ivf_index(spark, path)
+    return blocked_pairs_from_assigned(
+        vectors.select("vec_id", "emb", "list_id"), _SEMDEDUP_THR, "vec_id", "emb"
+    )
+
+
+@register(
     "neardup_components_ivf_blocked",
     oracle=_IVF_BLOCKED_PAIRS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
     + """,

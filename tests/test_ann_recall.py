@@ -571,3 +571,23 @@ def test_blocked_neardup_skew_guard_preserves_pairs(spark, monkeypatch):
     }
     assert forced_pairs == base_pairs
     assert forced_probe == base_probe
+
+
+def test_pairs_stored_matches_fresh(spark):
+    """The stored-index corpus sweep must be value-identical to the
+    fresh blocked pairs (same centroid carve-out, same top-P
+    replication — the index is the full-population assignment
+    materialized once), and its plan must contain NO assignment kernel:
+    every list_id comes off the stored tree."""
+    from notion_vector_store_etl_pipeline_spark.plans import load_registry
+
+    reg = load_registry()
+    fresh = {
+        (r.a_id, r.b_id): r.score
+        for r in reg["neardup_pairs_ivf_blocked"].fn(spark, SF).collect()
+    }
+    stored_df = reg["neardup_pairs_ivf_stored"].fn(spark, SF)
+    stored = {(r.a_id, r.b_id): r.score for r in stored_df.collect()}
+    assert fresh and stored == fresh
+    plan = stored_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, "stored pairs recomputed the assignment"
