@@ -637,9 +637,15 @@ def compact_ivf_index(
     ).parquet(f"{out_path}/centroids")
 
 
+# ceiling on the auto-derived centroid count: well under the
+# collect_vectors guard, and a broadcastable sidecar (64k x dim
+# float64 ~ 34 MB at dim 64)
+MAX_REFRESH_CENTROIDS = 65_536
+
+
 def refresh_centroids(
     vectors: DataFrame,
-    sample_mod: int = 97,
+    sample_mod: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "emb",
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -650,9 +656,22 @@ def refresh_centroids(
     base corpus plus everything that arrived since. The filter is
     pushed into the scan; only the bounded sample is collected
     (``collect_vectors`` guard). Returned sorted by id, the canonical
-    sidecar order."""
+    sidecar order.
+
+    ``sample_mod=None`` (the default) derives the modulus from the
+    population: ``max(97, ceil(n / MAX_REFRESH_CENTROIDS))`` — the
+    fixed-97 carve is kept up to ~6.4M vectors (identical behavior at
+    every fixture scale), and beyond that the list COUNT is capped
+    instead of the occupancy, so the driver-side sidecar collect can
+    never hit the ``collect_vectors`` guard no matter the corpus size
+    (a fixed mod of 97 would raise at ~9.7M vectors — the wrong
+    failure for a 100 TB rebuild). An explicit ``sample_mod`` is taken
+    as-is (tests, the smoke's constructed corpora)."""
     from pyspark.sql import functions as F
 
+    if sample_mod is None:
+        n = vectors.count()
+        sample_mod = max(97, -(-n // MAX_REFRESH_CENTROIDS))
     ids, mat = collect_vectors(
         vectors.filter(F.col(id_col) % sample_mod == 0), id_col, emb_col
     )
@@ -665,7 +684,7 @@ def rebuild_ivf_index(
     base_path: str,
     delta_paths: list[str],
     out_path: str,
-    sample_mod: int = 97,
+    sample_mod: int | None = None,
 ) -> None:
     """Centroid REFRESH — the periodic index rebuild that
     :func:`append_ivf_delta` documents as the answer to distribution

@@ -131,10 +131,18 @@ class HadoopFS:
         try:
             stream = self._fs.open(self._p(path))
         except Py4JJavaError as e:
-            # normalize to the POSIX backend's contract so callers
-            # (read_json's missing-manifest handling) see ONE exception
-            # type across backends
-            raise FileNotFoundError(f"{path}: {e.java_exception}") from None
+            # Normalize ONLY a genuine missing-file to the POSIX
+            # backend's contract (read_json's manifest-absent handling).
+            # Anything else — auth expiry, throttling, network — must
+            # propagate LOUDLY: mapping it to FileNotFoundError would
+            # make a transient s3a failure read as "no manifest yet",
+            # and a compaction run against manifest=None REWRITES
+            # version 1 and regresses the watermark — the exact silent
+            # degradation this module exists to eliminate.
+            java_cls = e.java_exception.getClass().getName()
+            if java_cls.endswith("FileNotFoundException"):
+                raise FileNotFoundError(f"{path}: {e.java_exception}") from None
+            raise
         try:
             data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
         finally:

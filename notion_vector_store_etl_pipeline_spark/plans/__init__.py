@@ -83,9 +83,12 @@ _PRIORITY = (
     "window_lag_lead",
     "window_session_gap",
     "window_tumbling_counts",
-    # (b) continued: 34 of the 49 round-7-vintage rows (alphabetical
-    # prefix; the remaining 15 — ngram_jaccard_prefixfilter_capped
-    # through union_schema_evolution — lead the round-11 rotation).
+    # (b) continued: 29 of the 49 round-7-vintage rows (alphabetical
+    # prefix; the remaining 20 — minhash_lsh_neardup through
+    # union_schema_evolution — lead the round-11 rotation). The window
+    # is EXACTLY 50 names (the driver's sample size, pinned in
+    # tests/test_fixture_canary.py), so every new registration bumps
+    # one vintage name into the next round's rotation.
     "agg_approx_distinct",
     "agg_distinct_counts",
     "agg_group_sum",
@@ -115,7 +118,6 @@ _PRIORITY = (
     "knn_lsh_cosine",
     "left_join_state",
     "limit_pages",
-    "minhash_lsh_neardup",
 )
 
 _MODULES = (

@@ -111,9 +111,12 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Round 8 found the third decade blocked: Spark's 1M-row recursion "
     "safety limit ABORTS the sf10 walk (RECURSION_ROW_LIMIT_EXCEEDED, "
     "SCALE_SMOKE_R8.md §1d). Round 10 closed that: the limit is a "
-    "plain config (spark.sql.cteRecursionRowLimit), this query lifts "
-    "it (termination stays doubly bounded by the walk's depth < 10 "
-    "predicate and the cteRecursionLevelLimit=100 level guard), and "
+    "plain config (spark.sql.cteRecursionRowLimit), this query raises "
+    "it to a large finite ceiling — the conf is read at execution "
+    "time so it outlives the call; a finite value keeps the runaway "
+    "guard for the rest of the session (termination here stays doubly "
+    "bounded by the walk's depth < 10 predicate and the "
+    "cteRecursionLevelLimit=100 level guard), and "
     "the measured sf10 result is rows-identical to the loop at 1.4x "
     "its wall-clock (26.9 s vs 19.4 s cold — SCALE_SMOKE_R10.md §3). "
     "No longer engine-refused anywhere; the loop remains the "
@@ -122,9 +125,14 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_reachability_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the default 1M-row recursion guard aborts legitimate deep-corpus
     # walks (measured at sf10); depth stays bounded by the WHERE
-    # predicate + the level-limit guard, so lift the row guard for the
-    # session (read at UnionLoop execution time, after this returns)
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "-1")
+    # predicate + the level-limit guard. The conf is read at UnionLoop
+    # EXECUTION time (after this returns, lazily), so it cannot be
+    # save/restored here — it necessarily outlives the call. Raise it
+    # to a large FINITE ceiling rather than -1: 1e9 is three decades of
+    # headroom over the measured sf10 need while still aborting a
+    # genuinely runaway recursion elsewhere in the session before it
+    # eats the executors (-1 would disable the guard session-wide).
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "1000000000")
     build_edges(spark, sf_dir).createOrReplaceTempView("crawl_edges")
     _seeds(spark).createOrReplaceTempView("crawl_seeds")
     return spark.sql(

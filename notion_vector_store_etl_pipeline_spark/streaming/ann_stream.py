@@ -129,7 +129,7 @@ def compact_ann_stream_state(
     prune_deltas: bool = False,
     retain_versions: int | None = None,
     rebuild_centroids: bool = False,
-    rebuild_sample_mod: int = 97,
+    rebuild_sample_mod: int | None = None,
 ) -> dict | None:
     """Fold committed delta trees through ``through_batch`` into the
     next stored-index version and publish the manifest. Idempotent: a
@@ -199,7 +199,7 @@ def streaming_vector_ingest(
     prune_deltas: bool = False,
     retain_versions: int | None = None,
     rebuild_every: int | None = None,
-    rebuild_sample_mod: int = 97,
+    rebuild_sample_mod: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> StreamingQuery:
@@ -244,8 +244,13 @@ def streaming_vector_ingest(
                 rebuild_sample_mod=rebuild_sample_mod,
             )
         anchor = man["index_path"] if man else index_path
-        # the sidecar is tiny (the centroid table is a bounded design
-        # parameter) and identical across versions by construction
+        # The sidecar MUST be re-read from the current anchor every
+        # batch: a rebuild_centroids compaction publishes a version
+        # whose sidecar deliberately DIFFERS (refreshed centroids).
+        # Caching c_ids/c_mat across batches would assign post-rebuild
+        # arrivals against the old centroids — delta list_ids
+        # inconsistent with the sidecar they are probed under, a
+        # silent recall corruption. The read is tiny (bounded table).
         _, c_ids, c_mat = load_ivf_index(spark, anchor)
         vecs = batch.select(
             F.col(id_col).alias("vec_id"), V.as_double(emb_col).alias("emb")

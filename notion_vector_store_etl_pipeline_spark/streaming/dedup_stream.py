@@ -157,7 +157,20 @@ def probe_batch(
     returning. Callers get a checkpoint-backed ``flagged`` and a
     ``clean`` that is one cheap anti-join over it; no
     ``release_cache()`` contract to forget, no cache accumulation in
-    long direct-caller sessions."""
+    long direct-caller sessions.
+
+    The trade, stated: ``localCheckpoint`` blocks are executor-local
+    and NON-RECOMPUTABLE — losing an executor between this return and
+    the caller's sink write fails the micro-batch (Structured
+    Streaming then recovers by replaying the batch from the
+    checkpointed source offsets, so the stream self-heals; a direct
+    batch caller must simply re-run the call). A lineage-preserving
+    ``persist()`` would recompute instead of fail, but reintroduces
+    the multiplicative plan growth and the cache-lifetime contract
+    this design removed. On clusters with aggressive spot/deallocation
+    churn, a reliable ``checkpoint()`` into the state root is the
+    alternative; per-micro-batch replay-from-source is the cheaper
+    default here (batches are small by construction)."""
     local_persists: list[DataFrame] = []
     tracked_before = tracked_snapshot()
 
@@ -418,12 +431,24 @@ def vacuum_index_versions(
     version dir, written via ``path=``, so the dir delete reclaims
     it). Crash-safe by construction: only versions strictly below the
     already-published manifest are touched, and re-running is an
-    idempotent no-op. Returns the vacuumed version numbers."""
+    idempotent no-op. Returns the vacuumed version numbers.
+
+    A ``_compaction/vacuum.json`` watermark records the highest
+    version already vacuumed, so each call probes only the versions
+    ADDED since the last vacuum — without it every compaction would
+    re-issue exists()/DROP TABLE for every version ever retired, an
+    O(stream-age) per-compaction cost (~3k object-store probes a month
+    into a compact_every=10, 1k-batches/day stream). The watermark is
+    written AFTER the deletions: a crash between them replays a few
+    idempotent deletes on the next call, never skips one."""
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1 (the live version)")
     fs = state_fs(spark, out_dir)
+    wm_path = f"{out_dir}/_compaction/vacuum.json"
+    start = ((read_json(fs, wm_path) or {}).get("vacuumed_through", 0)) + 1
+    cut = current_version - retain_versions
     gone = []
-    for j in range(1, current_version - retain_versions + 1):
+    for j in range(start, cut + 1):
         vdir = f"{out_dir}/index_versions/v{j}"
         found = fs.exists(vdir)
         if bucketed_table is not None:
@@ -431,6 +456,8 @@ def vacuum_index_versions(
         if found:
             fs.delete_recursive(vdir)
             gone.append(j)
+    if cut >= start:
+        write_json_atomic(fs, wm_path, {"vacuumed_through": cut})
     return gone
 
 

@@ -59,6 +59,11 @@ from notion_vector_store_etl_pipeline_spark.operators.similarity import (
     load_ivf_index,
     quantize_and_assign,
 )
+from notion_vector_store_etl_pipeline_spark.operators.statefs import (
+    read_json,
+    state_fs,
+    write_json_atomic,
+)
 from notion_vector_store_etl_pipeline_spark.sources.paginated import (
     register_paginated_source,
 )
@@ -96,11 +101,16 @@ def ingest_stage(
     num_hashes: int = 32,
     bands: int = 8,
     max_len: int = 400,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The shared probe -> chunk -> embed -> assign composition (after
     the skip stage, which differs between batch and stream only in
-    where prior state comes from). Returns (flagged, clean,
-    assigned_chunk_vectors)."""
+    where prior state comes from). Returns (flagged, clean, chunks,
+    assigned_chunk_vectors) — ``chunks`` is the (vec_id, chunk_id,
+    doc_id, chunk_index) linkage table: an ANN hit on a stored vector
+    traces back to its source document/chunk through it (the
+    reference's index keeps chunk->doc linkage explicitly,
+    ``Notion_openai_vector_etl.py:310-326``; without this frame the
+    mapping would need a chunk-stage re-run to reconstruct)."""
     flagged, clean = probe_batch(
         todo.select("doc_id", "text"),
         corpus_docs,
@@ -119,7 +129,106 @@ def ingest_stage(
     assigned = quantize_and_assign(
         chunks.select("vec_id", "emb"), c_ids, c_mat, topn=1, id_col="vec_id", emb_col="emb"
     )
-    return flagged, clean_full, assigned
+    return (
+        flagged,
+        clean_full,
+        chunks.select("vec_id", "chunk_id", "doc_id", "chunk_index"),
+        assigned,
+    )
+
+
+def _state_manifest_path(out_dir: str) -> str:
+    return f"{out_dir}/state/_compaction/manifest.json"
+
+
+def compact_ingest_state(
+    spark: SparkSession,
+    out_dir: str,
+    through_batch: int,
+    prune_state: bool = False,
+) -> dict:
+    """Fold the ``state/batch_id=N`` tail (N <= ``through_batch``) into
+    the next ``state_versions/v=<k>`` partition and publish the
+    watermark — the skip manifest's version of the compaction both
+    wings already have. Without it the skip stage re-reads EVERY state
+    batch ever written per micro-batch: O(stream age) listing + read,
+    the exact unbounded term `_read_prior_batches` was built to kill
+    (a month of 1k batches/day = a 30k-dir enumeration per batch).
+
+    The fold is ADDITIVE (each version holds only its window's
+    (doc_id, content_hash) rows, deduplicated within the window): the
+    skip stage consumes the state as an anti-join SET, so duplicate
+    pairs across versions are harmless and no cross-version merge is
+    needed — the same constant-scan-branch design as the dedup wing's
+    ``corpus_versions``. Idempotent below the watermark; a crash
+    between the version write and the publish leaves an orphan
+    ``v=<k>`` dir the read path's ``v <= version`` filter hides and a
+    retried compaction overwrites. ``prune_state=True`` deletes the
+    folded batch dirs after the publish (their rows live in the
+    version)."""
+    fs = state_fs(spark, out_dir)
+    root = f"{out_dir}/state"
+    man = read_json(fs, _state_manifest_path(out_dir)) or {
+        "version": 0,
+        "through_batch": -1,
+    }
+    prev = man["through_batch"]
+    if through_batch <= prev:
+        return man
+    from notion_vector_store_etl_pipeline_spark.operators.statefs import batch_dirs
+
+    dirs = batch_dirs(fs, root, prev, through_batch + 1)
+    if not dirs:
+        return man
+    k = man["version"] + 1
+    (
+        spark.read.option("basePath", root)
+        .parquet(*dirs)
+        .select("doc_id", "content_hash")
+        .dropDuplicates()
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/state_versions/v={k}")
+    )
+    man = {"version": k, "through_batch": through_batch}
+    write_json_atomic(fs, _state_manifest_path(out_dir), man)
+    if prune_state:
+        for d in dirs:
+            fs.delete_recursive(d)
+    return man
+
+
+def read_ingest_state(
+    spark: SparkSession, out_dir: str, before_batch: int
+) -> DataFrame | None:
+    """The skip stage's view of processed (doc_id, content_hash):
+    folded versions (one root, ``v <= version`` partition filter —
+    constant scan-branch count) ∪ the uncompacted tail (constructed
+    from the watermark, O(tail) point lookups)."""
+    fs = state_fs(spark, out_dir)
+    man = read_json(fs, _state_manifest_path(out_dir))
+    after = man["through_batch"] if man else -1
+    parts = []
+    if man and man["version"] > 0 and fs.is_dir(f"{out_dir}/state_versions"):
+        parts.append(
+            spark.read.parquet(f"{out_dir}/state_versions")
+            .filter(F.col("v") <= man["version"])
+            .select("doc_id", "content_hash")
+        )
+    tail = _read_prior_batches(
+        spark,
+        f"{out_dir}/state",
+        ["doc_id", "content_hash"],
+        before_batch,
+        after_batch=after,
+    )
+    if tail is not None:
+        parts.append(tail)
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def streaming_ingest_etl(
@@ -137,21 +246,32 @@ def streaming_ingest_etl(
     page_size: int = 100,
     pages_per_batch: int = 1,
     max_len: int = 400,
+    compact_state_every: int | None = None,
+    prune_state: bool = False,
 ) -> StreamingQuery:
     """Start the composed crawl->skip->dedup->chunk->embed->index
     stream. Outputs under ``out_dir``: ``state/batch_id=N`` (processed
     (doc_id, content_hash) — the skip manifest), ``flagged/
-    ingest_batch=N``, ``clean/batch_id=N``, ``chunks/batch_id=N``, and
-    ``ann/delta/batch_id=N/vectors`` (list_id-partitioned)."""
+    ingest_batch=N``, ``clean/batch_id=N``, ``chunks/batch_id=N``
+    (the vec_id -> (chunk_id, doc_id, chunk_index) linkage), and
+    ``ann/delta/batch_id=N/vectors`` (list_id-partitioned).
+    ``compact_state_every=K`` folds the skip-state tail into
+    ``state_versions`` every K batches (:func:`compact_ingest_state`)
+    so the per-batch state read stays O(K + versions), not O(stream
+    age); ``prune_state`` additionally deletes folded batch dirs."""
     register_paginated_source(spark)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        if compact_state_every and batch_id > 0 and batch_id % compact_state_every == 0:
+            # fold COMMITTED batches only (everything before this one);
+            # replays hit the watermark and no-op
+            compact_ingest_state(
+                spark, out_dir, through_batch=batch_id - 1, prune_state=prune_state
+            )
         batch = batch.withColumn("content_hash", F.sha2(F.col("text"), 256))
-        prior = _read_prior_batches(
-            spark, f"{out_dir}/state", ["doc_id", "content_hash"], batch_id
-        )
+        prior = read_ingest_state(spark, out_dir, batch_id)
         todo = batch
         if prior is not None:
             # skip docs already processed with the SAME content; a
@@ -164,7 +284,7 @@ def streaming_ingest_etl(
         else:
             lsh_index = load_lsh_index(spark, lsh_index_path)
         corpus_docs = spark.read.parquet(corpus_path).select("doc_id", "text")
-        flagged, clean, assigned = ingest_stage(
+        flagged, clean, chunks, assigned = ingest_stage(
             spark,
             todo,
             corpus_docs,
@@ -181,6 +301,9 @@ def streaming_ingest_etl(
             f"{out_dir}/flagged/ingest_batch={batch_id}"
         )
         clean.write.mode("overwrite").parquet(f"{out_dir}/clean/batch_id={batch_id}")
+        chunks.write.mode("overwrite").parquet(
+            f"{out_dir}/chunks/batch_id={batch_id}"
+        )
         assigned.repartition("list_id").write.mode("overwrite").partitionBy(
             "list_id"
         ).parquet(f"{out_dir}/ann/delta/batch_id={batch_id}/vectors")
@@ -215,10 +338,11 @@ def batch_ingest_etl(
     num_hashes: int = 32,
     bands: int = 8,
     max_len: int = 400,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The one-pass twin: the SAME stage composition over the whole
     input — the parity target the streaming run must equal batch-union
-    for (no prior state; distinct incoming docs)."""
+    for (no prior state; distinct incoming docs). Returns (flagged,
+    clean, chunks, assigned) like :func:`ingest_stage`."""
     lsh_index = load_lsh_index(spark, lsh_index_path)
     corpus_docs = spark.read.parquet(corpus_path).select("doc_id", "text")
     return ingest_stage(

@@ -591,3 +591,30 @@ def test_pairs_stored_matches_fresh(spark):
     assert fresh and stored == fresh
     plan = stored_df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan, "stored pairs recomputed the assignment"
+
+
+def test_refresh_centroids_auto_mod(spark, monkeypatch):
+    """sample_mod=None derives the carve: identical to the fixed %97 at
+    fixture scale, and capped by MAX_REFRESH_CENTROIDS when the
+    population outgrows it — the driver-side sidecar collect can never
+    hit the collect_vectors guard (a fixed 97 raises at ~9.7M
+    vectors)."""
+    from notion_vector_store_etl_pipeline_spark.operators import similarity as S
+    from notion_vector_store_etl_pipeline_spark.functions import vectors as V
+    from notion_vector_store_etl_pipeline_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
+    auto_ids, auto_mat = S.refresh_centroids(vecs)
+    fix_ids, fix_mat = S.refresh_centroids(vecs, sample_mod=97)
+    assert (auto_ids == fix_ids).all() and (auto_mat == fix_mat).all()
+
+    # shrink the ceiling so the cap bites: n=500, ceiling=2 -> mod=250
+    monkeypatch.setattr(S, "MAX_REFRESH_CENTROIDS", 2)
+    cap_ids, _ = S.refresh_centroids(vecs)
+    n = vecs.count()
+    assert len(cap_ids) <= 2 + 1  # ceil keeps the count at/under the cap
+    assert set(cap_ids) == {
+        r.vec_id for r in vecs.filter(F.col("vec_id") % max(97, -(-n // 2)) == 0).collect()
+    }

@@ -108,7 +108,7 @@ def test_streaming_composed_etl_matches_batch_twin(spark, tmp_path):
     )
     s_flagged, s_clean, s_assigned = _outputs(spark, out)
 
-    b_flagged_df, b_clean_df, b_assigned_df = batch_ingest_etl(
+    b_flagged_df, b_clean_df, b_chunks_df, b_assigned_df = batch_ingest_etl(
         spark, incoming, corpus_path, lsh_path, ivf_path
     )
     b_flagged = {(r.batch_id, r.corpus_id) for r in b_flagged_df.collect()}
@@ -137,6 +137,21 @@ def test_streaming_composed_etl_matches_batch_twin(spark, tmp_path):
         incoming.join(b_clean_df.select("doc_id"), "doc_id", "left_semi")
     ).count()
     assert len(s_assigned) == want_chunks
+
+    # the chunks linkage table traces every stored vector back to its
+    # source (doc_id, chunk_index) — stream == batch twin
+    s_chunks = {
+        (r.vec_id, r.chunk_id, r.doc_id, r.chunk_index)
+        for r in spark.read.parquet(f"{out}/chunks")
+        .select("vec_id", "chunk_id", "doc_id", "chunk_index")
+        .collect()
+    }
+    b_chunks = {
+        (r.vec_id, r.chunk_id, r.doc_id, r.chunk_index)
+        for r in b_chunks_df.collect()
+    }
+    assert s_chunks == b_chunks
+    assert {v for v, *_ in s_chunks} == {v for v, _ in s_assigned}
 
 
 def test_streaming_composed_etl_restart_and_skip(spark, tmp_path):
@@ -216,3 +231,60 @@ def test_streaming_composed_etl_restart_and_skip(spark, tmp_path):
         .collect()
     )
     assert per_vec and all(r["count"] == 1 for r in per_vec)
+
+def test_streaming_composed_etl_state_compaction(spark, tmp_path):
+    """compact_state_every folds the skip manifest into state_versions
+    behind a watermark: outputs are byte-identical to the uncompacted
+    twin, the skip contract survives a restart READING FROM THE FOLDED
+    state (the re-sent doc's batch dirs were pruned), and the tail the
+    per-batch read enumerates is bounded by the watermark."""
+    from notion_vector_store_etl_pipeline_spark.operators.statefs import (
+        read_json,
+        state_fs,
+    )
+    from notion_vector_store_etl_pipeline_spark.streaming.ingest_pipeline import (
+        _state_manifest_path,
+        read_ingest_state,
+    )
+
+    incoming, corpus_path, lsh_path, ivf_path = _fixture(spark, tmp_path)
+    inc = incoming.orderBy("doc_id").toPandas()
+    src = str(tmp_path / "incoming.parquet")
+    _write_source(inc, src)
+    kw = dict(page_size=15, pages_per_batch=1)
+
+    out_c, ckpt_c = str(tmp_path / "out_c"), str(tmp_path / "ckpt_c")
+    out_p, ckpt_p = str(tmp_path / "out_p"), str(tmp_path / "ckpt_p")
+    _run(
+        spark, src, corpus_path, lsh_path, ivf_path, out_c, ckpt_c,
+        compact_state_every=2, prune_state=True, **kw,
+    )
+    _run(spark, src, corpus_path, lsh_path, ivf_path, out_p, ckpt_p, **kw)
+    assert _outputs(spark, out_c) == _outputs(spark, out_p)
+
+    man = read_json(state_fs(spark, out_c), _state_manifest_path(out_c))
+    assert man and man["version"] >= 1 and man["through_batch"] >= 1
+    # folded batch dirs were pruned; the folded rows are still visible
+    fs = state_fs(spark, out_c)
+    for b in range(0, man["through_batch"] + 1):
+        assert not fs.is_dir(f"{out_c}/state/batch_id={b}")
+    view = read_ingest_state(spark, out_c, before_batch=10**9)
+    n_docs = spark.read.parquet(src).count()
+    assert view is not None and view.count() == n_docs
+
+    # restart with a re-sent (unchanged) doc whose state lives ONLY in
+    # the folded version: still skipped — no duplicate clean row
+    resend = inc.iloc[[0]]
+    _write_source(pd.concat([inc, resend], ignore_index=True), src)
+    _run(
+        spark, src, corpus_path, lsh_path, ivf_path, out_c, ckpt_c,
+        compact_state_every=2, prune_state=True, **kw,
+    )
+    resend_batches = (
+        spark.read.parquet(f"{out_c}/clean")
+        .filter(F.col("doc_id") == int(resend.doc_id.iloc[0]))
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    assert resend_batches <= 1

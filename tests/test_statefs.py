@@ -137,3 +137,36 @@ def test_spark_reads_what_hadoop_shim_wrote(spark, tmp_path):
     got = spark.read.option("basePath", root).parquet(*dirs)
     assert got.count() == 6
     assert set(got.columns) == {"doc_id", "text", "batch_id"}
+
+
+def test_hadoop_read_text_only_maps_missing_file(spark, tmp_path):
+    """Only a genuine java.io.FileNotFoundException may normalize to
+    FileNotFoundError (the manifest-absent contract). Any OTHER Java
+    error — auth expiry, throttling, network — must propagate loudly:
+    swallowed into FileNotFoundError it would read as "no manifest
+    yet" and a compaction against manifest=None would rewrite v1 and
+    regress the watermark."""
+    from py4j.protocol import Py4JJavaError
+
+    fs = HadoopFS(spark, f"file:{tmp_path}")
+
+    # genuine missing file -> FileNotFoundError (both backends agree)
+    with pytest.raises(FileNotFoundError):
+        fs.read_text(f"file:{tmp_path}/absent.json")
+
+    class _RaisingFS:
+        def __init__(self, jexc):
+            self._jexc = jexc
+
+        def open(self, _):
+            raise Py4JJavaError("java side failed", self._jexc)
+
+    # a transient-style error (IOException) must NOT be normalized
+    fs._fs = _RaisingFS(spark._jvm.java.io.IOException("throttled"))
+    with pytest.raises(Py4JJavaError):
+        fs.read_text(f"file:{tmp_path}/whatever.json")
+
+    # while a java FileNotFoundException still is
+    fs._fs = _RaisingFS(spark._jvm.java.io.FileNotFoundException("gone"))
+    with pytest.raises(FileNotFoundError):
+        fs.read_text(f"file:{tmp_path}/whatever.json")
