@@ -248,3 +248,35 @@ def test_probe_batch_releases_its_own_caches(spark):
     f = flagged.collect()
     c = clean.collect()
     assert len(c) + len({r.batch_id for r in f}) == batch.count()
+
+
+def test_vacuum_watermark_bounds_rescans(spark, tmp_path):
+    """The vacuum.json watermark (r10 review finding 6): each call
+    probes only versions added since the last vacuum — the watermark
+    file advances with the cut and a re-call below it is a pure no-op
+    (no O(stream-age) re-probing of long-retired versions)."""
+    from notion_vector_store_etl_pipeline_spark.operators.statefs import (
+        read_json,
+        state_fs,
+    )
+
+    out = str(tmp_path / "vac")
+    fs = state_fs(spark, out)
+    for j in range(1, 6):
+        os.makedirs(f"{out}/index_versions/v{j}", exist_ok=True)
+        with open(f"{out}/index_versions/v{j}/marker", "w") as f:
+            f.write("x")
+
+    # current=4, retain=2 -> cut=2: v1..v2 vacuumed, watermark=2
+    assert vacuum_index_versions(spark, out, 4, 2) == [1, 2]
+    wm = read_json(fs, f"{out}/_compaction/vacuum.json")
+    assert wm == {"vacuumed_through": 2}
+
+    # same cut again: nothing probed below the watermark, no deletions
+    assert vacuum_index_versions(spark, out, 4, 2) == []
+    # advance: current=5 -> cut=3, only v3 touched, watermark follows
+    assert vacuum_index_versions(spark, out, 5, 2) == [3]
+    assert read_json(fs, f"{out}/_compaction/vacuum.json") == {
+        "vacuumed_through": 3
+    }
+    assert sorted(os.listdir(f"{out}/index_versions")) == ["v4", "v5"]
