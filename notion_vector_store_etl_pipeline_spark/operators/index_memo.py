@@ -96,10 +96,17 @@ def memoized_index(
             os.rename(tmp, path)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
-        # retire superseded fingerprints for this (family, source) —
-        # the fixed-width key makes the glob unambiguous even when one
-        # source path is a prefix of another (ADVICE r8)
-        for old in glob.glob(os.path.join(root, f"{family}_{key}_*_{version}")):
-            if old != path and not old.startswith(path + "."):
-                shutil.rmtree(old, ignore_errors=True)
+        # retire superseded entries for this (family, source) — ANY
+        # fingerprint or construction version (a version-locked glob
+        # would strand one full index copy per version bump forever,
+        # r10 review finding). The fixed-width key makes the glob
+        # unambiguous even when one source path is a prefix of another
+        # (ADVICE r8); in-progress ".build-" temps of concurrent
+        # builders are skipped by the marker check.
+        for old in glob.glob(os.path.join(root, f"{family}_{key}_*")):
+            if old == path or old.startswith(path + "."):
+                continue
+            if ".build-" in os.path.basename(old):
+                continue  # another builder's in-flight temp
+            shutil.rmtree(old, ignore_errors=True)
     return path

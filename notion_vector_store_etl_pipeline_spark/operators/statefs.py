@@ -28,14 +28,16 @@ Atomicity of ``write_text_atomic`` by backend:
   old manifest until the new one is complete; there is no rename on a
   key-value store worth pretending about).
 - rename-capable Hadoop schemes (``file``, ``hdfs``, ``viewfs``):
-  temp + delete + rename. Hadoop's ``FileSystem.rename`` refuses an
-  existing destination, so overwrite needs the delete first — a
-  sub-millisecond window in which a CONCURRENT external reader sees no
-  manifest. In-process readers (the ``foreachBatch`` loop itself) are
-  sequential and never race this; external readers combined with
-  ``prune_deltas=True`` should prefer an object-store root or accept
-  the retry loop in ``load_stream_ann_state`` (streaming/ann_stream.py)
-  which re-validates the watermark after listing.
+  temp + ``FileContext.rename(..., Options.Rename.OVERWRITE)`` — one
+  atomic metadata op; the destination is never absent, so neither a
+  concurrent reader nor a crash mid-publish can observe or cause a
+  missing manifest. Schemes with no ``AbstractFileSystem`` binding
+  fall back to the FileSystem-API delete + rename, which has a
+  sub-millisecond window in which the manifest exists nowhere — a
+  crash inside it durably loses the manifest; external readers on
+  such a scheme combined with ``prune_deltas=True`` should prefer an
+  object-store root or accept the retry loop in
+  ``load_stream_ann_state`` (streaming/ann_stream.py).
 """
 
 from __future__ import annotations
@@ -104,10 +106,10 @@ class HadoopFS:
 
     def __init__(self, spark, path: str):
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
+        self._conf = spark._jsc.hadoopConfiguration()
         self._jpath_cls = self._jvm.org.apache.hadoop.fs.Path
-        self._fs = self._jpath_cls(path).getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        )
+        self._fs = self._jpath_cls(path).getFileSystem(self._conf)
         self._scheme = path_scheme(path)
 
     def _p(self, path: str):
@@ -164,6 +166,27 @@ class HadoopFS:
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         self._create(tmp, text)
         dst = self._p(path)
+        try:
+            # FileContext rename with Options.Rename.OVERWRITE is the
+            # real atomic publish on rename-capable schemes (one
+            # metadata op on HDFS) — the FileSystem-API delete+rename
+            # dance has a crash window in which the manifest EXISTS
+            # NOWHERE: a driver death between the delete and the
+            # rename durably destroys it, the watermark regresses to
+            # -1 on restart, and with pruning on the folded batches
+            # are unrecoverable (r10 review finding 3).
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                dst.toUri(), self._conf
+            )
+            rename_opt = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gateway.new_array(rename_opt, 1)
+            opts[0] = rename_opt.OVERWRITE
+            fc.rename(self._p(tmp), dst, opts)
+            return
+        except Exception:
+            # no AbstractFileSystem binding for this scheme — fall back
+            # to delete+rename and accept the (now documented) window
+            pass
         if self._fs.exists(dst):
             self._fs.delete(dst, False)  # Hadoop rename refuses existing dst
         if not self._fs.rename(self._p(tmp), dst):
@@ -194,10 +217,16 @@ def state_fs(spark, path: str):
 
 def read_json(fs, path: str) -> dict | None:
     """Small-state JSON read: missing or malformed -> ``None`` (the
-    manifest-absent contract readers already handle)."""
+    manifest-absent contract readers already handle).
+
+    ONLY FileNotFoundError maps to None: a PermissionError/EIO on the
+    POSIX backend (or any non-missing-file Java error on Hadoop — see
+    ``HadoopFS.read_text``) must propagate loudly, because a manifest
+    read that silently returns None regresses the compaction watermark
+    and, with pruning on, loses folded state permanently."""
     try:
         return json.loads(fs.read_text(path))
-    except (OSError, ValueError):
+    except (FileNotFoundError, ValueError):
         return None
 
 

@@ -224,8 +224,8 @@ def streaming_vector_ingest(
     register_paginated_source(spark)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
+        # compaction boundary BEFORE the empty-batch return (an empty
+        # K-th batch must still fold the tail; the fold is idempotent)
         man = read_compaction_manifest(out_dir, spark)
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             # fold through batch_id - 1: every earlier batch is
@@ -243,6 +243,8 @@ def streaming_vector_ingest(
                 ),
                 rebuild_sample_mod=rebuild_sample_mod,
             )
+        if batch.isEmpty():
+            return
         anchor = man["index_path"] if man else index_path
         # The sidecar MUST be re-read from the current anchor every
         # batch: a rebuild_centroids compaction publishes a version
@@ -262,6 +264,25 @@ def streaming_vector_ingest(
         delta.repartition("list_id").write.mode("overwrite").partitionBy(
             "list_id"
         ).parquet(f"{out_dir}/delta/batch_id={batch_id}/vectors")
+        # Writer-side anchor re-validation (r10 review): an OUT-OF-BAND
+        # compact_ann_stream_state(rebuild_centroids=True) racing this
+        # batch could publish a refreshed-sidecar version between the
+        # manifest read above and the delta landing — the delta's
+        # list_ids would then sit ABOVE the new watermark but come
+        # from the OLD centroids, and the next fold would make the
+        # inconsistency permanent. Fail LOUDLY instead: the stream's
+        # restart replays this batch from the checkpoint against the
+        # new anchor (the overwrite is idempotent). In-process
+        # compactions (compact_every) are sequential and never race.
+        man2 = read_compaction_manifest(out_dir, spark)
+        anchor2 = man2["index_path"] if man2 else index_path
+        if anchor2 != anchor:
+            raise RuntimeError(
+                f"ann ingest batch {batch_id}: index anchor changed "
+                f"{anchor!r} -> {anchor2!r} during the batch (concurrent "
+                "external rebuild) — restart the stream to replay this "
+                "batch against the current sidecar"
+            )
 
     stream = (
         spark.readStream.format("paginated")

@@ -138,7 +138,8 @@ def probe_batch(
     bands: int = 8,
     checkable: bool = False,
     intra_batch: bool = False,
-) -> tuple[DataFrame, DataFrame]:
+    return_clean_buckets: bool = False,
+) -> tuple[DataFrame, ...]:
     """One ingest step, batch-API shaped so the streaming wrapper and
     tests share it: probe ``batch`` (doc_id, text) against a prebuilt
     ``corpus_index``, verifying candidates exactly against
@@ -148,6 +149,12 @@ def probe_batch(
     flagged pair. ``intra_batch=True`` additionally self-joins the
     corpus survivors and flags the higher-id doc of each verified pair
     (see module docstring for the chain semantics).
+    ``return_clean_buckets=True`` appends a third element: the melted
+    (sid, band, bucket) rows of the CLEAN docs, checkpoint-backed —
+    the signature pass already ran for the probe, so the index-delta
+    writer reuses it instead of re-running shingle+minhash over the
+    clean docs read back from disk (r10 review; byte-identical rows,
+    the computation is per-row deterministic).
 
     Cache lifecycle is fully internal (ADVICE r9): the candidate set
     feeds two verify-side joins and ``flagged`` two consumers, so both
@@ -185,12 +192,32 @@ def probe_batch(
         num_hashes // bands,
         checkable,
     )
-    cand = _persist(minhash_probe_candidates(mb, corpus_index))
-    # verification needs text on both sides; batch ∪ corpus is the
-    # universe of candidate ids (semi-join inside keeps the shingle UDF
-    # candidate-local)
+    if return_clean_buckets:
+        # the candidate join below populates the cache; the clean_mb
+        # checkpoint then reads it instead of re-running the (Python
+        # shingle UDF) signature pass a second time
+        mb = _persist(mb)
+    # Same-id exclusion (r10 review): an UPDATED document — same
+    # doc_id as its corpus entry, changed text — collides with its own
+    # buckets and would be flagged as a near-dup of itself, silently
+    # discarding every edit. A (batch X, corpus X) pair is an update,
+    # not a duplicate; the skip stage upstream already passed it
+    # through deliberately.
+    cand = _persist(
+        minhash_probe_candidates(mb, corpus_index).filter(
+            F.col("a_id") != F.col("b_id")
+        )
+    )
+    # Verification needs text on both sides, and the shingle table is
+    # keyed by id — one text per id. BATCH WINS for ids present on
+    # both sides ("the corpus as it will be after this ingest"): an
+    # updated doc's pairs verify against its NEW text on either end;
+    # without the anti-join the duplicated id would fan the verify
+    # joins out across old/new text combinations.
     universe = batch.select("doc_id", "text").unionByName(
-        corpus_docs.select("doc_id", "text")
+        corpus_docs.select("doc_id", "text").join(
+            batch.select("doc_id"), "doc_id", "left_anti"
+        )
     )
     flagged = jaccard_verify_pairs(universe, cand, threshold=threshold).select(
         F.col("a_id").alias("batch_id"), F.col("b_id").alias("corpus_id"), "jaccard"
@@ -239,12 +266,24 @@ def probe_batch(
     # GLOBAL tracker; the checkpoint above consumed them all, so scope
     # them to this call too instead of leaving them for a caller-side
     # release_cache() nobody may run
+    clean_mb = None
+    if return_clean_buckets:
+        # filter the already-computed buckets to clean survivors and
+        # pin them BEFORE the persists are released (mb's lineage dies
+        # with them); checkpoint is batch-sized like flagged
+        clean_mb = mb.join(
+            flagged.select(F.col("batch_id").alias("sid")).dropDuplicates(),
+            "sid",
+            "left_anti",
+        ).localCheckpoint(eager=True)
     release_tracked_except(tracked_before)
     clean = batch.join(
         flagged.select(F.col("batch_id").alias("doc_id")).dropDuplicates(),
         "doc_id",
         "left_anti",
     )
+    if return_clean_buckets:
+        return flagged, clean, clean_mb
     return flagged, clean
 
 
@@ -543,8 +582,10 @@ def streaming_dedup_ingest(
     }
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
+        # compaction boundary BEFORE the empty-batch return: an empty
+        # K-th batch must still fold the tail, or the cycle is deferred
+        # to 2K (and can starve on an unlucky cadence of idle pages) —
+        # compact_stream_state is idempotent, so replays are safe
         man = read_compaction_manifest(out_dir, spark) if update_index else None
         if (
             update_index
@@ -567,6 +608,8 @@ def streaming_dedup_ingest(
                 prune_deltas=compact_prune_deltas,
                 retain_versions=compact_retain_versions,
             )
+        if batch.isEmpty():
+            return
         anchor = man or base_manifest
         index = _load_anchor_index(spark, anchor)
         docs = _load_anchor_corpus(spark, anchor, out_dir)
@@ -586,7 +629,7 @@ def streaming_dedup_ingest(
             )
             if prior_clean is not None:
                 docs = docs.unionByName(prior_clean)
-        flagged, clean = probe_batch(
+        probed = probe_batch(
             batch,
             docs,
             index,
@@ -595,7 +638,9 @@ def streaming_dedup_ingest(
             bands,
             checkable,
             intra_batch=intra_batch,
+            return_clean_buckets=update_index,
         )
+        flagged, clean = probed[0], probed[1]
         # batch_id-keyed overwrite => replay-idempotent (exactly-once).
         # flagged's partition dir is named ingest_batch, not batch_id:
         # the pair rows already carry a batch_id DATA column (the batch
@@ -608,19 +653,12 @@ def streaming_dedup_ingest(
             f"{out_dir}/clean/batch_id={batch_id}"
         )
         if update_index:
-            delta = melted_signature_buckets(
-                minhash_signatures(
-                    spark.read.parquet(f"{out_dir}/clean/batch_id={batch_id}"),
-                    "text",
-                    "doc_id",
-                    num_hashes,
-                    checkable=checkable,
-                ),
-                bands,
-                num_hashes // bands,
-                checkable,
-            )
-            delta.write.mode("overwrite").parquet(
+            # the clean docs' buckets come straight from probe_batch's
+            # signature pass (checkpoint-backed) — no second
+            # shingle+minhash run over the clean docs read back from
+            # disk. Deterministic per-row computation => byte-identical
+            # to the old recompute, so replays stay idempotent.
+            probed[2].write.mode("overwrite").parquet(
                 f"{out_dir}/index_delta/batch_id={batch_id}"
             )
         release_cache()

@@ -28,8 +28,11 @@ operator:
    ``<out>/ann`` — the exact layout ``streaming.ann_stream`` owns, so
    ``load_stream_ann_state(spark, f"{out}/ann", ivf_index_path, ...)``
    probes the pipeline's output directly and
-   ``compact_ann_stream_state`` / ``rebuild_ann_stream_state`` apply
-   unchanged.
+   ``compact_ann_stream_state`` (including
+   ``rebuild_centroids=True``) applies unchanged: each batch resolves
+   its IVF anchor through the ann tree's compaction manifest, so a
+   centroid refresh published between batches is picked up and new
+   deltas assign against the CURRENT sidecar.
 
 Exactly-once: every per-batch artifact (state, flagged, clean, ann
 delta) is a ``batch_id=N`` overwrite — crash replays rewrite
@@ -70,6 +73,7 @@ from notion_vector_store_etl_pipeline_spark.sources.paginated import (
 from notion_vector_store_etl_pipeline_spark.streaming.dedup_stream import (
     _read_prior_batches,
     probe_batch,
+    read_compaction_manifest,
 )
 from notion_vector_store_etl_pipeline_spark.streaming.pipeline import chunk_stage
 
@@ -120,12 +124,18 @@ def ingest_stage(
         bands,
     )
     # probe_batch consumes only (doc_id, text); rejoin for the chunk
-    # stage's source column
-    clean_full = todo.join(
-        clean.select("doc_id"), "doc_id", "left_semi"
-    ).select("doc_id", "text", "source")
+    # stage's source column. localCheckpoint (ingest-batch-sized, the
+    # same contract probe_batch itself uses): clean_full feeds the
+    # clean sink and the chunk stage, and chunks feeds BOTH the
+    # linkage sink and the assignment — unpinned, the chunk+embed
+    # pipeline would run once per consuming action.
+    clean_full = (
+        todo.join(clean.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "text", "source")
+        .localCheckpoint(eager=True)
+    )
     _, c_ids, c_mat = load_ivf_index(spark, ivf_index_path)
-    chunks = embedded_chunks(clean_full, max_len)
+    chunks = embedded_chunks(clean_full, max_len).localCheckpoint(eager=True)
     assigned = quantize_and_assign(
         chunks.select("vec_id", "emb"), c_ids, c_mat, topn=1, id_col="vec_id", emb_col="emb"
     )
@@ -166,8 +176,9 @@ def compact_ingest_state(
     retried compaction overwrites. ``prune_state=True`` deletes the
     folded batch dirs after the publish (their rows live in the
     version)."""
+    from notion_vector_store_etl_pipeline_spark.operators.statefs import batch_dirs
+
     fs = state_fs(spark, out_dir)
-    root = f"{out_dir}/state"
     man = read_json(fs, _state_manifest_path(out_dir)) or {
         "version": 0,
         "through_batch": -1,
@@ -175,51 +186,58 @@ def compact_ingest_state(
     prev = man["through_batch"]
     if through_batch <= prev:
         return man
-    from notion_vector_store_etl_pipeline_spark.operators.statefs import batch_dirs
-
-    dirs = batch_dirs(fs, root, prev, through_batch + 1)
-    if not dirs:
-        return man
     k = man["version"] + 1
-    (
-        spark.read.option("basePath", root)
-        .parquet(*dirs)
-        .select("doc_id", "content_hash")
-        .dropDuplicates()
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/state_versions/v={k}")
-    )
+    folded_dirs = []
+    for tree, cols in (
+        ("state", ["doc_id", "content_hash", "vec_ids"]),
+        ("stale", ["vec_id"]),
+    ):
+        root = f"{out_dir}/{tree}"
+        dirs = batch_dirs(fs, root, prev, through_batch + 1)
+        if not dirs:
+            continue
+        (
+            spark.read.option("basePath", root)
+            .parquet(*dirs)
+            .select(*cols)
+            .dropDuplicates()
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/{tree}_versions/v={k}")
+        )
+        folded_dirs.extend(dirs)
+    if not folded_dirs:
+        return man
     man = {"version": k, "through_batch": through_batch}
     write_json_atomic(fs, _state_manifest_path(out_dir), man)
     if prune_state:
-        for d in dirs:
+        for d in folded_dirs:
             fs.delete_recursive(d)
     return man
 
 
-def read_ingest_state(
-    spark: SparkSession, out_dir: str, before_batch: int
+def _read_tree(
+    spark: SparkSession,
+    out_dir: str,
+    tree: str,
+    cols: list[str],
+    before_batch: int,
 ) -> DataFrame | None:
-    """The skip stage's view of processed (doc_id, content_hash):
-    folded versions (one root, ``v <= version`` partition filter —
-    constant scan-branch count) ∪ the uncompacted tail (constructed
-    from the watermark, O(tail) point lookups)."""
+    """Folded ``{tree}_versions`` (one root, ``v <= version`` partition
+    filter — constant scan-branch count) ∪ the uncompacted
+    ``{tree}/batch_id=N`` tail (constructed from the watermark, O(tail)
+    point lookups)."""
     fs = state_fs(spark, out_dir)
     man = read_json(fs, _state_manifest_path(out_dir))
     after = man["through_batch"] if man else -1
     parts = []
-    if man and man["version"] > 0 and fs.is_dir(f"{out_dir}/state_versions"):
+    if man and man["version"] > 0 and fs.is_dir(f"{out_dir}/{tree}_versions"):
         parts.append(
-            spark.read.parquet(f"{out_dir}/state_versions")
+            spark.read.parquet(f"{out_dir}/{tree}_versions")
             .filter(F.col("v") <= man["version"])
-            .select("doc_id", "content_hash")
+            .select(*cols)
         )
     tail = _read_prior_batches(
-        spark,
-        f"{out_dir}/state",
-        ["doc_id", "content_hash"],
-        before_batch,
-        after_batch=after,
+        spark, f"{out_dir}/{tree}", cols, before_batch, after_batch=after
     )
     if tail is not None:
         parts.append(tail)
@@ -229,6 +247,58 @@ def read_ingest_state(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def read_ingest_state(
+    spark: SparkSession, out_dir: str, before_batch: int
+) -> DataFrame | None:
+    """The skip stage's view of processed docs: (doc_id, content_hash,
+    vec_ids) — the hash drives the skip anti-join; ``vec_ids`` is the
+    doc's chunk-vector manifest, consumed by the stale computation
+    when the doc is re-processed (the reference's page -> vector-ids
+    manifest, ``Notion_openai_vector_etl.py`` `save_manifest`,
+    SURVEY §2.2 K4)."""
+    return _read_tree(
+        spark, out_dir, "state", ["doc_id", "content_hash", "vec_ids"], before_batch
+    )
+
+
+def read_stale_vectors(
+    spark: SparkSession, out_dir: str, before_batch: int
+) -> DataFrame | None:
+    """All ``vec_id`` rows superseded by document updates through
+    ``before_batch`` — the delete set consumers subtract from the ANN
+    view (:func:`load_pipeline_ann_state`)."""
+    return _read_tree(spark, out_dir, "stale", ["vec_id"], before_batch)
+
+
+def load_pipeline_ann_state(
+    spark: SparkSession,
+    out_dir: str,
+    ivf_index_path: str,
+    before_batch: int,
+):
+    """The composed pipeline's probe-ready ANN view: the ann_stream
+    state (stored base ∪ committed deltas) MINUS the stale delete set
+    — vectors of superseded document versions. An updated document's
+    old chunks stay physically present in earlier deltas/compacted
+    versions (immutable, replay-idempotent trees); this loader is
+    where they stop being SERVED, the same split the reference makes
+    between its vector store and its stale-id delete pass
+    (``Notion_openai_vector_etl.py`` stale-vector deletion, SURVEY
+    §2.2 K4 — engine twin: plans/incremental_queries.stale_detect).
+    Physical reclamation rides the ann tree's normal compaction."""
+    from notion_vector_store_etl_pipeline_spark.streaming.ann_stream import (
+        load_stream_ann_state,
+    )
+
+    index, c_ids, c_mat = load_stream_ann_state(
+        spark, f"{out_dir}/ann", ivf_index_path, before_batch
+    )
+    stale = read_stale_vectors(spark, out_dir, before_batch)
+    if stale is not None:
+        index = index.join(stale.dropDuplicates(), "vec_id", "left_anti")
+    return index, c_ids, c_mat
 
 
 def streaming_ingest_etl(
@@ -251,26 +321,39 @@ def streaming_ingest_etl(
 ) -> StreamingQuery:
     """Start the composed crawl->skip->dedup->chunk->embed->index
     stream. Outputs under ``out_dir``: ``state/batch_id=N`` (processed
-    (doc_id, content_hash) — the skip manifest), ``flagged/
-    ingest_batch=N``, ``clean/batch_id=N``, ``chunks/batch_id=N``
-    (the vec_id -> (chunk_id, doc_id, chunk_index) linkage), and
+    (doc_id, content_hash, vec_ids) — the skip manifest, each row
+    carrying the doc's chunk-vector list like the reference's
+    page -> vector-ids manifest), ``flagged/ingest_batch=N``,
+    ``clean/batch_id=N``, ``chunks/batch_id=N`` (the vec_id ->
+    (chunk_id, doc_id, chunk_index) linkage), ``stale/batch_id=N``
+    (vec_ids superseded by updates — subtracted by
+    :func:`load_pipeline_ann_state`), and
     ``ann/delta/batch_id=N/vectors`` (list_id-partitioned).
-    ``compact_state_every=K`` folds the skip-state tail into
-    ``state_versions`` every K batches (:func:`compact_ingest_state`)
+    ``compact_state_every=K`` folds the skip-state AND stale tails
+    into versioned trees every K batches (:func:`compact_ingest_state`)
     so the per-batch state read stays O(K + versions), not O(stream
     age); ``prune_state`` additionally deletes folded batch dirs."""
     register_paginated_source(spark)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
+        # compaction boundary BEFORE the empty-batch return: an empty
+        # K-th batch must still fold the state tail (the fold is
+        # idempotent; deferring it to 2K lets the tail grow unbounded
+        # on an unlucky cadence of idle pages)
         if compact_state_every and batch_id > 0 and batch_id % compact_state_every == 0:
             # fold COMMITTED batches only (everything before this one);
             # replays hit the watermark and no-op
             compact_ingest_state(
                 spark, out_dir, through_batch=batch_id - 1, prune_state=prune_state
             )
-        batch = batch.withColumn("content_hash", F.sha2(F.col("text"), 256))
+        if batch.isEmpty():
+            return
+        # pin the micro-batch once: it feeds the skip join AND the
+        # final state write — two independent sink actions that would
+        # otherwise re-pull the source frame
+        batch = batch.withColumn(
+            "content_hash", F.sha2(F.col("text"), 256)
+        ).localCheckpoint(eager=True)
         prior = read_ingest_state(spark, out_dir, batch_id)
         todo = batch
         if prior is not None:
@@ -278,18 +361,32 @@ def streaming_ingest_etl(
             # changed doc (same id, new hash) passes through — the
             # reference's cache-hit predicate (:664), null-safe twin
             # in plans/incremental_queries.incremental_changed
-            todo = batch.join(prior, ["doc_id", "content_hash"], "left_anti")
+            # localCheckpoint: todo feeds the probe AND the clean
+            # rejoin; unpinned, the state-versions + tail scan and the
+            # anti-join would re-execute once per downstream action
+            todo = batch.join(
+                prior, ["doc_id", "content_hash"], "left_anti"
+            ).localCheckpoint(eager=True)
         if lsh_index_table:
             lsh_index = load_lsh_index_bucketed(spark, lsh_index_table)
         else:
             lsh_index = load_lsh_index(spark, lsh_index_path)
         corpus_docs = spark.read.parquet(corpus_path).select("doc_id", "text")
+        # resolve the IVF anchor through the ann tree's compaction
+        # manifest: after compact_ann_stream_state(rebuild_centroids=
+        # True) on {out}/ann, the published version carries a REFRESHED
+        # sidecar — assigning new deltas against the stale base
+        # centroids would put list_ids on them that the refreshed
+        # sidecar's probes never select (silent recall collapse; the
+        # same rule ann_stream re-reads its anchor per batch for)
+        ann_man = read_compaction_manifest(f"{out_dir}/ann", spark)
+        ivf_anchor = ann_man["index_path"] if ann_man else ivf_index_path
         flagged, clean, chunks, assigned = ingest_stage(
             spark,
             todo,
             corpus_docs,
             lsh_index,
-            ivf_index_path,
+            ivf_anchor,
             threshold,
             num_hashes,
             bands,
@@ -307,11 +404,44 @@ def streaming_ingest_etl(
         assigned.repartition("list_id").write.mode("overwrite").partitionBy(
             "list_id"
         ).parquet(f"{out_dir}/ann/delta/batch_id={batch_id}/vectors")
+        # stale delete set: every doc (re)processed this batch
+        # supersedes its PRIOR versions' vectors — their vec_ids (from
+        # the state manifest's per-doc vector list) land in
+        # stale/batch_id=N, and load_pipeline_ann_state subtracts them
+        # (the reference's stale-vector deletion, SURVEY §2.2 K4;
+        # without it every document update doubles the doc's served
+        # vector footprint forever)
+        if prior is not None:
+            stale = (
+                prior.join(todo.select("doc_id"), "doc_id", "left_semi")
+                .select(F.explode("vec_ids").alias("vec_id"))
+                .dropDuplicates()
+            )
+        else:
+            stale = spark.createDataFrame([], "vec_id long")
+        stale.write.mode("overwrite").parquet(
+            f"{out_dir}/stale/batch_id={batch_id}"
+        )
         # state LAST: a crash before this point replays the batch with
         # the doc not yet marked processed (rewrite, idempotent); after
-        # it, the epoch commit is the only step left
-        batch.select("doc_id", "content_hash").write.mode("overwrite").parquet(
-            f"{out_dir}/state/batch_id={batch_id}"
+        # it, the epoch commit is the only step left. Each row carries
+        # the doc's chunk-vector manifest (empty for skipped/flagged
+        # docs) — the stale computation's source on the NEXT update.
+        (
+            batch.select("doc_id", "content_hash")
+            .join(
+                chunks.groupBy("doc_id").agg(
+                    F.collect_list("vec_id").alias("vec_ids")
+                ),
+                "doc_id",
+                "left",
+            )
+            .withColumn(
+                "vec_ids",
+                F.coalesce(F.col("vec_ids"), F.array().cast("array<long>")),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/state/batch_id={batch_id}")
         )
 
     docs = (

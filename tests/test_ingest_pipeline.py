@@ -288,3 +288,69 @@ def test_streaming_composed_etl_state_compaction(spark, tmp_path):
         .count()
     )
     assert resend_batches <= 1
+
+
+def test_changed_doc_old_vectors_go_stale(spark, tmp_path):
+    """r10 review finding: re-ingesting a changed document must retire
+    its previous version's vectors from the SERVED ANN view (the
+    reference's stale-vector deletion) — the old vec_ids land in the
+    stale delete set and load_pipeline_ann_state subtracts them, while
+    the new version's vectors and every unrelated doc's vectors remain."""
+    from notion_vector_store_etl_pipeline_spark.streaming.ingest_pipeline import (
+        load_pipeline_ann_state,
+        read_stale_vectors,
+    )
+
+    incoming, corpus_path, lsh_path, ivf_path = _fixture(spark, tmp_path)
+    inc = incoming.orderBy("doc_id").toPandas()
+    src = str(tmp_path / "incoming.parquet")
+    _write_source(inc, src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    kw = dict(page_size=15, pages_per_batch=1)
+    _run(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, **kw)
+    _, clean1, _ = _outputs(spark, out)
+
+    changed_id = sorted(clean1)[0]
+    old_vecs = {
+        r.vec_id
+        for r in spark.read.parquet(f"{out}/chunks")
+        .filter(F.col("doc_id") == changed_id)
+        .select("vec_id")
+        .collect()
+    }
+    assert old_vecs
+
+    extra = pd.DataFrame(
+        {
+            "doc_id": [changed_id],
+            "text": [
+                "completely rewritten second edition concerning tidal "
+                "resonance in narrow fjords and the instrumentation thereof"
+            ],
+            "source": ["changed"],
+        }
+    )
+    _write_source(pd.concat([inc, extra], ignore_index=True), src)
+    _run(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, **kw)
+
+    stale = {r.vec_id for r in read_stale_vectors(spark, out, 10**9).collect()}
+    assert old_vecs <= stale, "old version's vectors not in the delete set"
+
+    index, _, _ = load_pipeline_ann_state(spark, out, ivf_path, 10**9)
+    served = {r.vec_id for r in index.select("vec_id").collect()}
+    assert not (old_vecs & served), "superseded vectors still served"
+    new_vecs = {
+        r.vec_id
+        for r in embedded_chunks(spark.createDataFrame(extra)).select("vec_id").collect()
+    }
+    assert new_vecs <= served, "new version's vectors missing from the view"
+    # an unrelated clean doc's vectors are untouched
+    other_id = sorted(clean1)[1]
+    other_vecs = {
+        r.vec_id
+        for r in spark.read.parquet(f"{out}/chunks")
+        .filter(F.col("doc_id") == other_id)
+        .select("vec_id")
+        .collect()
+    }
+    assert other_vecs and other_vecs <= served

@@ -280,3 +280,35 @@ def test_vacuum_watermark_bounds_rescans(spark, tmp_path):
         "vacuumed_through": 3
     }
     assert sorted(os.listdir(f"{out}/index_versions")) == ["v4", "v5"]
+
+
+def test_probe_batch_update_flow_not_self_flagged(spark):
+    """r10 review finding: an UPDATED document (same doc_id as its
+    corpus entry, changed text) must NOT be flagged as a near-dup of
+    itself — (batch X, corpus X) is an update, not a duplicate. Real
+    cross-id duplicates still flag, including the updated doc matching
+    a DIFFERENT corpus doc, verified against the batch's NEW text."""
+    docs = spark.read.parquet(SOURCE).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    corpus_rows = corpus.orderBy("doc_id").limit(2).collect()
+    x_id, x_text = corpus_rows[0].doc_id, corpus_rows[0].text
+    w_id, w_text = corpus_rows[1].doc_id, corpus_rows[1].text
+    index = D.build_lsh_index(corpus)
+
+    # batch: X re-sent with a small edit (near-identical to corpus X),
+    # and a new doc 777777 that is a near-copy of corpus W
+    batch = spark.createDataFrame(
+        [
+            (int(x_id), x_text + " tiny appended edit"),
+            (777_777, w_text + " minor tail"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged, clean = probe_batch(batch, corpus, index)
+    pairs = {(r.batch_id, r.corpus_id) for r in flagged.collect()}
+    assert (x_id, x_id) not in pairs, "update flagged as self-duplicate"
+    assert (777_777, w_id) in pairs, "real cross-id duplicate missed"
+    clean_ids = {r.doc_id for r in clean.collect()}
+    # the updated doc flows through (unless it matched ANOTHER doc)
+    if not any(b == x_id for b, _ in pairs):
+        assert x_id in clean_ids
