@@ -225,10 +225,33 @@ def _read_tree(
     """Folded ``{tree}_versions`` (one root, ``v <= version`` partition
     filter — constant scan-branch count) ∪ the uncompacted
     ``{tree}/batch_id=N`` tail (constructed from the watermark, O(tail)
-    point lookups)."""
+    point lookups).
+
+    The manifest is re-read AFTER the tail enumeration (the ADVICE r9
+    pattern from ``load_stream_ann_state``): a concurrent compaction
+    with ``prune_state`` could fold-and-delete the enumerated tail
+    between the two reads — anchoring on the stale watermark would
+    silently LOSE those batches' rows. If the watermark advanced, the
+    enumeration retries against the new anchor; the residual window
+    (prune after return, during the caller's read) fails LOUDLY with
+    missing files, never silently. In-process callers (the
+    ``foreachBatch`` loop) are sequential and take one pass."""
     fs = state_fs(spark, out_dir)
-    man = read_json(fs, _state_manifest_path(out_dir))
-    after = man["through_batch"] if man else -1
+    for _ in range(5):
+        man = read_json(fs, _state_manifest_path(out_dir))
+        after = man["through_batch"] if man else -1
+        tail = _read_prior_batches(
+            spark, f"{out_dir}/{tree}", cols, before_batch, after_batch=after
+        )
+        man2 = read_json(fs, _state_manifest_path(out_dir))
+        if (man2["through_batch"] if man2 else -1) == after:
+            break
+        man = man2
+    else:
+        raise RuntimeError(
+            f"{tree} watermark kept advancing across 5 enumeration "
+            "attempts — a compaction loop is racing this reader"
+        )
     parts = []
     if man and man["version"] > 0 and fs.is_dir(f"{out_dir}/{tree}_versions"):
         parts.append(
@@ -236,9 +259,6 @@ def _read_tree(
             .filter(F.col("v") <= man["version"])
             .select(*cols)
         )
-    tail = _read_prior_batches(
-        spark, f"{out_dir}/{tree}", cols, before_batch, after_batch=after
-    )
     if tail is not None:
         parts.append(tail)
     if not parts:
