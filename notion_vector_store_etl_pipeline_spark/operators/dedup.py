@@ -62,7 +62,12 @@ def word_shingles_hof(text: Column, k: int = 3) -> Column:
     Kept as the no-Python fallback."""
     toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    # guard n < k explicitly: sequence(0, -1) infers step -1 and yields
+    # [0, -1] (not []), driving element_at to an INVALID_ARRAY_INDEX
+    # crash on any document shorter than k words
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
     shingles = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)])
     )
@@ -841,7 +846,11 @@ def jaccard_pairs_prefix(
             F.slice(
                 "sh_all",
                 1,
-                (F.floor((1.0 - threshold) * F.col("n")) + 1).cast("int"),
+                # sound bound is n - ceil(t*n) + 1; the epsilon absorbs
+                # float artifacts like (1.0-0.9)*10 = 0.9999... that
+                # would otherwise shorten the prefix by one and silently
+                # drop true pairs — it only ever LENGTHENS the prefix
+                (F.floor((1.0 - threshold) * F.col("n") + 1e-9) + 1).cast("int"),
             ),
         )
     )
@@ -872,8 +881,11 @@ def jaccard_pairs_prefix(
         a.join(b, "h")
         .filter(
             (F.col("a_id") < F.col("b_id"))
-            # length filter: max(na,nb)*t <= min(na,nb)
-            & (F.greatest("n_a", "n_b") * threshold <= F.least("n_a", "n_b"))
+            # length filter: max(na,nb)*t <= min(na,nb); the epsilon
+            # keeps boundary pairs (e.g. t=0.07, 7-in-100: 100*0.07 =
+            # 7.000000000000001 would wrongly kill an exact-threshold
+            # pair) — like `required` below it only ever weakens pruning
+            & (F.greatest("n_a", "n_b") * threshold <= F.least("n_a", "n_b") + 1e-9)
         )
         .groupBy("a_id", "b_id", "n_a", "n_b")
         .agg(

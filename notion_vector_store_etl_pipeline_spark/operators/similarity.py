@@ -51,6 +51,15 @@ _SELF_SCHEMA = StructType(
 
 
 def _unit_matrix(ids: np.ndarray, mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if mat.ndim != 2 or mat.shape[0] == 0:
+        # fail with an actionable message instead of a numpy AxisError
+        # three kernels deep (e.g. a centroid carve that matched zero
+        # rows, or an empty query batch reaching a probe kernel)
+        raise ValueError(
+            f"_unit_matrix: expected a non-empty (n, dim) matrix, got "
+            f"shape {mat.shape} — empty vector set (no rows matched the "
+            "centroid carve / query batch predicate?)"
+        )
     norms = np.sqrt((mat * mat).sum(axis=1))
     norms[norms == 0.0] = np.nan  # zero vectors -> NaN scores -> filtered
     return ids, mat / norms[:, None]
@@ -84,13 +93,20 @@ def cosine_scores_vs(
             _, c_unit = _unit_matrix(c_ids, c_mat)
             scores = np.round(c_unit @ q_unit.T, 6)  # (batch, n_queries)
             n_c, n_q = scores.shape
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "query_id": np.repeat(q_ids[None, :], n_c, axis=0).ravel(),
                     "cand_id": np.repeat(c_ids, n_q),
                     "score": scores.ravel(),
                 }
             )
+            # drop NaN scores (zero-norm vectors) HERE, not by consumer
+            # comparison: threshold filters exclude NaN for free, but a
+            # descending ranking window does NOT — Spark sorts NaN above
+            # every real score, so an unfiltered zero vector would sit
+            # at rank 1 of every top-k while the SQL oracle (NULL from
+            # 0-division) excludes it
+            yield out[~np.isnan(out["score"].to_numpy())]
 
     return candidates.select(id_col, emb_col).mapInPandas(batches, _PAIR_SCHEMA)
 
@@ -126,6 +142,10 @@ def collect_vectors(
             "to the driver."
         )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
+    if not rows:
+        # keep the matrix 2-D: np.array([]) is shape (0,), which turns
+        # downstream axis=1 reductions into obscure AxisErrors
+        return ids, np.empty((0, 0), dtype=np.float64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     return ids, mat
 
@@ -233,6 +253,7 @@ def load_vectors_numpy(
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet").filter(predicate)
         return collect_vectors(df, "vec_id", "embedding", max_rows=max_rows)
     try:
+        import pyarrow.lib as pa_lib
         import pyarrow.parquet as pq
 
         path = f"{sf_dir}/{table}.parquet"
@@ -253,7 +274,12 @@ def load_vectors_numpy(
             tbl.column("embedding").to_pandas().map(lambda a: np.asarray(a, dtype=np.float64))
         )
         return ids, mat
-    except (OSError, FileNotFoundError):
+    except (OSError, pa_lib.ArrowInvalid):
+        # ArrowInvalid (a ValueError, NOT an OSError) is what pyarrow
+        # raises for URI schemes it has no filesystem for (s3a://,
+        # dbfs:/) — exactly the documented fall-back-to-Spark case.
+        # The max_rows guard above raises plain ValueError and is NOT
+        # caught here: an oversized sidecar must fail, not fall through.
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         return collect_vectors(df, "vec_id", "embedding", max_rows=max_rows)
 
@@ -794,7 +820,15 @@ def blocked_pairs_from_assigned(
     recomputed — one partitioned read replaces both passes."""
     from pyspark.sql import functions as F
 
-    # per-list block count: ceil(m_l / block_rows), 1 for normal lists
+    # per-list block count: ceil(m_l / block_rows), 1 for normal lists.
+    # The broadcast below is mandatory by design, not a small-SF
+    # convenience: counts has exactly one (list_id, _nb) row per
+    # centroid, and the centroid count is a bounded index design
+    # parameter (refresh_centroids caps it at MAX_REFRESH_CENTROIDS =
+    # 2^16 ~ 1-2 MB serialized; even 2^20 lists is ~20 MB) — while the
+    # non-broadcast alternative shuffles the CORPUS on list_id just to
+    # pick up one small int. Unlike the freq table in dedup.py (corpus
+    # vocabulary, unbounded), this side cannot grow with the data.
     counts = assigned.groupBy("list_id").agg(
         F.ceil(F.count(F.lit(1)) / F.lit(MAX_BLOCK_ROWS)).cast("int").alias("_nb")
     )
@@ -911,7 +945,12 @@ def _bipartite_list_probe(
     — every (batch, corpus) pair lands in exactly one task, per-task
     corpus occupancy is bounded, and lists with no corpus members are
     dropped before the shuffle (the inner join with the corpus-side
-    counts). Normal lists have one block and keep the fast path."""
+    counts). Normal lists have one block and keep the fast path.
+
+    The counts broadcast is bounded by construction: one row per
+    centroid list, and the centroid count is a fixed index design
+    parameter (<= MAX_REFRESH_CENTROIDS through the refresh path) —
+    see the sizing note in :func:`blocked_pairs_from_assigned`."""
     from pyspark.sql import functions as F
 
     counts = (

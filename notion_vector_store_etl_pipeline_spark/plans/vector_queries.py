@@ -79,6 +79,23 @@ def similarity_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_selfjoin_pairs(emb, threshold=0.35)
 
 
+def _load_sorted_vectors(spark: SparkSession, sf_dir: str, predicate):
+    """Shared bounded-carve loader: predicate-pushed distributed read of
+    a small vector set (centroid carve, query batch) returned as
+    id-sorted numpy. One copy of a pattern that had been duplicated at
+    every carve site; the id sort gives deterministic iteration order
+    driver-side (the similarity kernels additionally re-sort centroid
+    inputs internally, so the sort here is about caller determinism,
+    not kernel correctness)."""
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        load_vectors_numpy,
+    )
+
+    ids, mat = load_vectors_numpy(spark, sf_dir, predicate=predicate)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str):
     """Deterministic centroid sample (vec_id % 97 == 0) as numpy — the
     centroid table is a fixed, bounded design parameter (e.g. 2^16
@@ -87,28 +104,14 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     sample is carved out DISTRIBUTED (predicate pushed into the scan)
     — collecting the full table and filtering on the driver trips the
     collect guard at scale, as it must (r8 sf10 finding)."""
-    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
-        load_vectors_numpy,
-    )
-
-    ids, mat = load_vectors_numpy(
-        spark, sf_dir, predicate=F.col("vec_id") % 97 == 0
-    )
-    order = np.argsort(ids)
-    return ids[order], mat[order]
+    return _load_sorted_vectors(spark, sf_dir, F.col("vec_id") % 97 == 0)
 
 
 def _query_batch(spark: SparkSession, sf_dir: str):
     """The 5-vector query workload (vec_id < 5) as numpy, driver-side —
     an ANN search's query batch is input data, not the indexed table.
     Selected distributed, same rationale as :func:`_ivf_centroids`."""
-    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
-        load_vectors_numpy,
-    )
-
-    ids, mat = load_vectors_numpy(spark, sf_dir, predicate=F.col("vec_id") < 5)
-    order = np.argsort(ids)
-    return ids[order], mat[order]
+    return _load_sorted_vectors(spark, sf_dir, F.col("vec_id") < 5)
 
 
 def _ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -929,22 +932,20 @@ _IVF_PROBE_ORACLE = f"""
 def neardup_probe_ivf_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from notion_vector_store_etl_pipeline_spark.operators.similarity import (
         ivf_blocked_probe,
-        load_vectors_numpy,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
-    c_ids, c_mat = load_vectors_numpy(
+    c_ids, c_mat = _load_sorted_vectors(
         spark,
         sf_dir,
-        predicate=(F.col("vec_id") % 97 == 0) & (F.col("vec_id") % 10 != 0),
+        (F.col("vec_id") % 97 == 0) & (F.col("vec_id") % 10 != 0),
     )
-    order = np.argsort(c_ids)
     return ivf_blocked_probe(
         vecs,
         F.col("vec_id") % 10 == 0,
-        c_ids[order],
-        c_mat[order],
+        c_ids,
+        c_mat,
         _SEMDEDUP_THR,
         probes=_IVF_BLOCK_PROBES,
     )
@@ -976,7 +977,6 @@ def neardup_probe_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from notion_vector_store_etl_pipeline_spark.operators.similarity import (
         _bipartite_list_probe,
         load_ivf_index,
-        load_vectors_numpy,
         nearest_lists,
         quantize_and_assign,
         write_ivf_index,
@@ -989,12 +989,11 @@ def neardup_probe_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus = emb.select("vec_id", V.as_double("embedding").alias("emb")).filter(
             ~batch_pred
         )
-        c_ids, c_mat = load_vectors_numpy(
+        c_ids, c_mat = _load_sorted_vectors(
             spark,
             sf_dir,
-            predicate=(F.col("vec_id") % 97 == 0) & (F.col("vec_id") % 10 != 0),
+            (F.col("vec_id") % 97 == 0) & (F.col("vec_id") % 10 != 0),
         )
-        order = np.argsort(c_ids)
         # topn=_IVF_BLOCK_PROBES: each corpus vector is REPLICATED into
         # its top-P lists (standard multi-assignment), so the stored
         # probe's collision semantics match the fresh probe's exactly
@@ -1002,14 +1001,14 @@ def neardup_probe_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             quantize_and_assign(
                 corpus,
-                c_ids[order],
-                c_mat[order],
+                c_ids,
+                c_mat,
                 topn=_IVF_BLOCK_PROBES,
                 id_col="vec_id",
                 emb_col="emb",
             ),
-            c_ids[order],
-            c_mat[order],
+            c_ids,
+            c_mat,
             tmp,
         )
 

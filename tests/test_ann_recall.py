@@ -618,3 +618,73 @@ def test_refresh_centroids_auto_mod(spark, monkeypatch):
     assert set(cap_ids) == {
         r.vec_id for r in vecs.filter(F.col("vec_id") % max(97, -(-n // 2)) == 0).collect()
     }
+
+
+def test_zero_norm_vectors_never_outrank_real_scores(spark):
+    """A zero-norm embedding has no defined cosine — its NaN score used
+    to sort ABOVE every real score in the descending top-k window
+    (Spark orders NaN first), putting garbage at rank 1 of every query
+    while the SQL oracle (NULL from 0-division) excluded it. The scoring
+    kernel now drops NaN rows at the source."""
+    import numpy as np
+
+    from notion_vector_store_etl_pipeline_spark.operators import similarity as S
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (100, [0.0, 0.0]),  # zero norm: undefined similarity
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    scored = S.cosine_scores_vs(
+        emb, np.array([1], dtype=np.int64), np.array([[1.0, 0.0]])
+    ).collect()
+    by_cand = {r.cand_id: r.score for r in scored}
+    assert 100 not in by_cand, "zero-norm candidate must be dropped, not NaN"
+    assert all(not np.isnan(s) for s in by_cand.values())
+    top = max(by_cand.items(), key=lambda kv: kv[1])
+    assert top[0] == 1  # the true best candidate, not the zero vector
+
+    # zero-norm QUERY: all its scores are undefined -> no output rows
+    scored_q = S.cosine_scores_vs(
+        emb, np.array([100], dtype=np.int64), np.array([[0.0, 0.0]])
+    ).collect()
+    assert scored_q == []
+
+
+def test_collect_vectors_empty_is_2d_and_unit_matrix_guards(spark):
+    """Empty vector sets: collect_vectors keeps the matrix 2-D (shape
+    (0, 0), not (0,)), and _unit_matrix refuses empty/1-D input with an
+    actionable message instead of a numpy AxisError three kernels deep
+    (the failure mode of a centroid carve matching zero rows)."""
+    import numpy as np
+    import pytest
+
+    from notion_vector_store_etl_pipeline_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [], "vec_id: long, embedding: array<double>"
+    )
+    ids, mat = S.collect_vectors(emb)
+    assert ids.shape == (0,) and mat.shape == (0, 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        S._unit_matrix(ids, mat)
+
+
+def test_load_vectors_numpy_falls_back_on_arrow_invalid(spark, monkeypatch):
+    """pyarrow raises ArrowInvalid (a ValueError, NOT an OSError) for
+    URI schemes it has no filesystem for (s3a://, dbfs:/) — the
+    documented fall-back-to-Spark path must catch it. Simulated by
+    making the pyarrow fast path raise exactly that."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from notion_vector_store_etl_pipeline_spark.operators import similarity as S
+
+    def _boom(path):
+        raise pa.lib.ArrowInvalid(f"Unrecognized filesystem type in URI: {path}")
+
+    monkeypatch.setattr(pq, "ParquetFile", _boom)
+    ids, mat = S.load_vectors_numpy(spark, SF)
+    assert len(ids) > 0 and mat.ndim == 2 and mat.shape[0] == len(ids)

@@ -457,3 +457,86 @@ def test_collapse_dense_buckets_properties(spark, rows, cap):
         for r in D.collapse_dense_buckets(out, dense_bucket_cap=cap).collect()
     }
     assert again == got  # (d)
+
+
+# --- float-edge regressions for the prefix-filtered exact join ---
+# Both fixtures sit exactly AT the Jaccard threshold where IEEE
+# rounding of (1-t)*n / max*t used to shrink a bound by one and
+# silently drop a true pair; the contract is identical output to the
+# brute-force join, so each case is checked against jaccard_pairs.
+
+
+def test_prefix_length_float_edge_keeps_boundary_pair(spark):
+    """t=0.9, |B|=10, |A|=9, A ⊂ B: Jaccard = 0.9 exactly. B's one
+    unique word is its rarest, so it fills the whole prefix when
+    floor((1.0-0.9)*10) rounds to 0 instead of 1 — the old formula
+    generated no candidate and the pair vanished despite the exact
+    verify step being downstream."""
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words[:9])), (2, " ".join(words))],
+        "doc_id: long, text: string",
+    )
+    brute = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in D.jaccard_pairs(df, k=1, threshold=0.9).collect()
+    }
+    fast = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in D.jaccard_pairs_prefix(df, k=1, threshold=0.9).collect()
+    }
+    assert brute == {(1, 2, 0.9)}
+    assert fast == brute
+
+
+def test_length_filter_float_edge_keeps_boundary_pair(spark):
+    """t=0.07, |A|=7 ⊂ |B|=100: Jaccard = 0.07 exactly, but
+    100*0.07 = 7.000000000000001 > 7 used to fail the length filter
+    max*t <= min and kill the candidate before verify."""
+    words = [f"tok{i:03d}" for i in range(100)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words[:7])), (2, " ".join(words))],
+        "doc_id: long, text: string",
+    )
+    brute = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in D.jaccard_pairs(df, k=1, threshold=0.07).collect()
+    }
+    fast = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in D.jaccard_pairs_prefix(df, k=1, threshold=0.07).collect()
+    }
+    assert brute == {(1, 2, 0.07)}
+    assert fast == brute
+
+
+def test_word_shingles_hof_short_docs_empty_not_crash(spark):
+    """Documents with fewer than k words must shingle to [] — the HOF
+    formulation's sequence(0, n-k) used to emit [0, -1] for n < k
+    (Spark infers step -1) and crash element_at with an out-of-range
+    index. Output must match the pandas-UDF word_shingles."""
+    rows = [
+        (1, "only two"),
+        (2, ""),
+        (3, None),
+        (4, "one two three four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    hof = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", D.word_shingles_hof(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    udf = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", D.word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert hof[1] == [] and hof[2] == []
+    assert hof[4] == ["one two three", "two three four"]
+    # NULL text also lands in the guard's [] branch (size(NULL) = -1),
+    # so the two variants now agree on every row including NULLs
+    for doc_id in (1, 2, 3, 4):
+        assert hof[doc_id] == udf[doc_id], doc_id
