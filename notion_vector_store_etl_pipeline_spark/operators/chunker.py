@@ -56,14 +56,22 @@ def greedy_chunk_text(text: str, max_len: int) -> List[str]:
     return out
 
 
+_CHUNKER_UDFS: dict[int, object] = {}
+
+
 def chunker_udf(max_len: int = DEFAULT_CHUNK_CHAR_LEN):
-    """Arrow-batched pandas UDF: STRING -> ARRAY<STRING> of chunks."""
+    """Arrow-batched pandas UDF: STRING -> ARRAY<STRING> of chunks.
+    Memoized per ``max_len`` (the ``_SHINGLE_UDFS`` pattern in
+    dedup.py) so repeated registry/bench/pipeline calls reuse one UDF
+    object instead of re-creating and re-serializing the closure."""
+    if max_len not in _CHUNKER_UDFS:
 
-    @F.pandas_udf(ArrayType(StringType()))
-    def _chunk(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: greedy_chunk_text(t, max_len))
+        @F.pandas_udf(ArrayType(StringType()))
+        def _chunk(texts: pd.Series) -> pd.Series:
+            return texts.map(lambda t: greedy_chunk_text(t, max_len))
 
-    return _chunk
+        _CHUNKER_UDFS[max_len] = _chunk
+    return _CHUNKER_UDFS[max_len]
 
 
 def explode_chunks(

@@ -73,11 +73,31 @@ def plan_increment(snapshot: DataFrame, state: DataFrame) -> IncrementPlan:
         | ~let_unchanged
     )
 
-    flagged = joined.withColumn("to_skip", skip).withColumn("needs_vector", needs)
+    # the marker is an implementation detail — drop it from every
+    # returned frame once the flags are computed, so it can't leak into
+    # chunk sinks (JSONL serializes every column) or collide with a
+    # caller's own column of the same name
+    flagged = (
+        joined.withColumn("to_skip", skip)
+        .withColumn("needs_vector", needs)
+        .drop("_state_present")
+    )
+    joined = joined.drop("_state_present")
     to_process = flagged.filter(~F.col("to_skip"))
     to_skip = flagged.filter(F.col("to_skip"))
+    # stale deletes are scoped to rows actually being RE-VECTORIZED:
+    # the reference's cache-hit check (`:691-694`) returns before the
+    # needs-vector branch, so a skipped row (let unchanged + has ids)
+    # NEVER deletes its live vectors — even when its stored hash
+    # differs. Without the ~to_skip guard such a row lands in to_skip
+    # (state keeps its ids, doc never reprocessed) AND in the delete
+    # set: permanently dangling document.
     stale = (
-        flagged.filter(F.col("needs_vector") & (_n_ids(F.col("vector_file_ids")) > 0))
+        flagged.filter(
+            F.col("needs_vector")
+            & ~F.col("to_skip")
+            & (_n_ids(F.col("vector_file_ids")) > 0)
+        )
         .select("block_id", F.explode("vector_file_ids").alias("stale_vector_id"))
     )
     return IncrementPlan(
@@ -89,66 +109,89 @@ def plan_increment(snapshot: DataFrame, state: DataFrame) -> IncrementPlan:
     )
 
 
-def recover_state(path: str) -> bool:
+def _state_siblings(fs, path: str, marker: str) -> list[str]:
+    """``{path}{marker}*`` sibling dirs via one parent listing (the
+    shim-portable form of the old ``glob``)."""
+    parent, _, base = path.rpartition("/")
+    parent = parent or "."
+    try:
+        names = fs.list_names(parent)
+    except Exception:
+        return []  # parent dir doesn't exist yet
+    return [f"{parent}/{n}" for n in names if n.startswith(base + marker)]
+
+
+def recover_state(path: str, fs=None, spark=None) -> bool:
     """Restore the newest ``.old-*`` backup if ``path`` itself is gone.
 
     A crash between ``commit_state``'s two swap renames leaves no state
     at ``path`` while the previous state is still alive as a ``.old-*``
     sibling. Call this before reading state at startup (``commit_state``
-    also calls it). Returns True if a backup was restored.
+    also calls it). Returns True if a backup was restored. A scheme'd
+    ``path`` needs ``spark`` (or a prebuilt ``fs``) for Hadoop FS IO.
     """
-    import glob
-    import os
+    from notion_vector_store_etl_pipeline_spark.operators.statefs import state_fs
 
-    if "://" in path or os.path.exists(path):
+    fs = fs or state_fs(spark, path)
+    if fs.exists(path):
         return False
-    olds = sorted(glob.glob(f"{path}.old-*"), key=os.path.getmtime)
+    olds = sorted(_state_siblings(fs, path, ".old-"), key=fs.mtime)
     if not olds:
         return False
-    os.rename(olds[-1], path)
+    fs.rename(olds[-1], path)
     return True
 
 
 def commit_state(new_state: DataFrame, path: str) -> None:
-    """Atomic-enough state commit: write to a temp dir, then swap.
+    """Crash-resumable state commit: write to a temp dir, then swap.
 
     The reference saves the manifest after every file (`:731`); in Spark
     the unit of commit is the batch. The write goes to a sibling temp
     dir first and is swapped in afterwards, for two reasons: (a) the
     ``new_state`` plan typically still READS the current state at
     ``path`` (lazy evaluation — a direct overwrite races the read it
-    depends on), and (b) a crash mid-write leaves the previous state
-    intact (the resume guarantee). On a real deployment this would be a
-    Delta/Iceberg MERGE for true atomicity.
+    depends on), and (b) at no point is the previous state's ONLY copy
+    being deleted while the new one is incomplete (the resume
+    guarantee): a crash anywhere leaves either ``path`` or a ``.old-*``
+    sibling intact, and :func:`recover_state` restores the latter.
+
+    One protocol for every storage scheme, routed through the
+    ``statefs`` shim (an in-place overwrite-from-localCheckpoint on the
+    ``://`` branch used to delete the only copy before the new write
+    was durable — executor loss mid-write meant total state loss). On
+    rename-capable schemes the two swap renames are metadata ops; on
+    object stores rename is copy+delete — slower and non-atomic, but
+    the previous state still survives as ``.old-*`` until the new state
+    is fully in place, which is the property that matters. State tables
+    are small (one row per document, no text); on a real deployment
+    this would be a Delta/Iceberg MERGE for true atomicity.
     """
-    import glob
-    import os
-    import shutil
     import uuid
 
-    if "://" in path:
-        # object stores have no directory rename; break the read-write
-        # cycle instead by materializing the plan BEFORE the overwrite
-        new_state.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
-        return
+    from notion_vector_store_etl_pipeline_spark.operators.statefs import (
+        path_scheme,
+        state_fs,
+    )
+
+    fs = state_fs(new_state.sparkSession if path_scheme(path) else None, path)
     # a prior crash between the two swap renames leaves `path` missing
     # but the last good state alive as `.old-*` — restore it first
-    recover_state(path)
+    recover_state(path, fs=fs)
     # tmp droppings from crashed writes are safe to clear now; `.old-*`
     # backups are NOT: they are deleted only after the new state is
     # durably swapped in below
-    for stale in glob.glob(f"{path}.tmp-*"):
-        shutil.rmtree(stale, ignore_errors=True)
+    for stale in _state_siblings(fs, path, ".tmp-"):
+        fs.delete_recursive(stale)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     new_state.write.mode("overwrite").parquet(tmp)  # fully materialized here
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
-    if os.path.exists(path):
-        os.rename(path, old)
+    if fs.exists(path):
+        fs.rename(path, old)
     # (a crash in the two-syscall gap here is what recover_state undoes
     # on the next run)
-    os.rename(tmp, path)
-    for stale in glob.glob(f"{path}.old-*"):
-        shutil.rmtree(stale, ignore_errors=True)
+    fs.rename(tmp, path)
+    for stale in _state_siblings(fs, path, ".old-"):
+        fs.delete_recursive(stale)
 
 
 def upsert_state(state: DataFrame, processed: DataFrame) -> DataFrame:
@@ -184,11 +227,21 @@ def refresh_rollup(
     """
     from pyspark.sql import functions as F
 
+    if count_col not in delta.columns:
+        # no silent F.count fallback: it would count a RETRACTION row
+        # (negative values, per the Z-set protocol above) as +1, so the
+        # group's count drifts up while its sums cancel — groups that
+        # should vanish at count 0 never do. Insert-only callers add
+        # the column explicitly: delta.withColumn(count_col, F.lit(1)).
+        raise ValueError(
+            f"refresh_rollup: delta is missing the count column "
+            f"{count_col!r} — required so retraction rows (count -1) are "
+            "distinguishable from inserts; for insert-only deltas add "
+            f"withColumn({count_col!r}, lit(1))"
+        )
     d = delta.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in sums],
-        F.sum(count_col).alias(count_col)
-        if count_col in delta.columns
-        else F.count(F.lit(1)).alias(count_col),
+        F.sum(count_col).alias(count_col),
     )
     r = rollup
     merged = r.alias("r").join(d.alias("d"), keys, "full_outer").select(

@@ -58,17 +58,24 @@ def decode_image_stub(df: DataFrame, payload_col: str = "payload", real_decode: 
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            # null payloads decode as empty (the reference skips missing
-            # urls before download; a connector can still hand us nulls)
-            payloads = pdf[payload_col].map(lambda b: b"" if b is None else bytes(b))
-            dims = payloads.map(_fake_decode)
+            # null payloads produce NULL metadata (the reference skips
+            # missing urls before download; a connector can still hand
+            # us nulls) — NOT zero-length decodes: the registered
+            # oracles compute octet_length(NULL) -> NULL and
+            # sha256(NULL) -> NULL, and coercing to b"" here would
+            # stamp real-looking metadata (sha of empty, 1x1 dims) on
+            # rows that have no payload at all
+            payloads = pdf[payload_col].map(lambda b: None if b is None else bytes(b))
+            dims = payloads.map(lambda b: None if b is None else _fake_decode(b))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "payload_sha": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
-                    "width": dims.map(lambda d: d[0]).astype("int32"),
-                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "n_bytes": payloads.map(lambda b: None if b is None else len(b)),
+                    "payload_sha": payloads.map(
+                        lambda b: None if b is None else hashlib.sha256(b).hexdigest()
+                    ),
+                    "width": dims.map(lambda d: None if d is None else d[0]),
+                    "height": dims.map(lambda d: None if d is None else d[1]),
                 }
             )
 
@@ -137,14 +144,18 @@ def audio_features_stub(df: DataFrame, payload_col: str = "payload", frame_bytes
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n = pdf[payload_col].map(lambda b: 0 if b is None else len(b)).astype("int64")
+            # NULL payload -> NULL features (octet_length(NULL) in the
+            # oracle), same contract as decode_image_stub
+            n = pdf[payload_col].map(lambda b: None if b is None else len(b))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": n,
-                    "n_frames": n // frame_bytes,
-                    "duration_ms": (n // frame_bytes) * 20,
-                    "tail_bytes": n % frame_bytes,
+                    "n_frames": n.map(lambda v: None if v is None else v // frame_bytes),
+                    "duration_ms": n.map(
+                        lambda v: None if v is None else (v // frame_bytes) * 20
+                    ),
+                    "tail_bytes": n.map(lambda v: None if v is None else v % frame_bytes),
                 }
             )
 

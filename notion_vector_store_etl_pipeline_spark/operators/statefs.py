@@ -96,6 +96,12 @@ class PosixFS:
     def delete_recursive(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
 
 class HadoopFS:
     """Any scheme'd URI, through ``org.apache.hadoop.fs.FileSystem``
@@ -196,6 +202,17 @@ class HadoopFS:
         p = self._p(path)
         if self._fs.exists(p):
             self._fs.delete(p, True)
+
+    def rename(self, src: str, dst: str) -> None:
+        """Directory-capable move. A real metadata op on rename-capable
+        schemes (hdfs, file); copy+delete on object stores — NOT atomic
+        there, which is why callers doing swap protocols keep the old
+        copy alive as a sibling until the new one is fully in place."""
+        if not self._fs.rename(self._p(src), self._p(dst)):
+            raise OSError(f"rename {src} -> {dst} failed")
+
+    def mtime(self, path: str) -> float:
+        return self._fs.getFileStatus(self._p(path)).getModificationTime() / 1000.0
 
 
 def state_fs(spark, path: str):

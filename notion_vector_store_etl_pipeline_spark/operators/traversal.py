@@ -18,7 +18,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+
+# tracked persists (operators.cache): the iterative loops persist the
+# edge relation and every level's frontier, and those caches must
+# outlive plan construction (the returned union reads them) — so the
+# operator cannot unpersist them itself. Tracking lets long-lived
+# sessions (parity sweep, correctness driver) free them via
+# release_cache() between queries instead of accumulating one edge
+# relation + one frontier per level per query for the session lifetime
+# (the ADVICE-r6 problem persist_tracked was built for).
+from notion_vector_store_etl_pipeline_spark.operators.cache import (
+    persist_tracked as _persist,
+)
 
 
 def bfs_reachability(
@@ -44,9 +55,8 @@ def bfs_reachability(
     # expand join reads the cached layout at full parallelism (a raw
     # union of file scans can cache with very few partitions), and if a
     # level falls back to a shuffle join, edges are already on the key.
-    edges = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
-    frontier = seeds.select("node").dropDuplicates()
-    frontier.persist(StorageLevel.MEMORY_AND_DISK)
+    edges = _persist(edges.repartition("src"))
+    frontier = _persist(seeds.select("node").dropDuplicates())
     frontier_n = frontier.count()
     levels = [frontier.withColumn("depth", F.lit(0))]
     visited = frontier  # union of all levels' nodes
@@ -61,7 +71,7 @@ def bfs_reachability(
             .dropDuplicates()
             .join(v, "node", "left_anti")
         )
-        frontier.persist(StorageLevel.MEMORY_AND_DISK)
+        frontier = _persist(frontier)
         # count() (not isEmpty) so the persist is FULLY materialized —
         # isEmpty touches one partition and leaves the rest to be
         # recomputed by the next level's join
@@ -108,9 +118,8 @@ def connected_components(
     und = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    und = und.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
-    labels = nodes.select("node", F.col("node").alias("label"))
-    labels.persist(StorageLevel.MEMORY_AND_DISK)
+    und = _persist(und.repartition("src"))
+    labels = _persist(nodes.select("node", F.col("node").alias("label")))
     n_nodes = labels.count()
 
     try:

@@ -24,7 +24,12 @@ from notion_vector_store_etl_pipeline_spark.sources import load_table
 # DuckDB side built on 1-based inclusive list slicing.
 _SH5_CTE = """
 WITH words AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+  -- list_filter: drop empty edge tokens (non-space edge whitespace
+  -- survives trim) to match the engine's Python str.split() — see
+  -- the note on _SHINGLES_CTE in dedup_queries.py
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
 ), pos AS (
   SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws)-4, 0))) AS i
   FROM words

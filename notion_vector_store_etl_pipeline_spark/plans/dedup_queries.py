@@ -40,7 +40,14 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLES_CTE = """
 WITH words AS (
   SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)
+  -- list_filter drops the empty edge tokens string_split_regex emits
+  -- for leading/trailing NON-SPACE whitespace (trim strips spaces
+  -- only), matching the engine's Python str.split() exactly — the
+  -- empties would otherwise create phantom shingles and shift every
+  -- downstream Jaccard denominator
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+        FROM documents)
 ), sh AS (
   SELECT DISTINCT w1.doc_id AS sid, w1.w || ' ' || w2.w || ' ' || w3.w AS shingle
   FROM words w1
@@ -460,15 +467,19 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.ci = b.ci AND a.cv = b.cv AND a.sid < b.sid
     )
     SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-    FROM cand WHERE bit_count(xor(sa, sb)) <= 12
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
     """,
     doc="SimHash near-dup via the 4-chunk bucket union (Manku et al., "
     "WWW'07): each 60-bit fingerprint is cut into four 15-bit chunks; "
-    "candidate pairs collide on ANY chunk (pigeonhole: hamming <= 3 "
-    "GUARANTEES a clean chunk), then exact Hamming <= 12 verifies. "
-    "Sub-quadratic — only chunk collisions are compared — and, with "
-    "the sha60 shingle hash, the oracle replays candidate generation "
-    "and verification exactly: full value parity.",
+    "candidate pairs collide on ANY chunk, then exact Hamming <= 3 "
+    "verifies. The verify radius MATCHES the guarantee the chunking "
+    "earns (pigeonhole: <= 3 flipped bits leave a clean chunk), so the "
+    "result is COMPLETE — every pair within the radius, not a "
+    "hash-dependent subset (a wider radius needs more tables: Manku's "
+    "permuted scheme trades tables for radius). Sub-quadratic — only "
+    "chunk collisions are compared — and, with the sha60 shingle hash, "
+    "the oracle replays candidate generation and verification exactly: "
+    "full value parity.",
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -498,7 +509,9 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "sa", "sb")
         .dropDuplicates(["a_id", "b_id"])
         .withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= 12)
+        # <= 3 matches the 4-chunk pigeonhole guarantee — the output is
+        # every pair within the radius, not a subset (see the doc)
+        .filter(F.col("hamming") <= 3)
         .select("a_id", "b_id", "hamming")
     )
 

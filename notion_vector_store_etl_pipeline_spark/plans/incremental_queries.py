@@ -179,8 +179,16 @@ def anti_join_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
            OR t.prior_hash IS DISTINCT FROM s.content_hash
            OR t.prior_let IS DISTINCT FROM s.let)
       AND coalesce(len(t.vector_file_ids), 0) > 0
+      -- cache hits are excluded: the reference's skip check (:691-694)
+      -- returns before the delete branch, so a row with unchanged
+      -- last_edited_time + existing ids keeps its vectors even when
+      -- the stored hash differs
+      AND NOT (t.prior_let IS NOT DISTINCT FROM s.let
+               AND coalesce(len(t.vector_file_ids), 0) > 0)
     """,
-    doc="Stale vector-id delete set (reference K4 `:609-614`).",
+    doc="Stale vector-id delete set (reference K4 `:609-614`), scoped to "
+    "rows being re-vectorized — cache hits (skip `:691-694`) never "
+    "delete their live vectors.",
 )
 def stale_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = _plan(spark, sf_dir)

@@ -113,17 +113,24 @@ def multimodal_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     def batches(it):
         for batch in it:
             doc_ids = batch.column("doc_id")
-            payloads = [
-                b"" if v is None else v for v in batch.column("payload").to_pylist()
-            ]
-            dims = [_fake_decode(p) for p in payloads]
+            # NULL payload -> NULL metadata, matching the pandas twin
+            # and the oracle's octet_length(NULL)/sha256(NULL)
+            payloads = batch.column("payload").to_pylist()
+            dims = [None if p is None else _fake_decode(p) for p in payloads]
             yield pa.RecordBatch.from_arrays(
                 [
                     doc_ids,
-                    pa.array([len(p) for p in payloads], pa.int64()),
-                    pa.array([hashlib.sha256(p).hexdigest() for p in payloads]),
-                    pa.array([d[0] for d in dims], pa.int32()),
-                    pa.array([d[1] for d in dims], pa.int32()),
+                    pa.array(
+                        [None if p is None else len(p) for p in payloads], pa.int64()
+                    ),
+                    pa.array(
+                        [
+                            None if p is None else hashlib.sha256(p).hexdigest()
+                            for p in payloads
+                        ]
+                    ),
+                    pa.array([None if d is None else d[0] for d in dims], pa.int32()),
+                    pa.array([None if d is None else d[1] for d in dims], pa.int32()),
                 ],
                 names=["doc_id", "n_bytes", "payload_sha", "width", "height"],
             )

@@ -157,14 +157,17 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.doc_id,
            sha256(array_to_string(list_sort(list(DISTINCT s.shingle)), chr(31))) AS fingerprint
     FROM (
+      -- list_filter drops empty edge tokens (non-space edge whitespace
+      -- survives trim) to match the engine's Python str.split() — see
+      -- the note on _SHINGLES_CTE in dedup_queries.py
       SELECT w1.doc_id, w1.w || ' ' || w2.w || ' ' || w3.w AS shingle
       FROM (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i
-            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)) w1
+            FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws FROM documents)) w1
       JOIN (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i
-            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)) w2
+            FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws FROM documents)) w2
         ON w1.doc_id = w2.doc_id AND w2.i = w1.i + 1
       JOIN (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i
-            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)) w3
+            FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws FROM documents)) w3
         ON w1.doc_id = w3.doc_id AND w3.i = w1.i + 2
     ) s
     GROUP BY s.doc_id

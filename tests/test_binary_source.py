@@ -49,3 +49,29 @@ def test_binaryfile_glob_and_pruning(spark, tmp_path):
     # metadata-only projection must not materialize content
     sizes = df.select("length").agg(F.sum("length").alias("total")).collect()[0]["total"]
     assert sizes > 0
+
+
+def test_null_payload_decodes_to_null_metadata(spark):
+    """NULL payloads must produce NULL metadata from every decode stub —
+    not zero-length decodes: the registered oracles compute
+    octet_length(NULL) -> NULL and sha256(NULL) -> NULL, and stamping
+    real-looking metadata (sha of b'', 1x1 dims) on rows with no
+    payload at all both breaks parity and misrepresents the data."""
+    from notion_vector_store_etl_pipeline_spark.operators.multimodal import (
+        audio_features_stub,
+        decode_image_stub,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"abcdef"), (2, None)], "doc_id: long, payload: binary"
+    )
+    dec = {r.doc_id: r for r in decode_image_stub(df).collect()}
+    assert dec[1].n_bytes == 6 and dec[1].payload_sha is not None
+    assert dec[2].n_bytes is None
+    assert dec[2].payload_sha is None
+    assert dec[2].width is None and dec[2].height is None
+
+    aud = {r.doc_id: r for r in audio_features_stub(df).collect()}
+    assert aud[1].n_bytes == 6 and aud[1].n_frames == 0
+    assert aud[2].n_bytes is None and aud[2].n_frames is None
+    assert aud[2].duration_ms is None and aud[2].tail_bytes is None

@@ -60,6 +60,21 @@ def test_unchanged_skips_changed_processes(spark):
     assert stale == {(2, "v2")}
 
 
+def test_cache_hit_with_stale_hash_keeps_its_vectors(spark):
+    """A skipped row must NEVER land in the delete set — the reference's
+    cache-hit check (:691-694, edit time + ids only) returns before the
+    needs-vector/delete branch, so a row whose stored hash differs but
+    whose last_edited_time is unchanged keeps its live vectors. Without
+    the ~to_skip guard such a row was skipped (state keeps its ids, doc
+    never reprocessed) AND deleted: a permanently dangling document."""
+    snap = _snapshot(spark, [(1, "t1", "hNEW")])
+    state = _state(spark, [(1, "t1", "hOLD", ["v1", "v2"])])
+    plan = plan_increment(snap, state)
+    assert [r.block_id for r in plan.to_skip.collect()] == [1]
+    assert plan.to_process.count() == 0
+    assert plan.stale_vectors.count() == 0  # vectors stay live
+
+
 def test_hash_change_needs_vector_even_if_let_same(spark):
     snap = _snapshot(spark, [(1, "t1", "h1-CHANGED")])
     state = _state(spark, [(1, "t1", "h1", ["v1"])])
@@ -125,11 +140,16 @@ def test_crash_between_swap_renames_recovers_from_backup(spark, tmp_path):
     assert glob.glob(f"{path}.old-*") == []
 
 
-def test_commit_state_object_store_branch_roundtrip(spark, tmp_path):
-    """Drive the `"://"` (object-store) branch of commit_state with a
-    file:// URI: no rename swap exists there, so the plan must be
-    materialized (localCheckpoint) BEFORE the overwrite — including when
-    the new state plan reads the very path being overwritten."""
+def test_commit_state_scheme_uri_swap_roundtrip(spark, tmp_path):
+    """Drive the scheme'd (Hadoop FS) branch of commit_state with a
+    file:// URI: the SAME tmp-write + swap + recover protocol as plain
+    local paths, routed through the statefs shim. The old branch
+    overwrote the path in place from a localCheckpoint — deleting the
+    only copy before the new write was durable (r10 review finding).
+    Includes the read-own-path-then-overwrite cycle: the tmp write
+    materializes the plan before the live path is touched."""
+    import os
+
     path = f"file://{tmp_path}/state"
     commit_state(_state(spark, [(1, "t1", "h1", ["v1"])]), path)
     assert spark.read.parquet(path).count() == 1
@@ -140,3 +160,16 @@ def test_commit_state_object_store_branch_roundtrip(spark, tmp_path):
     commit_state(merged, path)
     got = {r.block_id: r.prior_let for r in spark.read.parquet(path).collect()}
     assert got == {1: "t1", 2: "t2"}
+    # the swap cleaned up: no tmp or backup siblings survive a commit
+    local = str(tmp_path)
+    assert [n for n in os.listdir(local) if n.startswith("state.")] == []
+
+    # crash window on the URI path: state renamed away, new state never
+    # landed — recover_state restores the backup through the shim
+    os.rename(f"{local}/state", f"{local}/state.old-deadbeef")
+    from notion_vector_store_etl_pipeline_spark.operators.incremental import (
+        recover_state,
+    )
+
+    assert recover_state(path, spark=spark) is True
+    assert {r.block_id for r in spark.read.parquet(path).collect()} == {1, 2}

@@ -5,8 +5,9 @@ genuinely custom piece, so it gets invariants, not just examples):
   1. partition: to_process ∪ to_skip == snapshot (by block_id), disjoint
   2. skip soundness: every skipped row has prior state, unchanged edit
      time, and vector ids (the reference's cache-hit conjunction :691-694)
-  3. stale set: only ids from rows flagged needs_vector, and exactly
-     their vector_file_ids
+  3. stale set: only ids from rows flagged needs_vector AND not
+     skipped (cache hits never delete), and exactly their
+     vector_file_ids
   4. upsert closure: upsert keeps state keyed uniquely by block_id
 """
 
@@ -74,6 +75,7 @@ def test_plan_increment_invariants(spark, snap, state):
     flagged = {r.block_id for r in plan.needs_vector.collect() if r.needs_vector}
     for b, vid in stale:
         assert b in flagged
+        assert b not in skip  # cache hits never delete their vectors
         assert vid in state_by_id[b][3]
 
     # upsert closure: unique keys, processed rows win
