@@ -20,10 +20,22 @@ def url_strip_query(url: Column) -> Column:
 
 def url_basename(url: Column) -> Column:
     """Display-name derivation (`:63-69`): strip query string, rstrip
-    '/', take the last path segment, percent-decode; empty -> NULL."""
+    '/', take the last path segment, percent-decode; empty -> NULL.
+
+    The decode mirrors the reference's ``urllib.parse.unquote``, NOT
+    x-www-form-urlencoded: '+' stays literal (protected through the
+    form decoder as %2B) and a malformed '%' never aborts the query
+    (``try_url_decode`` -> NULL -> fall back to the raw segment).
+    One disclosed divergence: unquote decodes the VALID escapes of a
+    string that also contains bad ones; the all-JVM fallback returns
+    such a segment fully undecoded instead (partial decode would need
+    a Python UDF in what is otherwise whole-stage codegen).
+    """
     path = F.regexp_replace(url_strip_query(url), "/+$", "")
     base = F.element_at(F.split(path, "/"), -1)
-    return F.nullif(F.url_decode(base), F.lit(""))
+    protected = F.regexp_replace(base, r"\+", "%2B")
+    decoded = F.coalesce(F.try_url_decode(protected), base)
+    return F.nullif(decoded, F.lit(""))
 
 
 def safe_filename(name: Column, fallback: str = "file") -> Column:

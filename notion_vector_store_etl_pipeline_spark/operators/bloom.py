@@ -46,9 +46,17 @@ def bloom_prejoin_semi(
     broadcast Bloom pre-filter dropping probe rows before the shuffle."""
     words = bloom_build(build_keys, build_key, m_bits, k)
     cols = probe.columns
-    exploded = probe.select(
-        *cols, F.posexplode(_positions(F.col(probe_key), m_bits, k)).alias("k_i", "pos")
+    # the hit-count regroup keys on a per-row id, NOT on the row's
+    # columns: grouping by value merges duplicate probe rows, their
+    # 2k combined hits fail the == k gate, and both copies silently
+    # vanish from what is documented as an EXACT semi join
+    tagged = probe.withColumn("__rid", F.monotonically_increasing_id())
+    exploded = tagged.select(
+        "__rid",
+        *cols,
+        F.posexplode(_positions(F.col(probe_key), m_bits, k)).alias("k_i", "pos"),
     ).select(
+        "__rid",
         *cols,
         (F.col("pos") / 64).cast("bigint").alias("word_idx"),
         F.pmod(F.col("pos"), F.lit(64)).cast("int").alias("bit"),
@@ -56,10 +64,10 @@ def bloom_prejoin_semi(
     candidates = (
         exploded.join(F.broadcast(words), "word_idx")
         .filter(F.expr("(shiftright(word, bit) & 1) = 1"))
-        .groupBy(*cols)
+        .groupBy("__rid", *cols)
         .agg(F.count(F.lit(1)).alias("_k_hits"))
         .filter(F.col("_k_hits") == k)  # Bloom candidates (may have FPs)
-        .drop("_k_hits")
+        .drop("_k_hits", "__rid")
     )
     return candidates.join(
         build_keys, candidates[probe_key] == build_keys[build_key], "left_semi"

@@ -29,9 +29,16 @@ def salted_join(
     """Equi join resilient to a skewed fact-side key distribution."""
     # any deterministic spreader works: the dim side is replicated over
     # every salt value, so the fact row's bucket never changes the result
+    # the row id goes INTO the hash, not added after it: xxhash64 never
+    # overflows, while `hash + id` is an unguarded BIGINT addition that
+    # ANSI mode (Spark 4 default) turns into a job-killing
+    # ARITHMETIC_OVERFLOW once the id is large enough
     fact_salted = fact.withColumn(
         "__salt_f",
-        F.pmod(F.xxhash64(F.col(fact_key)) + F.monotonically_increasing_id(), F.lit(salt_buckets)),
+        F.pmod(
+            F.xxhash64(F.col(fact_key), F.monotonically_increasing_id()),
+            F.lit(salt_buckets),
+        ),
     )
     dim_replicated = dim.withColumn(
         "__salt_d",

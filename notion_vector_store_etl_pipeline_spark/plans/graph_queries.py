@@ -9,6 +9,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from notion_vector_store_etl_pipeline_spark.operators.cache import (
+    persist_tracked as _persist,
+)
 from notion_vector_store_etl_pipeline_spark.operators.traversal import (
     bfs_reachability,
     expand_frontier,
@@ -214,14 +217,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1). This is the standard iterative-analytics contract on
     # Spark: materialize what every iteration reads, shuffle only the
     # rank updates.
-    nodes = (
+    # tracked persists (operators.cache): the unrolled plan reads these
+    # caches after this function returns, so they can't be unpersisted
+    # here — tracking lets long-lived sessions (parity sweep, driver)
+    # free them via release_cache() between queries
+    nodes = _persist(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_deg = edges.join(deg, "src").select("src", "dst", "outdeg").persist()
+    edges_deg = _persist(edges.join(deg, "src").select("src", "dst", "outdeg"))
     n = nodes.count()  # scalar loop parameter (drives the literal below);
     # also eagerly populates the nodes cache
     edges_deg.count()

@@ -274,7 +274,10 @@ def scan_union_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
     have = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return cust.exceptAll(have).dropDuplicates()
+    # subtract == EXCEPT DISTINCT unconditionally; exceptAll+dropDuplicates
+    # only matches when the left side is duplicate-free (it is here — PK —
+    # but the direct form can't silently break if the pattern is reused)
+    return cust.subtract(have)
 
 
 @register(

@@ -86,6 +86,12 @@ def hash_sha2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            url,
+           -- DuckDB has no percent-decoder; replace('%20',' ') is exact
+           -- here because the URL is constructed in-query (source is
+           -- srcN, doc_id numeric) so %20 is the only escape present.
+           -- The engine helper's full unquote semantics ('+' literal,
+           -- any %XX, malformed passthrough) are pinned in
+           -- tests/test_operator_edges.py.
            replace(regexp_extract(regexp_replace(string_split(url, '?')[1], '/+$', ''),
                                   '([^/]*)$', 1), '%20', ' ') AS display_name
     FROM (

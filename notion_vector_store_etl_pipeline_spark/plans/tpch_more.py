@@ -238,7 +238,7 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1997-04-01'
@@ -255,10 +255,19 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
     )
+    # sum in DECIMAL (the q10 fix) — this query compares two round()ed
+    # sums for EQUALITY, so an order-dependent half-cent boundary here
+    # doesn't just shift a value, it selects a different supplier set
+    # (or makes the two evaluations of this unpersisted frame disagree)
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).cast("double"),
+            2,
+        ).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     supp = load_table(spark, sf_dir, "supplier")
@@ -335,7 +344,10 @@ def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        # order by the ROUNDED price: the oracle's ORDER BY totalprice
+        # resolves to its round(o_totalprice,2) select alias, and at a
+        # rounding tie the raw-value sort would pick a different top-20
+        .orderBy(F.round("o_totalprice", 2).desc(), F.col("o_orderkey"))
         .limit(20)
         .select(
             "c_name",
