@@ -253,35 +253,51 @@ def load_vectors_numpy(
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet").filter(predicate)
         return collect_vectors(df, "vec_id", "embedding", max_rows=max_rows)
     try:
+        # bound the names FIRST: referencing pa_lib inside the except
+        # tuple below would raise NameError (masking the real cause)
+        # if pyarrow itself failed to import
         import pyarrow.lib as pa_lib
         import pyarrow.parquet as pq
-
-        path = f"{sf_dir}/{table}.parquet"
-        # footer-only row count BEFORE read_table: the bound must refuse
-        # an oversized table without first materializing it in driver
-        # memory (ADVICE r7 — a post-read check protects nothing)
-        num_rows = pq.ParquetFile(path).metadata.num_rows
-        if num_rows > max_rows:
-            raise ValueError(
-                f"load_vectors_numpy: {table} has {num_rows} rows > "
-                f"{max_rows} — this helper is for bounded sidecar tables "
-                "(centroids, query batches); use the distributed paths "
-                "for full embedding tables."
+    except ImportError:
+        pa_lib = pq = None
+    if pq is not None:
+        try:
+            path = f"{sf_dir}/{table}.parquet"
+            # footer-only row count BEFORE read_table: the bound must
+            # refuse an oversized table without first materializing it
+            # in driver memory (ADVICE r7 — a post-read check protects
+            # nothing)
+            num_rows = pq.ParquetFile(path).metadata.num_rows
+            if num_rows > max_rows:
+                raise ValueError(
+                    f"load_vectors_numpy: {table} has {num_rows} rows > "
+                    f"{max_rows} — this helper is for bounded sidecar tables "
+                    "(centroids, query batches); use the distributed paths "
+                    "for full embedding tables."
+                )
+            if num_rows == 0:
+                # same empty shape as collect_vectors: (0, 0) keeps the
+                # matrix 2-D so downstream reaches _unit_matrix's
+                # actionable 'empty vector set' error, not an opaque
+                # np.stack ValueError
+                return np.zeros(0, dtype=np.int64), np.empty((0, 0), dtype=np.float64)
+            tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+            ids = tbl.column("vec_id").to_numpy().astype(np.int64)
+            mat = np.stack(
+                tbl.column("embedding")
+                .to_pandas()
+                .map(lambda a: np.asarray(a, dtype=np.float64))
             )
-        tbl = pq.read_table(path, columns=["vec_id", "embedding"])
-        ids = tbl.column("vec_id").to_numpy().astype(np.int64)
-        mat = np.stack(
-            tbl.column("embedding").to_pandas().map(lambda a: np.asarray(a, dtype=np.float64))
-        )
-        return ids, mat
-    except (OSError, pa_lib.ArrowInvalid):
-        # ArrowInvalid (a ValueError, NOT an OSError) is what pyarrow
-        # raises for URI schemes it has no filesystem for (s3a://,
-        # dbfs:/) — exactly the documented fall-back-to-Spark case.
-        # The max_rows guard above raises plain ValueError and is NOT
-        # caught here: an oversized sidecar must fail, not fall through.
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return collect_vectors(df, "vec_id", "embedding", max_rows=max_rows)
+            return ids, mat
+        except (OSError, pa_lib.ArrowInvalid):
+            # ArrowInvalid (a ValueError, NOT an OSError) is what pyarrow
+            # raises for URI schemes it has no filesystem for (s3a://,
+            # dbfs:/) — exactly the documented fall-back-to-Spark case.
+            # The max_rows guard above raises plain ValueError and is NOT
+            # caught here: an oversized sidecar must fail, not fall through.
+            pass
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return collect_vectors(df, "vec_id", "embedding", max_rows=max_rows)
 
 
 def nearest_lists_numpy(
@@ -628,16 +644,26 @@ def append_ivf_delta(
     ).parquet(f"{delta_path}/vectors")
 
 
+def _read_base_and_deltas(spark, base_path: str, delta_paths: list[str]) -> DataFrame:
+    """Base vector tree ∪ delta trees — THE union reader shared by
+    probing (:func:`load_ivf_index_with_deltas`) and compaction
+    (:func:`compact_ivf_index`), so a read/schema fix (like the
+    list_id cast in ``_read_ivf_vectors``) can never land in one and
+    not the other."""
+    vectors = _read_ivf_vectors(spark, base_path)
+    for dp in delta_paths:
+        vectors = vectors.unionByName(_read_ivf_vectors(spark, dp))
+    return vectors
+
+
 def load_ivf_index_with_deltas(
     spark, path: str, delta_paths: list[str]
 ) -> tuple[DataFrame, np.ndarray, np.ndarray]:
     """Base index ∪ appended delta trees, with the base's centroid
     sidecar (the only centroids any of the trees were assigned
     against)."""
-    vectors, c_ids, c_mat = load_ivf_index(spark, path)
-    for dp in delta_paths:
-        vectors = vectors.unionByName(_read_ivf_vectors(spark, dp))
-    return vectors, c_ids, c_mat
+    _, c_ids, c_mat = load_ivf_index(spark, path)
+    return _read_base_and_deltas(spark, path, delta_paths), c_ids, c_mat
 
 
 def compact_ivf_index(
@@ -652,9 +678,7 @@ def compact_ivf_index(
     sidecar is copied verbatim: compaction folds TREES, it never moves
     centroids, so a compacted index probes bit-identically to
     base+deltas (pinned in tests/test_ann_recall.py)."""
-    vectors = _read_ivf_vectors(spark, base_path)
-    for dp in delta_paths:
-        vectors = vectors.unionByName(_read_ivf_vectors(spark, dp))
+    vectors = _read_base_and_deltas(spark, base_path, delta_paths)
     vectors.repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"
     ).parquet(f"{out_path}/vectors")

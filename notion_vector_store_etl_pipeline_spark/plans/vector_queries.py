@@ -46,12 +46,14 @@ _COS_SQL = (
 )
 def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from notion_vector_store_etl_pipeline_spark.operators.similarity import (
-        collect_vectors,
         cosine_scores_vs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q_ids, q_mat = collect_vectors(emb.filter(F.col("vec_id") < 5))
+    # the shared carve loader (predicate-pushed, id-sorted) — the same
+    # query batch every gated ANN variant uses, so a change to the
+    # carve/guard contract lands here too instead of silently diverging
+    q_ids, q_mat = _query_batch(spark, sf_dir)
     scored = cosine_scores_vs(emb, q_ids, q_mat).filter(
         F.col("cand_id") != F.col("query_id")
     )
@@ -249,15 +251,24 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = V.as_double("embedding")
+    # the scale aggregate is PROJECTED to its own column before the
+    # quantize lambda: an aggregate expression referenced INSIDE a
+    # transform re-evaluates once per element (codegen CSE stops at
+    # lambda boundaries) — O(dim^2) per row, the HOF pathology
+    # PLANS.md documents. As an attribute it's computed once per row
+    # (and CollapseProject won't inline a non-cheap expression that
+    # has two references).
     maxabs = F.greatest(
-        F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-12)
+        F.array_max(F.transform(F.col("e"), lambda x: F.abs(x))), F.lit(1e-12)
     )
-    scale = F.lit(127.0) / maxabs
-    q = F.transform(e, lambda x: F.round(x * scale).cast("int"))
-    return emb.select(
+    staged = emb.select("vec_id", "label", e.alias("e")).withColumn(
+        "scale", F.lit(127.0) / maxabs
+    )
+    q = F.transform(F.col("e"), lambda x: F.round(x * F.col("scale")).cast("int"))
+    return staged.select(
         "vec_id",
         "label",
-        F.round(scale, 6).alias("scale"),
+        F.round("scale", 6).alias("scale"),
         F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_csv"),
     )
 
@@ -1059,6 +1070,19 @@ def _lsh_planes(dim: int):
     return rng.standard_normal((_LSH_BITS * _LSH_BANDS, dim))
 
 
+def _lsh_bucket_matrix(mat, planes):
+    """(n, _LSH_BANDS) int64 band buckets for the row vectors of
+    ``mat`` — THE bucket function, shared by the executor signature
+    kernel and the driver's query-side probes. The two sides must stay
+    bit-identical (bit width, weight order, sign convention): a drift
+    means probes silently stop colliding with corpus signatures — a
+    recall collapse the recall gate only catches at run time, not an
+    error."""
+    bits = (mat @ planes.T >= 0).astype(np.int64)  # (n, bands*bits)
+    weights = (1 << np.arange(_LSH_BITS)).astype(np.int64)
+    return (bits.reshape(len(mat), _LSH_BANDS, _LSH_BITS) @ weights).astype(np.int64)
+
+
 @register(
     "knn_lsh_cosine",
     oracle="""
@@ -1095,20 +1119,18 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def signatures(it):
         planes = bc.value
-        weights = (1 << np.arange(_LSH_BITS)).astype(np.int64)
         for pdf in it:
             if pdf.empty:
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = np.stack(pdf["emb"].map(lambda a: np.asarray(a, dtype=np.float64)))
-            bits = (mat @ planes.T >= 0).astype(np.int64)  # (n, bands*bits)
             n = len(ids)
-            buckets = bits.reshape(n, _LSH_BANDS, _LSH_BITS) @ weights  # (n, bands)
+            buckets = _lsh_bucket_matrix(mat, planes)  # (n, bands)
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(ids, _LSH_BANDS),
                     "band": np.tile(np.arange(_LSH_BANDS, dtype=np.int32), n),
-                    "bucket": buckets.astype(np.int64).ravel(),
+                    "bucket": buckets.ravel(),
                 }
             )
 
@@ -1121,10 +1143,8 @@ def knn_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = vecs.mapInPandas(signatures, sig_schema)
 
-    # query signatures, driver-side with the same planes
-    q_bits = (q_mat @ planes.T >= 0).astype(np.int64)
-    weights = (1 << np.arange(_LSH_BITS)).astype(np.int64)
-    q_buckets = q_bits.reshape(len(q_ids), _LSH_BANDS, _LSH_BITS) @ weights
+    # query signatures, driver-side: same planes, same bucket function
+    q_buckets = _lsh_bucket_matrix(q_mat, planes)
     q_probes = spark.createDataFrame(
         [
             (int(q_ids[i]), int(b), int(q_buckets[i, b]))
