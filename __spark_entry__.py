@@ -16,7 +16,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from notion_vector_store_etl_pipeline_spark.operators.chunker import chunk_id, explode_chunks
 from notion_vector_store_etl_pipeline_spark.plans import load_registry
 from notion_vector_store_etl_pipeline_spark.sources import load_table
 

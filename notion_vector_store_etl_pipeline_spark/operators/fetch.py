@@ -88,14 +88,21 @@ def fetch_urls(
     transport: Transport = _default_transport,
     delays: tuple = BACKOFF_DELAYS,
     sleep: Callable[[float], None] = time.sleep,
+    transport_factory: Callable[[], Transport] | None = None,
 ) -> DataFrame:
-    """(id, url) -> (id, url, status, attempts, payload) via mapInPandas."""
+    """(id, url) -> (id, url, status, attempts, payload) via mapInPandas.
+
+    ``transport_factory`` (when given) builds the transport ONCE PER
+    PARTITION inside the task — the hook per-partition-stateful
+    wrappers (the token bucket) use to share this loop instead of
+    duplicating it."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tx = transport_factory() if transport_factory is not None else transport
         for pdf in it:
             out = {"block_id": [], "url": [], "status": [], "attempts": [], "payload": []}
             for bid, url in zip(pdf[id_col], pdf[url_col]):
-                status, attempts, payload = fetch_with_retry(url, transport, delays, sleep)
+                status, attempts, payload = fetch_with_retry(url, tx, delays, sleep)
                 out["block_id"].append(bid)
                 out["url"].append(url)
                 out["status"].append(status)
@@ -124,6 +131,12 @@ class TokenBucket:
         clock: Callable[[], float] = time.monotonic,
         sleep: Callable[[float], None] = time.sleep,
     ) -> None:
+        if not rate > 0:  # also rejects NaN
+            # fail at construction with a clear message, not as a
+            # ZeroDivisionError at the first contended acquire() deep
+            # inside an executor task ('unthrottled' is expressed by
+            # not wrapping the transport, not by rate=0)
+            raise ValueError(f"TokenBucket rate must be > 0, got {rate!r}")
         self.rate = float(rate)
         self.burst = int(burst)
         self._clock = clock
@@ -156,24 +169,27 @@ def fetch_urls_throttled(
 ) -> DataFrame:
     """``fetch_urls`` with a per-task token bucket in front of every
     request — retries consume tokens too (a 429 storm must not bypass
-    the throttle that prevents it)."""
+    the throttle that prevents it). Delegates to :func:`fetch_urls`'
+    loop via ``transport_factory`` so the two operators cannot drift;
+    the factory runs once per partition, giving each task its own
+    bucket (total cluster QPS = rate x partitions)."""
+    # validate on the DRIVER, before any task launches
+    TokenBucket(rate_per_task, burst, clock=clock, sleep=sleep)
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def factory() -> Transport:
         bucket = TokenBucket(rate_per_task, burst, clock=clock, sleep=sleep)
 
         def throttled(url: str) -> Tuple[int, bytes]:
             bucket.acquire()
             return transport(url)
 
-        for pdf in it:
-            out = {"block_id": [], "url": [], "status": [], "attempts": [], "payload": []}
-            for bid, url in zip(pdf[id_col], pdf[url_col]):
-                status, attempts, payload = fetch_with_retry(url, throttled, delays, sleep)
-                out["block_id"].append(bid)
-                out["url"].append(url)
-                out["status"].append(status)
-                out["attempts"].append(attempts)
-                out["payload"].append(payload)
-            yield pd.DataFrame(out)
+        return throttled
 
-    return df.select(id_col, url_col).mapInPandas(batches, FETCHED_SCHEMA)
+    return fetch_urls(
+        df,
+        url_col=url_col,
+        id_col=id_col,
+        delays=delays,
+        sleep=sleep,
+        transport_factory=factory,
+    )

@@ -53,20 +53,31 @@ def delete_stale_vectors(
     delete_fn,
     id_col: str = "stale_vector_id",
     max_retries: int = 2,
-) -> None:
+    backoff_s: float = 0.5,
+    sleep=None,
+) -> int:
     """Push the stale-vector delete set to the remote store — the
     reference's ``delete_vs_files`` loop (`:609-614`), but parallel per
     partition: each executor task opens one client (``delete_fn`` is a
     factory-or-callable closed over credentials/config) and deletes its
-    partition's ids, retrying each id up to ``max_retries`` times and
-    swallowing per-id failures exactly like the reference's
-    try/except-per-file — a vanished id must not fail the run.
+    partition's ids, retrying each id up to ``max_retries`` times with
+    exponential backoff (a 429/throttle storm must not be hammered
+    back-to-back). A per-id terminal failure never fails the run — the
+    reference's try/except-per-file — but it is never INVISIBLE either:
+    failures count on a Spark accumulator and the total is returned, so
+    a store that starts rejecting every delete (auth expiry, outage)
+    shows up as a non-zero failure count instead of stale vectors
+    silently accumulating while the run reports success.
 
     Scale shape: the delete set is usually tiny relative to the corpus
     (ids attached to CHANGED documents only), so partition count is the
     natural concurrency knob (`.repartition(n)` upstream = n parallel
     delete workers = the rate limit).
     """
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    failed = stale.sparkSession.sparkContext.accumulator(0)
 
     def run_partition(rows) -> None:
         for row in rows:
@@ -77,6 +88,9 @@ def delete_stale_vectors(
                     break
                 except Exception:
                     if attempt == max_retries:
-                        break  # per-id failure is logged-and-skipped, never fatal
+                        failed.add(1)  # skipped, but counted
+                        break
+                    do_sleep(backoff_s * (2**attempt))
 
     stale.select(id_col).foreachPartition(run_partition)
+    return failed.value

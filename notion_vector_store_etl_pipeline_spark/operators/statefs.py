@@ -189,10 +189,28 @@ class HadoopFS:
             opts[0] = rename_opt.OVERWRITE
             fc.rename(self._p(tmp), dst, opts)
             return
-        except Exception:
-            # no AbstractFileSystem binding for this scheme — fall back
-            # to delete+rename and accept the (now documented) window
-            pass
+        except Exception as e:
+            # Did the rename actually COMPLETE before the error
+            # surfaced? A transient Py4J/JVM failure after the
+            # metadata op succeeded must not drop into the
+            # delete+rename fallback — its delete(dst) would destroy
+            # the manifest that was just published, then the rename
+            # would fail (tmp is gone): no manifest anywhere, the
+            # exact durable loss this branch exists to prevent.
+            if not self._fs.exists(self._p(tmp)) and self._fs.exists(dst):
+                return  # the FileContext rename won; publish is done
+            from py4j.protocol import Py4JJavaError
+
+            if isinstance(e, Py4JJavaError):
+                # only "this scheme has no AbstractFileSystem binding"
+                # legitimately sends us to the fallback; any other
+                # Java error (rename IOException, auth, throttle) must
+                # propagate loudly
+                cls = e.java_exception.getClass().getName()
+                if not cls.endswith("UnsupportedFileSystemException"):
+                    raise
+            # non-Java errors (odd classpath: Options/FileContext not
+            # resolvable) keep the documented delete+rename fallback
         if self._fs.exists(dst):
             self._fs.delete(dst, False)  # Hadoop rename refuses existing dst
         if not self._fs.rename(self._p(tmp), dst):
@@ -233,18 +251,28 @@ def state_fs(spark, path: str):
 
 
 def read_json(fs, path: str) -> dict | None:
-    """Small-state JSON read: missing or malformed -> ``None`` (the
-    manifest-absent contract readers already handle).
+    """Small-state JSON read: missing -> ``None`` (the manifest-absent
+    contract readers already handle).
 
     ONLY FileNotFoundError maps to None: a PermissionError/EIO on the
     POSIX backend (or any non-missing-file Java error on Hadoop — see
-    ``HadoopFS.read_text``) must propagate loudly, because a manifest
-    read that silently returns None regresses the compaction watermark
-    and, with pruning on, loses folded state permanently."""
+    ``HadoopFS.read_text``), and equally a PRESENT-but-corrupt
+    manifest, must propagate loudly, because a manifest read that
+    silently returns None regresses the compaction watermark and, with
+    pruning on, loses folded state permanently."""
     try:
-        return json.loads(fs.read_text(path))
-    except (FileNotFoundError, ValueError):
+        text = fs.read_text(path)
+    except FileNotFoundError:
         return None
+    try:
+        return json.loads(text)
+    except ValueError as e:
+        raise ValueError(
+            f"corrupt state manifest at {path!r}: {e} — refusing to treat "
+            "it as absent (that would regress the compaction watermark and, "
+            "with pruning on, lose folded state); inspect or delete the "
+            "file explicitly"
+        ) from e
 
 
 def write_json_atomic(fs, path: str, obj: dict) -> None:

@@ -38,6 +38,15 @@ from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMes
 MANIFEST = "_manifest.json"
 
 
+def _txn_parts(txn_id: str) -> tuple[str, int] | None:
+    """('etl-batch', 17) for 'etl-batch-17'; None when the tail isn't
+    a bare integer (such ids use the explicit txns list instead)."""
+    prefix, sep, tail = txn_id.rpartition("-")
+    if sep and tail.isdigit():
+        return prefix, int(tail)
+    return None
+
+
 @dataclass
 class VSCommit(WriterCommitMessage):
     filename: str
@@ -81,14 +90,31 @@ class VectorStoreWriter(DataSourceWriter):
             with open(self._manifest_path(), encoding="utf-8") as fh:
                 m = json.load(fh)
                 m.setdefault("txns", [])
+                m.setdefault("txn_max", {})
                 return m
         except (FileNotFoundError, json.JSONDecodeError):
-            return {"files": {}, "txns": []}
+            return {"files": {}, "txns": [], "txn_max": {}}
+
+    def _txn_committed(self, manifest: dict) -> bool:
+        """Replay check. Numeric-suffixed txn ids ('etl-batch-17') are
+        tracked as ONE max-epoch per prefix — Delta's appId/version
+        dedup — so the manifest stays O(writers), not O(epochs): a
+        streaming prefix identifies a single sequential writer whose
+        epochs commit in order, making 'epoch <= max' equivalent to
+        'already committed'. Non-numeric ids keep the explicit list
+        (bounded by the caller's own id set)."""
+        if self.txn_id in manifest["txns"]:
+            return True
+        parsed = _txn_parts(self.txn_id)
+        if parsed is not None:
+            prefix, epoch = parsed
+            return epoch <= manifest["txn_max"].get(prefix, -1)
+        return False
 
     def commit(self, messages) -> None:
         staging = os.path.join(self.path, "_staging")
         manifest = self._load_manifest()
-        if self.txn_id is not None and self.txn_id in manifest["txns"]:
+        if self.txn_id is not None and self._txn_committed(manifest):
             # replayed epoch: the data is already durably published —
             # drop the staged duplicates and leave the store untouched
             self.abort(messages)
@@ -102,7 +128,14 @@ class VectorStoreWriter(DataSourceWriter):
             os.replace(os.path.join(staging, m.filename), os.path.join(self.path, m.filename))
             manifest["files"][m.filename] = {"rows": m.rows}
         if self.txn_id is not None:
-            manifest["txns"].append(self.txn_id)
+            parsed = _txn_parts(self.txn_id)
+            if parsed is not None:
+                prefix, epoch = parsed
+                manifest["txn_max"][prefix] = max(
+                    manifest["txn_max"].get(prefix, -1), epoch
+                )
+            else:
+                manifest["txns"].append(self.txn_id)
         # atomic publish: readers switch to the new file set in one rename
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -143,10 +176,18 @@ def register_vectorstore_sink(spark) -> None:
 
 def read_store(spark, path: str):
     """Read back ONLY the committed file set (manifest-gated), as the
-    reference reads only manifest-tracked vector files."""
-    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
-        manifest = json.load(fh)
+    reference reads only manifest-tracked vector files. A store that
+    was never committed to (no manifest — e.g. a legitimate zero-row
+    streaming run whose foreachBatch never fired) or whose committed
+    file set is empty reads as an EMPTY frame, not a crash."""
+    try:
+        with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+            manifest = json.load(fh)
+    except FileNotFoundError:
+        manifest = {"files": {}}
     files = [os.path.join(path, name) for name in sorted(manifest["files"])]
     if not files:
-        raise ValueError(f"vector store at {path} has no committed files")
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType([]))
     return spark.read.json(files)

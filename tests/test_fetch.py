@@ -193,3 +193,19 @@ def test_throttled_fetch_paces_requests_per_task(spark):
     # partial tokens between calls so waits can only be <= 0.2
     assert len(sleeps) == 9, sleeps
     assert all(0 < s <= 0.2 + 1e-6 for s in sleeps), sleeps
+
+
+def test_token_bucket_rejects_nonpositive_rate():
+    """rate<=0 must fail at construction with a clear message, not as a
+    ZeroDivisionError at the first contended acquire() inside an
+    executor task ('unthrottled' = don't wrap the transport)."""
+    import pytest
+
+    from notion_vector_store_etl_pipeline_spark.operators.fetch import TokenBucket
+
+    with pytest.raises(ValueError, match="rate must be > 0"):
+        TokenBucket(0)
+    with pytest.raises(ValueError, match="rate must be > 0"):
+        TokenBucket(-1.5)
+    with pytest.raises(ValueError, match="rate must be > 0"):
+        TokenBucket(float("nan"))

@@ -186,3 +186,44 @@ def test_driver_window_prefix_is_deliberate():
     names = list(load_registry())
     assert names[: len(_PRIORITY)] == list(_PRIORITY)
     assert len(_PRIORITY) == 50
+
+
+def test_legacy_ns_parquet_branch_and_conf_hygiene(spark, tmp_path):
+    """The legacy timestamp[ns] reader branch: a ns-physical parquet
+    (the rounds-1-3 fixture layout) loads through load_table's fallback
+    with the same (ts TIMESTAMP, ts_ns BIGINT) surface — and the
+    session-global nanosAsLong conf is NOT touched by reading the
+    current us fixtures (set only when a ns fixture is actually hit,
+    because session-wide it silently turns every later ns column into
+    BIGINT instead of a loud unsupported-type error)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from notion_vector_store_etl_pipeline_spark.sources import load_table
+
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(conf_key)
+    load_table(spark, "/root/testdata/sf0.001", "events").limit(1).collect()
+    assert spark.conf.get(conf_key, None) in (None, "false")  # us path: untouched
+
+    ns_dir = str(tmp_path / "legacy")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000_001, 1_700_000_000_000_002_000],
+                           pa.timestamp("ns")),
+        }
+    )
+    import os
+
+    os.makedirs(ns_dir, exist_ok=True)
+    pq.write_table(tbl, f"{ns_dir}/events.parquet", use_deprecated_int96_timestamps=False,
+                   coerce_timestamps=None)
+    try:
+        got = {r.event_id: (r.ts_ns, r.ts) for r in
+               load_table(spark, ns_dir, "events").collect()}
+        assert got[1][0] == 1_700_000_000_000_000_001  # exact nanos preserved
+        assert got[2][0] == 1_700_000_000_000_002_000
+        assert got[1][1] is not None  # micros-truncated timestamp surface
+    finally:
+        spark.conf.unset(conf_key)  # don't leak the legacy conf to later tests

@@ -105,7 +105,13 @@ def test_delete_stale_vectors_calls_client_per_id(spark, tmp_path):
         if vid == "vec-7":
             raise RuntimeError("permanent")
 
-    delete_stale_vectors(stale, delete_fn, max_retries=2)
+    # injected no-op sleep (retries back off for real stores); the
+    # return value surfaces terminal failures instead of swallowing
+    # them invisibly
+    n_failed = delete_stale_vectors(
+        stale, delete_fn, max_retries=2, sleep=lambda s: None
+    )
+    assert n_failed == 1  # vec-7, counted though skipped
 
     attempts = {}
     for f in os.listdir(log_dir):

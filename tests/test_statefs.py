@@ -170,3 +170,18 @@ def test_hadoop_read_text_only_maps_missing_file(spark, tmp_path):
     fs._fs = _RaisingFS(spark._jvm.java.io.FileNotFoundException("gone"))
     with pytest.raises(FileNotFoundError):
         fs.read_text(f"file:{tmp_path}/whatever.json")
+
+
+@pytest.mark.parametrize("scheme", ["posix", "hadoop"])
+def test_corrupt_manifest_raises_not_none(spark, tmp_path, scheme):
+    """A PRESENT-but-corrupt manifest must propagate loudly, never read
+    as 'absent': a silent None regresses the compaction watermark and,
+    with pruning on, loses folded state permanently (r10 review)."""
+    root = str(tmp_path / "state") if scheme == "posix" else f"file:{tmp_path}/state"
+    fs = state_fs(spark, root)
+    # malformed JSON published through the shim itself (an out-of-band
+    # POSIX rewrite would trip the file: backend's CRC sidecar first —
+    # also loud, but a different error)
+    fs.write_text_atomic(f"{root}/m.json", '{"version": 3')  # truncated
+    with pytest.raises(ValueError, match="corrupt state manifest"):
+        read_json(fs, f"{root}/m.json")

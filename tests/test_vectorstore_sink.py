@@ -104,7 +104,11 @@ def test_txn_id_makes_replay_a_noop(spark, tmp_path):
         ).mode("append").save()
 
     manifest = json.load(open(os.path.join(store, MANIFEST)))
-    assert manifest["txns"] == ["epoch-7"]
+    # numeric-suffixed ids track as ONE max-epoch per prefix (Delta's
+    # appId/version dedup) so the manifest stays O(writers), not
+    # O(epochs) — the txns list is only for non-numeric ids
+    assert manifest["txn_max"] == {"epoch": 7}
+    assert manifest["txns"] == []
     assert read_store(spark, store).count() == docs.count()  # not doubled
     # no staged garbage left behind by the replay
     assert os.listdir(os.path.join(store, "_staging")) == []
@@ -114,3 +118,27 @@ def test_txn_id_makes_replay_a_noop(spark, tmp_path):
         "txn_id", "epoch-8"
     ).mode("append").save()
     assert read_store(spark, store).count() == 2 * docs.count()
+    manifest = json.load(open(os.path.join(store, MANIFEST)))
+    assert manifest["txn_max"] == {"epoch": 8}
+
+    # an EARLIER epoch than the max is also a replay (epochs of one
+    # sequential streaming writer commit in order) — still a no-op
+    docs.write.format("vectorstore").option("path", store).option(
+        "txn_id", "epoch-7"
+    ).mode("append").save()
+    assert read_store(spark, store).count() == 2 * docs.count()
+
+    # non-numeric ids keep the explicit-list behavior
+    docs.write.format("vectorstore").option("path", store).option(
+        "txn_id", "adhoc"
+    ).mode("append").save()
+    manifest = json.load(open(os.path.join(store, MANIFEST)))
+    assert manifest["txns"] == ["adhoc"]
+    assert read_store(spark, store).count() == 3 * docs.count()
+
+
+def test_read_store_never_committed_reads_empty(spark, tmp_path):
+    """A store that was never committed to (no manifest — e.g. a
+    zero-row streaming run whose foreachBatch never fired) reads as an
+    empty frame, not a FileNotFoundError crash."""
+    assert read_store(spark, str(tmp_path / "nostore")).count() == 0
