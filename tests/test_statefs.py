@@ -185,3 +185,109 @@ def test_corrupt_manifest_raises_not_none(spark, tmp_path, scheme):
     fs.write_text_atomic(f"{root}/m.json", '{"version": 3')  # truncated
     with pytest.raises(ValueError, match="corrupt state manifest"):
         read_json(fs, f"{root}/m.json")
+
+
+class _FakeLostResponse(RuntimeError):
+    pass
+
+
+def test_publish_fallback_never_deletes_a_completed_rename(spark, tmp_path):
+    """If the FileContext rename succeeded but the call errored (lost
+    Py4J response), the fallback must detect tmp-gone-and-dst-present
+    and treat the publish as DONE — its delete(dst) would otherwise
+    destroy the manifest that was just published and then fail on the
+    missing tmp: no manifest anywhere, watermark to -1 (r10 review,
+    sixth pass, finding 1)."""
+    root = f"file:{tmp_path}/state"
+    fs = state_fs(spark, root)
+    write_json_atomic(fs, f"{root}/m.json", {"version": 1})
+
+    real_jvm = fs._jvm
+
+    class _Jvm:
+        class org:
+            class apache:
+                class hadoop:
+                    class fs:
+                        class FileContext:
+                            @staticmethod
+                            def getFileContext(uri, conf):
+                                raise _FakeLostResponse("response lost")
+
+                        class Options:
+                            Rename = real_jvm.org.apache.hadoop.fs.Options.Rename
+
+    # Intercept _create to capture the tmp name, then complete the
+    # rename OUT OF BAND before the (failing) FileContext call — the
+    # exact observable state of "rename won, error surfaced".
+    orig_create = fs._create
+    captured = {}
+
+    def create_and_note(path, text):
+        orig_create(path, text)
+        if ".tmp-" in path:
+            captured["tmp"] = path
+
+    fs._create = create_and_note
+
+    class _FailingFC:
+        @staticmethod
+        def getFileContext(uri, conf):
+            # the "JVM side" completes the OVERWRITE rename (delete +
+            # rename, the FileContext semantics), then the bridge dies.
+            # After this, tmp is GONE and dst holds v2 — if the code
+            # under test wrongly entered the delete+rename fallback it
+            # would delete dst and then fail on the missing tmp
+            # (OSError), so this test passing proves the
+            # success-detection branch ran.
+            fs._fs.delete(fs._p(f"{root}/m.json"), False)
+            assert fs._fs.rename(fs._p(captured["tmp"]), fs._p(f"{root}/m.json"))
+            raise _FakeLostResponse("response lost after rename")
+
+    _Jvm.org.apache.hadoop.fs.FileContext = _FailingFC
+    fs._jvm = _Jvm
+
+    try:
+        write_json_atomic(fs, f"{root}/m.json", {"version": 2})
+    finally:
+        fs._jvm = real_jvm
+        fs._create = orig_create
+
+    # the publish survived: new manifest in place, no stray tmp
+    assert read_json(fs, f"{root}/m.json") == {"version": 2}
+    assert [n for n in fs.list_names(f"{root}") if ".tmp-" in n] == []
+
+
+def test_publish_fallback_reraises_noncompleted_java_failure(spark, tmp_path):
+    """A FileContext failure where the rename did NOT complete and the
+    scheme DOES have a binding must propagate (only a missing
+    AbstractFileSystem binding legitimately falls back) — here the
+    non-Java error keeps the fallback, which still publishes correctly
+    because tmp survives."""
+    root = f"file:{tmp_path}/state2"
+    fs = state_fs(spark, root)
+    write_json_atomic(fs, f"{root}/m.json", {"version": 1})
+
+    real_jvm = fs._jvm
+
+    class _DeadFC:
+        @staticmethod
+        def getFileContext(uri, conf):
+            raise AttributeError("FileContext not resolvable on this classpath")
+
+    class _Jvm:
+        class org:
+            class apache:
+                class hadoop:
+                    class fs:
+                        FileContext = _DeadFC
+                        Options = None  # never reached
+
+    fs._jvm = _Jvm
+    try:
+        # non-Java error + tmp still present -> documented delete+rename
+        # fallback runs and the publish still lands
+        write_json_atomic(fs, f"{root}/m.json", {"version": 2})
+    finally:
+        fs._jvm = real_jvm
+    assert read_json(fs, f"{root}/m.json") == {"version": 2}
