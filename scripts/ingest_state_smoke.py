@@ -4,12 +4,25 @@ read the entire ``state/`` tree every micro-batch — the same O(stream
 age) term the dedup/ANN wings already compact away).
 
 Methodology mirrors the dedup wing's 80-batch series (SCALE_SMOKE_R9
-§2): one doc corpus, a stream of N single-page batches, per-batch
-wall-clock sampled from the foreachBatch boundary. The uncompacted run
-re-reads every prior ``state/batch_id=K`` dir per batch (listing + read
-both grow with age); ``compact_state_every=10, prune_state=True`` folds
-the tail into ``state_versions/v=<k>`` behind a watermark, so the
-per-batch read is O(10 + versions-root) regardless of age.
+§2): one doc corpus, a stream of N single-page batches. The
+uncompacted run re-reads every prior ``state/batch_id=K`` dir per
+batch (listing + read both grow with age); ``compact_state_every=10,
+prune_state=True`` folds the tail into ``state_versions/v=<k>`` behind
+a watermark, so the per-batch read is O(10 + versions-root) regardless
+of age.
+
+Measurement honesty (r10 scripts review): each timed sample is a FULL
+query lifecycle (construct, checkpoint offset-log recovery, source
+re-listing, run one batch, stop) — NOT just the foreachBatch body —
+and the checkpoint-replay/source-listing terms are themselves O(age)
+in BOTH configs, so the end-to-end drift ratios here are a coarse
+signal contaminated by harness costs common to both runs. The CLEAN
+per-age signal for the skip-state read is the isolated microbench
+recorded in SCALE_SMOKE_R10.md §5 (read-only, fixed harness); this
+series exists to show the composed pipeline stays usable end-to-end.
+An untimed warmup series runs before the first config so neither
+config's early batches absorb session JIT, and drift baselines skip
+the first 5 batches.
 
 Usage: python scripts/ingest_state_smoke.py [n_batches] [rows_per_batch]
 """
@@ -106,6 +119,14 @@ def main() -> int:
         ivf_path,
     )
 
+    # untimed warmup series: the session's first streaming/LSH/IVF
+    # executions are JIT-dominated (2-4x), and with no warmup the FIRST
+    # config's first5 baseline absorbs them while the second config
+    # starts warm — the two drift ratios would not be comparable
+    warm_root = f"{base}/warmup"
+    os.makedirs(warm_root, exist_ok=True)
+    run_series(spark, warm_root, corpus_path, lsh_path, ivf_path, 3, rows)
+
     configs = {
         "uncompacted": {},
         "compacted(K=10,prune)": {"compact_state_every": 10, "prune_state": True},
@@ -117,10 +138,13 @@ def main() -> int:
             spark, root, corpus_path, lsh_path, ivf_path, n_batches, rows, **kw
         )
         q = np.quantile
-        first5, last5 = float(np.mean(times[:5])), float(np.mean(times[-5:]))
+        # baseline skips the first 5 batches (residual per-series
+        # settling) — drift compares mid-series to tail
+        base_w = times[5:10] if len(times) >= 15 else times[:5]
+        first5, last5 = float(np.mean(base_w)), float(np.mean(times[-5:]))
         print(
             f"RESULT {label}: batches={n_batches} rows/batch={rows} "
-            f"first5={first5:.2f}s last5={last5:.2f}s "
+            f"base5={first5:.2f}s last5={last5:.2f}s "
             f"drift={last5 / first5:.2f}x "
             f"p50={q(times, 0.5):.2f}s p90={q(times, 0.9):.2f}s"
         )

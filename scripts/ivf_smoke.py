@@ -7,7 +7,12 @@ centroid assignment over the whole table on every run; the stored path
 (``write_ivf_index``) and each probe is then a partition-pruned list
 scan + broadcast join + rerank. This smoke times, per fixture:
 
-  - fresh  : build + probe, the per-run cost today (min-of-2 warm)
+  - fresh  : centroid carve + build + probe, the per-run cost today
+             (min-of-2 warm) — the carve (_ivf_centroids: distributed
+             scan + driver collect) is INSIDE the timed region because
+             the production fresh path (knn_ivf_quantized) pays it on
+             every run; hoisting it would understate fresh and
+             overstate probe_ratio
   - build  : one-time write_ivf_index cost (single timing — it is
              paid once per corpus VERSION, warm trials would be
              dishonest)
@@ -59,12 +64,14 @@ def main() -> int:
             c_ids, c_mat = _ivf_centroids(spark, sf_dir)
 
             def fresh_df():
+                # per-run carve, matching knn_ivf_quantized exactly
+                f_ids, f_mat = _ivf_centroids(spark, sf_dir)
                 emb = load_table(spark, sf_dir, "embeddings")
                 vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
                 index = quantize_and_assign(
-                    vecs, c_ids, c_mat, topn=1, id_col="vec_id", emb_col="emb"
+                    vecs, f_ids, f_mat, topn=1, id_col="vec_id", emb_col="emb"
                 )
-                return _ivf_quantized_probe(spark, sf_dir, index, c_ids, c_mat)
+                return _ivf_quantized_probe(spark, sf_dir, index, f_ids, f_mat)
 
             def timed(mk_df) -> float:
                 best = float("inf")

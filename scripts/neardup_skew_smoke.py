@@ -5,7 +5,14 @@ single unbounded GEMM task (m^2 score matrix). This smoke constructs
 exactly that corpus, runs `ivf_blocked_pairs` with the guard active
 (MAX_BLOCK_ROWS=4096) and with it effectively disabled (cap=10^9 ->
 one task per list), and reports wall-clock, the task-shape evidence
-(block counts per list), and output equality.
+(block counts per list), and output equality — SET equality via a
+symmetric exceptAll difference, not a count comparison (equal counts
+can hide a guard bug that drops some boundary pairs while
+double-emitting others). Both configs run on equally-warm workers: an
+untimed small-slice warmup of the applyInPandas scoring path precedes
+the first timing, so config order doesn't bias the comparison
+(single timed trial per config — the unguarded run is minutes long,
+min-of-2 would double it for no information).
 
 Synthetic by necessity (the fixtures' lists are balanced; skew has to
 be constructed): `n_base` background vectors around scattered centers
@@ -72,23 +79,54 @@ def main() -> int:
     )
     print("top-3 list occupancy:", [(r.list_id, r["count"]) for r in sizes])
 
-    results = {}
-    for label, cap in [("guarded (4096)", 4096), ("unguarded (one task/list)", 10**9)]:
-        S.MAX_BLOCK_ROWS = cap
-        t0 = time.time()
-        pairs = S.ivf_blocked_pairs(vecs, c_ids, c_mat, 0.9, probes=2)
-        n_pairs = pairs.count()
-        dt = time.time() - t0
-        results[label] = (n_pairs, dt)
-        blocks = int(np.ceil(sizes[0]["count"] / cap))
-        print(
-            f"| {label} | pairs={n_pairs} | {dt:.1f}s | hottest list -> "
-            f"{blocks} blocks ({blocks * (blocks + 1) // 2} tasks, "
-            f"<= {min(cap, sizes[0]['count'])}^2 score matrix each) |"
-        )
+    # untimed warmup of the scoring path (JIT + Python workers) on a
+    # small slice so the FIRST timed config isn't the one paying it
+    S.ivf_blocked_pairs(
+        vecs.limit(2000), c_ids, c_mat, 0.9, probes=2
+    ).count()
 
-    (n_g, _), (n_u, _) = results.values()
-    print(f"outputs identical: {n_g == n_u}")
+    orig_cap = S.MAX_BLOCK_ROWS
+    results = {}
+    cached = {}
+    try:
+        for label, cap in [
+            ("guarded (4096)", 4096),
+            ("unguarded (one task/list)", 10**9),
+        ]:
+            S.MAX_BLOCK_ROWS = cap
+            # the timed action materializes the persisted pair set so the
+            # identity diff below doesn't re-run a minutes-long config;
+            # the cache-write overhead is inside BOTH configs' timings
+            # equally
+            pairs = S.ivf_blocked_pairs(vecs, c_ids, c_mat, 0.9, probes=2).select(
+                "a_id", "b_id"
+            )
+            pairs.persist()
+            t0 = time.time()
+            n_pairs = pairs.count()
+            dt = time.time() - t0
+            results[cap] = (n_pairs, dt)
+            cached[cap] = pairs
+            blocks = int(np.ceil(sizes[0]["count"] / cap))
+            print(
+                f"| {label} | pairs={n_pairs} | {dt:.1f}s | hottest list -> "
+                f"{blocks} blocks ({blocks * (blocks + 1) // 2} tasks, "
+                f"<= {min(cap, sizes[0]['count'])}^2 score matrix each) |"
+            )
+
+        # SET equality, both directions (counts alone can hide a
+        # drop-one-double-another guard bug)
+        g, u = cached[4096], cached[10**9]
+        diff = g.exceptAll(u).count() + u.exceptAll(g).count()
+        (n_g, _), (n_u, _) = results.values()
+        print(
+            f"outputs identical: {n_g == n_u and diff == 0} "
+            f"(counts {n_g}=={n_u}, symmetric diff={diff})"
+        )
+    finally:
+        S.MAX_BLOCK_ROWS = orig_cap
+        for df in cached.values():
+            df.unpersist()
     return 0
 
 

@@ -146,6 +146,12 @@ def main() -> int:
         "skew_join_hot_key": (lambda: skew_join(li, orders), lambda: skew_join(big_li, big_orders)),
     }
     failures = []
+    # Honest-bound caveat (r10 scripts review): t_small is warm and
+    # fixed-overhead-dominated at sf0.1 while t_big is single-shot cold,
+    # so the ratio is noisy in both directions — the mult*2.5 bound is a
+    # coarse regression tripwire for grossly supralinear plans, not a
+    # precise linearity proof; the per-operator scale claims rest on the
+    # dedicated smokes (blocked_neardup/ivf/probe_layout), not this sweep.
     for name, (small, big) in cases.items():
         small().count()  # warm
         t0 = time.perf_counter(); small().count(); t_small = time.perf_counter() - t0
@@ -160,7 +166,12 @@ def main() -> int:
         )
 
     plan = q1(big_li)._jdf.queryExecution().executedPlan().toString()
-    assert "HashAggregate" in plan, "partial aggregation missing at scale"
+    # 'partial_' is what actually proves map-side combine: a bare
+    # 'HashAggregate' substring also matches the FINAL aggregate, so it
+    # would pass even if the partial phase were lost (r10 scripts review)
+    assert "HashAggregate" in plan and "partial_" in plan, (
+        "partial aggregation missing at scale"
+    )
     print("plan check: partial HashAggregate present at scale")
 
     # --- vector / dedup section (VERDICT r1 item 2 done-criterion) ---
@@ -199,7 +210,14 @@ def main() -> int:
         f"{quad}x; rows={n})"
     )
     cplan = cos(big_emb)._jdf.queryExecution().executedPlan().toString()
+    # presence of the GEMM stage alone wouldn't rule out a driver
+    # collect+reparallelize elsewhere in the plan — that shape shows up
+    # as LocalTableScan / Scan ExistingRDD, so assert their ABSENCE too
+    # (the legitimate driver-free block list arrives via Range)
     assert "FlatMapGroupsInPandas" in cplan, "block GEMM stage missing"
+    assert "LocalTableScan" not in cplan and "Scan ExistingRDD" not in cplan, (
+        "driver-side materialization found in the selfjoin plan"
+    )
     print("plan check: distributed FlatMapGroupsInPandas, no driver collect")
 
     small_docs = docs

@@ -67,6 +67,14 @@ def main() -> int:
 
     spark = get_spark(app_name="stream-smoke")
     spark.sparkContext.setLogLevel("ERROR")
+    # recentProgress is a RING BUFFER (default 100 entries): a long
+    # series would silently drop its earliest batches and ms_per_doc
+    # would divide a truncated numerator by the full stream (r10
+    # scripts review). Size it to the run before the query starts.
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(1000, n_batches * 2)),
+    )
     work = tempfile.mkdtemp(prefix="stream_smoke_")
     try:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -122,14 +130,23 @@ def main() -> int:
 
         series = []
         for p in progress:
-            if p.get("numInputRows", 0) > 0:
-                bid = p["batchId"]
-                # numInputRows is unreliable for Python data sources;
-                # compute the batch's doc count from the page math
-                n_docs = max(0, min(n_stream - bid * page_size, page_size))
+            bid = p["batchId"]
+            # numInputRows is unreliable for Python data sources — both
+            # as a doc count AND as a batch filter (a real batch it
+            # reports as 0 would vanish from the series); membership is
+            # decided by the page math instead
+            n_docs = max(0, min(n_stream - bid * page_size, page_size))
+            if n_docs > 0:
                 series.append(
                     (bid, n_docs, p["durationMs"]["triggerExecution"] / 1000.0)
                 )
+        expected = math.ceil(n_stream / page_size)
+        if len({b for b, _, _ in series}) < expected:
+            print(
+                f"WARNING: progress covers {len(series)}/{expected} batches "
+                "(ring buffer truncation?) — per-batch series incomplete; "
+                "ms_per_doc uses only the OBSERVED batches' docs"
+            )
         for bid, rows, sec in series:
             print(f"batch {bid:>3}  docs {rows:>6}  trigger_s {sec:7.2f}")
 
@@ -153,8 +170,13 @@ def main() -> int:
             "manifest_version": man["version"] if man else 0,
             "steady_min_s": round(min(steady), 2),
             "steady_max_s": round(max(steady), 2),
+            # observed docs, not n_stream: if the series were ever
+            # truncated, dividing by the full stream would understate
             "ms_per_doc": round(
-                1000 * sum(s for _, _, s in series) / max(n_stream, 1), 2
+                1000
+                * sum(s for _, _, s in series)
+                / max(sum(d for _, d, _ in series), 1),
+                2,
             ),
         }
         print(json.dumps(summary))
