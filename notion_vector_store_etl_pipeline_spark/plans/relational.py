@@ -267,13 +267,23 @@ def scan_union_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey FROM customer WHERE c_acctbal > 0
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
     """,
-    doc="Set difference: positive-balance customers with no orders.",
+    doc="Set difference: positive-balance customers who never placed a "
+    "large (>300k) order. The right side is predicated so the "
+    "difference is NON-EMPTY at every fixture SF (3/29/278 rows at "
+    "sf0.001/0.01/0.1) — the original 'customers with no orders at "
+    "all' was empty at every gate SF on these fixtures (nearly every "
+    "customer has orders), making its parity row vacuous (r10 test "
+    "review).",
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
-    have = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    have = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     # subtract == EXCEPT DISTINCT unconditionally; exceptAll+dropDuplicates
     # only matches when the left side is duplicate-free (it is here — PK —
     # but the direct form can't silently break if the pattern is reused)

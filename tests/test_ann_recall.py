@@ -65,7 +65,11 @@ def test_ivf_quantized_recall_and_exact_rerank(spark):
     quant = list(_ivf_quantized_neighbors(spark, SF).collect())
     assert quant, "quantized pipeline returned nothing"
 
-    hits = sum(1 for r in quant if (r.query_id, r.cand_id) in exact)
+    # recall over DISTINCT pairs, with duplicates outlawed: per-row
+    # counting lets a replication bug inflate hits (r10 test review)
+    quant_keys = {(r.query_id, r.cand_id) for r in quant}
+    assert len(quant_keys) == len(quant), "duplicate pairs in quantized output"
+    hits = sum(1 for k in quant_keys if k in exact)
     recall = hits / len(exact)
     # quantized coarse pass sits between the pure-IVF floor and exact;
     # int8 on 64-dim vectors loses little ordering information
@@ -211,12 +215,30 @@ def test_ivf_stored_index_matches_fresh(spark, tmp_path, monkeypatch):
     m = re.search(r"PartitionFilters: \[[^\]]*list_id[^\]]*\]", plan)
     assert m, "probe scan has no partition filter on list_id"
 
-    # memo hit: a second call must reuse the published index dir
+    # memo hit: a second call must reuse the published index dir AND
+    # must not run the build callable at all. The listing check alone
+    # is insufficient: a regressed always-rebuild publishes into a
+    # .build-<uuid> temp, loses the rename race against the existing
+    # dir, and cleans up — listing byte-identical (r10 test review).
     import os
+
+    import notion_vector_store_etl_pipeline_spark.operators.index_memo as IM
 
     cache = str(tmp_path / "cache")
     before = sorted(os.listdir(cache))
+    builds: list[str] = []
+    real_memoized = IM.memoized_index
+
+    def counting(src, family, version, build):
+        def wrapped(tmp):
+            builds.append(tmp)
+            return build(tmp)
+
+        return real_memoized(src, family, version, wrapped)
+
+    monkeypatch.setattr(IM, "memoized_index", counting)
     _ivf_stored_neighbors(spark, SF).collect()
+    assert builds == [], "memo MISS: the second call rebuilt the index"
     assert sorted(os.listdir(cache)) == before
 
 
@@ -512,13 +534,17 @@ def test_ivf_blocked_probe_subset_and_sides(spark):
         for r in cosine_selfjoin_pairs(emb, _SEMDEDUP_THR, n_blocks=8).collect()
         if (r.a_id % 10 == 0) != (r.b_id % 10 == 0)
     }
-    hits = 0
-    for r in got:
-        key = (min(r.batch_id, r.corpus_id), max(r.batch_id, r.corpus_id))
+    # recall over DISTINCT pairs with duplicates outlawed: per-row
+    # counting lets a replication bug emit each true pair k times and
+    # report recall > actual (even > 1.0) while losing distinct pairs
+    keys = [
+        (min(r.batch_id, r.corpus_id), max(r.batch_id, r.corpus_id)) for r in got
+    ]
+    assert len(set(keys)) == len(keys), "duplicate pairs emitted by the probe"
+    for r, key in zip(got, keys):
         assert key in exact_bi, f"probe invented pair {key}"
         assert abs(r.score - exact_bi[key]) < 1e-9, f"score drift at {key}"
-        hits += 1
-    assert hits / len(exact_bi) >= 0.1, (hits, len(exact_bi))
+    assert len(set(keys)) / len(exact_bi) >= 0.1, (len(keys), len(exact_bi))
 
 
 def test_probe_stored_matches_fresh(spark):

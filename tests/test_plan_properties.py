@@ -32,7 +32,10 @@ CASES = [
     ("agg_group_sum", ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"], []),
     ("tpch_q1_pricing_summary", ["HashAggregate", "Exchange"], ["SortMergeJoin"]),
     ("tpch_q6_forecast_revenue", ["GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate"], []),
-    ("sort_topk", ["TakeOrderedAndProject"], ["Sort ["]),
+    # must-not is " Sort (" — the formatted tree renders nodes as
+    # "+- Sort (3)", so the old "Sort [" fragment could never match
+    # ANY plan and the no-global-sort half of this pin was vacuous
+    ("sort_topk", ["TakeOrderedAndProject"], [" Sort ("]),
     ("topk_per_group", ["WindowGroupLimit"], []),
     ("tfidf_top_terms", ["WindowGroupLimit", "BroadcastHashJoin"], []),
     ("join_broadcast_dim", ["BroadcastHashJoin"], ["SortMergeJoin"]),
@@ -83,13 +86,57 @@ def test_plan_keeps_scale_properties(spark, name, must, must_not):
 
 
 def test_partial_aggregation_before_exchange(spark):
-    """Map-side combine: the partial HashAggregate must appear BELOW the
-    exchange (higher step number in the formatted tree) for the canonical
-    scan-agg query."""
+    """Map-side combine: the PARTIAL HashAggregate must sit BELOW the
+    exchange feeding the final aggregate. The formatted tree numbers
+    leaves lowest, so the ordering claim is partial-id < exchange-id <
+    final-id — counting node occurrences alone (the old assert) would
+    pass even with both aggregates above the exchange (r10 test
+    review)."""
+    import re
+
     plan = plan_of(spark, "tpch_q1_pricing_summary")
-    # formatted plan lists two HashAggregates around one Exchange
-    assert plan.count("HashAggregate") >= 2
-    assert plan.count("Exchange") >= 1
+    agg_ids = [int(i) for i in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    ex_ids = [int(i) for i in re.findall(r"Exchange \((\d+)\)", plan)]
+    partial_ids = [
+        int(i)
+        for i in re.findall(
+            r"\((\d+)\) HashAggregate\n(?:[^\n(]*\n)*?Functions \[\d+\]: \[partial_",
+            plan,
+        )
+    ]
+    assert partial_ids, f"no partial HashAggregate in plan\n{plan[:4000]}"
+    assert ex_ids, f"no Exchange in plan\n{plan[:4000]}"
+    partial = min(partial_ids)
+    final = max(i for i in agg_ids if i not in partial_ids)
+    exchange = min(i for i in ex_ids if partial < i < final + 1)
+    assert partial < exchange < final, (
+        f"partial {partial} / exchange {exchange} / final {final} out of "
+        f"map-side-combine order\n{plan[:4000]}"
+    )
+
+
+BROADCAST_HINTED = ["join_broadcast_dim", "tfidf_top_terms", "tpch_q19_or_predicates"]
+
+
+@pytest.mark.parametrize("name", BROADCAST_HINTED)
+def test_broadcast_comes_from_the_hint_not_table_size(spark, name):
+    """At sf0.001 every table sits far under the 10MB auto-broadcast
+    threshold, so 'BroadcastHashJoin present' in the CASES table is
+    satisfiable by size estimation alone — remove the query's explicit
+    F.broadcast() hint and that pin stays green while the at-scale
+    property regresses (r10 test review). Compiling with auto-broadcast
+    DISABLED, a BroadcastHashJoin can only come from the hint."""
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+    assert "BroadcastHashJoin" in plan, (
+        f"{name}: no BroadcastHashJoin with auto-broadcast disabled — "
+        f"the explicit broadcast hint is gone\n{plan[:4000]}"
+    )
+    assert "SortMergeJoin" not in plan, plan[:4000]
 
 
 def test_winnowing_hash_array_materialized_once(spark):

@@ -31,7 +31,21 @@ def _fixture(spark, tmp_path):
     batch_path = str(tmp_path / "incoming.parquet")
     index_path = str(tmp_path / "lsh_index")
     corpus.write.parquet(corpus_path)
-    batch.orderBy("doc_id").toPandas().to_parquet(batch_path, index=False)
+    pdf = batch.orderBy("doc_id").toPandas()
+    # GUARANTEE a cross-micro-batch duplicate: a synthetic doc with
+    # corpus-disjoint vocabulary sorts into the FIRST page (id -10, so
+    # it can't collide with a corpus id and trip the update flow, and
+    # can't be flagged against the base corpus — it survives to prior
+    # state), and its near-copy sorts into the LAST page. Flagging the
+    # copy therefore requires reading PRIOR-BATCH state — the exact
+    # path the URI-parity test protects. A natural stream doc won't
+    # do: e.g. doc 0 is itself a dup of corpus doc 82, never survives
+    # to prior state, and its copy flags against the corpus instead.
+    uniq = " ".join(f"zzuniq{i}" for i in range(60))
+    pdf.loc[len(pdf)] = {"doc_id": -10, "text": uniq}
+    pdf.loc[len(pdf)] = {"doc_id": 999_990, "text": uniq + " tiny appended edit"}
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    pdf.to_parquet(batch_path, index=False)
     D.write_lsh_index(D.build_lsh_index(corpus), index_path)
     return corpus_path, batch_path, index_path
 
@@ -94,6 +108,16 @@ def test_stream_state_on_hadoop_uri_matches_posix(spark, tmp_path):
     # dedup for the parity to mean anything
     assert results["posix"][2] >= 2
     assert results["posix"][0], "no flagged pairs — fixture regressed"
+    # ...and at least one flagged pair must be CROSS-BATCH (its match is
+    # a stream doc, % 10 == 0, seen in an EARLIER micro-batch — not the
+    # static base corpus): base-corpus matches are identical whether or
+    # not prior state is visible, so without this the r9 failure mode
+    # under guard (URI root silently sees NO prior state) could regress
+    # while every assertion above stays green (r10 test review)
+    assert any(c % 10 == 0 for _, c in results["posix"][0]), (
+        "no cross-batch flagged pair — the prior-state read path was "
+        "not exercised; fixture drifted?"
+    )
 
     # pruning actually removed folded delta dirs on the URI root
     uri_deltas = [
@@ -234,30 +258,55 @@ def test_probe_batch_releases_its_own_caches(spark):
     contract to honor. The returned flagged frame is checkpoint-backed
     and both outputs stay collectible after every probe_batch-internal
     persist is gone."""
-    from notion_vector_store_etl_pipeline_spark.operators.cache import _PERSISTED
+    from notion_vector_store_etl_pipeline_spark.operators.cache import (
+        _PERSISTED,
+        release_cache,
+    )
 
     docs = spark.read.parquet(SOURCE).select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0).limit(20)
     index = D.build_lsh_index(corpus)
 
+    # count LIVE JVM-persistent RDDs, not just the global tracker:
+    # probe_batch's own intermediates persist through a LOCAL list the
+    # tracker never sees, so a tracker-only assertion passes even if
+    # the internal unpersist loop is deleted (r10 test review)
+    release_cache()
+    spark.catalog.clearCache()
+    jvm_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     tracked_before = len(_PERSISTED)
     flagged, clean = probe_batch(batch, corpus, index)
     # no new globally-tracked persists leak from the call
     assert len(_PERSISTED) == tracked_before
+    # the only surviving JVM-side blocks are the returned frames'
+    # localCheckpoints (flagged + clean) — every internal persist is gone
+    jvm_after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert jvm_after - jvm_before <= 2, (
+        f"probe_batch leaked {jvm_after - jvm_before - 2} internal "
+        "persists past the call"
+    )
     f = flagged.collect()
     c = clean.collect()
     assert len(c) + len({r.batch_id for r in f}) == batch.count()
 
 
-def test_vacuum_watermark_bounds_rescans(spark, tmp_path):
+def test_vacuum_watermark_bounds_rescans(spark, tmp_path, monkeypatch):
     """The vacuum.json watermark (r10 review finding 6): each call
     probes only versions added since the last vacuum — the watermark
     file advances with the cut and a re-call below it is a pure no-op
-    (no O(stream-age) re-probing of long-retired versions)."""
+    (no O(stream-age) re-probing of long-retired versions).
+
+    The bounded-probing claim is pinned OBSERVATIONALLY via a counting
+    FS wrapper: outcome-only assertions can't distinguish the
+    watermark from a full v1.. rescan (already-deleted dirs return
+    exists=False and produce the identical [] — r10 test review)."""
     from notion_vector_store_etl_pipeline_spark.operators.statefs import (
         read_json,
         state_fs,
+    )
+    from notion_vector_store_etl_pipeline_spark.streaming import (
+        dedup_stream as DS,
     )
 
     out = str(tmp_path / "vac")
@@ -267,15 +316,39 @@ def test_vacuum_watermark_bounds_rescans(spark, tmp_path):
         with open(f"{out}/index_versions/v{j}/marker", "w") as f:
             f.write("x")
 
+    probed: list[int] = []
+    real_state_fs = DS.state_fs
+
+    class CountingFS:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def exists(self, p):
+            if "/index_versions/v" in p:
+                probed.append(int(p.rsplit("v", 1)[1]))
+            return self._inner.exists(p)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    monkeypatch.setattr(
+        DS, "state_fs", lambda sp, path: CountingFS(real_state_fs(sp, path))
+    )
+
     # current=4, retain=2 -> cut=2: v1..v2 vacuumed, watermark=2
     assert vacuum_index_versions(spark, out, 4, 2) == [1, 2]
+    assert sorted(probed) == [1, 2]
     wm = read_json(fs, f"{out}/_compaction/vacuum.json")
     assert wm == {"vacuumed_through": 2}
 
-    # same cut again: nothing probed below the watermark, no deletions
+    # same cut again: NOTHING probed below the watermark, no deletions
+    probed.clear()
     assert vacuum_index_versions(spark, out, 4, 2) == []
-    # advance: current=5 -> cut=3, only v3 touched, watermark follows
+    assert probed == [], "re-call probed below the watermark"
+    # advance: current=5 -> cut=3, ONLY v3 touched, watermark follows
+    probed.clear()
     assert vacuum_index_versions(spark, out, 5, 2) == [3]
+    assert probed == [3]
     assert read_json(fs, f"{out}/_compaction/vacuum.json") == {
         "vacuumed_through": 3
     }

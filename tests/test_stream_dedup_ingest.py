@@ -312,6 +312,7 @@ def test_bucketed_index_probe_join_is_exchange_free_on_corpus_side(spark, tmp_pa
     D.write_lsh_index_bucketed(
         index, "lsh_idx_b", n_buckets=8, path=str(tmp_path / "lsh_idx_b")
     )
+    orig_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         mb = D.melted_signature_buckets(
@@ -351,7 +352,10 @@ def test_bucketed_index_probe_join_is_exchange_free_on_corpus_side(spark, tmp_pa
         }
         assert got_b == got_p and got_b
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # restore the SAVED value — hardcoding 64MB here permanently
+        # mutated the session-scoped fixture (Spark default is 10MB),
+        # making later plan-sensitive tests order-dependent (r10 review)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_thresh)
         spark.sql("DROP TABLE IF EXISTS lsh_idx_b")
         D.release_cache()
 
@@ -418,6 +422,7 @@ def test_compact_lsh_index_bucketed_output_stays_exchange_free(spark, tmp_path):
         bucketed_table="lsh_idx_compacted_b",
         n_buckets=8,
     )
+    orig_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         mb = D.melted_signature_buckets(
@@ -449,7 +454,10 @@ def test_compact_lsh_index_bucketed_output_stays_exchange_free(spark, tmp_path):
         }
         assert got_b == got_p and got_b
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # restore the SAVED value — hardcoding 64MB here permanently
+        # mutated the session-scoped fixture (Spark default is 10MB),
+        # making later plan-sensitive tests order-dependent (r10 review)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_thresh)
         spark.sql("DROP TABLE IF EXISTS lsh_idx_compacted_b")
         D.release_cache()
 
