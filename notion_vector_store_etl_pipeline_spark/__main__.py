@@ -116,12 +116,21 @@ def load_state(spark: SparkSession, path: str) -> DataFrame:
     but cannot be read is a real error and propagates — silently
     treating corruption as 'no state' would reprocess everything and
     then overwrite the good history on commit."""
-    from notion_vector_store_etl_pipeline_spark.operators.incremental import STATE_COLUMNS
+    from notion_vector_store_etl_pipeline_spark.operators.incremental import (
+        STATE_COLUMNS,
+        recover_state,
+    )
 
     schema = (
         "block_id BIGINT, prior_let STRING, prior_hash STRING, "
         "vector_file_ids ARRAY<STRING>"
     )
+    # a crash between commit_state's two swap renames leaves the last
+    # good state as a `.old-*` sibling and nothing at `path` — restore
+    # it BEFORE the missing check, else the run silently reprocesses
+    # the whole corpus with an empty stale set (r10 review; this is the
+    # startup call recover_state's docstring prescribes)
+    recover_state(path, spark=spark)
     missing = not os.path.exists(path) if "://" not in path else False
     if missing:
         return spark.createDataFrame([], schema)
@@ -201,6 +210,18 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     if parse_bool(args.streaming):
+        if dry_run:
+            # refuse loudly rather than silently running the full ETL:
+            # the streaming branch publishes to the store and advances
+            # the checkpoint — there is no discover-without-processing
+            # mode for it, and pretending otherwise would make the
+            # next real run non-repeatable (r10 review)
+            print(
+                "error: --dry-run is not supported with --streaming "
+                "(the streaming ETL has no discovery-only mode)",
+                file=sys.stderr,
+            )
+            return 2
         return run_streaming(spark, args)
 
     snapshot = build_snapshot(spark, args.data_dir)

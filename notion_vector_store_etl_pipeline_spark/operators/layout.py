@@ -84,11 +84,28 @@ def compact_small_files(
     when the inputs are skewed). Returns the new file count.
 
     The rewrite goes to a sibling temp dir and swaps in only when
-    fully written — a crashed compaction leaves the original intact
-    (same swap discipline as ``operators.incremental.commit_state``).
+    fully written — a crashed compaction leaves the data intact, either
+    at ``path`` or as a ``.old-*`` sibling (the same swap discipline —
+    and the same ``.old-`` naming — as ``operators.incremental
+    .commit_state``, so ``recover_state`` restores it; this function
+    calls it on entry, covering a crash between its own two renames on
+    the NEXT compaction, and startup readers that call recover_state
+    are covered immediately).
     """
+    import glob
     import shutil
     import uuid
+
+    from notion_vector_store_etl_pipeline_spark.operators.incremental import (
+        recover_state,
+    )
+
+    # a prior compaction crash between the two renames left `path`
+    # missing and the last good data alive as `.old-*` — restore first
+    recover_state(path)
+    # tmp droppings from crashed rewrites are safe to clear now
+    for stale in glob.glob(f"{path}.compact-*"):
+        shutil.rmtree(stale, ignore_errors=True)
 
     n_files = max(1, math.ceil(dir_bytes(path) / target_bytes))
     df = spark.read.parquet(path)

@@ -45,8 +45,19 @@ class PropsParse:
             schema = schema.add(name, _TYPES[typ])
         return AnalyzeResult(schema=schema)
 
+    def __init__(self):
+        # the spec is plan-time constant (analyze() enforces it), so
+        # parse it once per UDTF instance instead of once per ROW —
+        # keyed on the string in case an instance is ever reused
+        # across specs
+        self._spec_str: str | None = None
+        self._fields: list[tuple[str, str, str]] = []
+
     def eval(self, spec: str, payload: str):
-        fields = [p.strip().partition(":") for p in spec.split(",")]
+        if spec != self._spec_str:
+            self._fields = [p.strip().partition(":") for p in spec.split(",")]
+            self._spec_str = spec
+        fields = self._fields
         kv = {}
         for item in (payload or "").split(";"):
             k, sep, v = item.partition("=")

@@ -74,10 +74,28 @@ def run_pipeline(
 
     records = chunk_records(chunks, ingested_at=ingested_at)
 
-    processed = chunks.groupBy("block_id").agg(
-        F.first("let").alias("prior_let"),
-        F.first("content_hash").alias("prior_hash"),
-        F.sort_array(F.collect_list("chunk_id")).alias("vector_file_ids"),
+    # state is recorded for EVERY processed doc, not just docs that
+    # produced chunks — the reference writes its manifest entry
+    # unconditionally (`:719-731`), with vector_file_ids possibly
+    # empty. Deriving this from `chunks` alone left a zero-chunk doc
+    # (empty/whitespace text) out of the upsert: its OLD state row
+    # survived, still claiming the hash and vector ids of the previous
+    # version, so every later run re-emitted the same already-deleted
+    # ids as stale and reprocessed the doc forever (r10 review).
+    chunk_ids_per_doc = chunks.groupBy("block_id").agg(
+        F.sort_array(F.collect_list("chunk_id")).alias("vector_file_ids")
+    )
+    processed = (
+        to_process.select(
+            "block_id",
+            F.col("let").alias("prior_let"),
+            F.col("content_hash").alias("prior_hash"),
+        )
+        .join(chunk_ids_per_doc, "block_id", "left")
+        .withColumn(
+            "vector_file_ids",
+            F.coalesce("vector_file_ids", F.array().cast("array<string>")),
+        )
     )
     next_state = upsert_state(state, processed)
 

@@ -40,9 +40,22 @@ def group_normalize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a: float(np.sqrt(np.dot(np.asarray(a, dtype=np.float64), np.asarray(a, dtype=np.float64))))
         )
         sd = norms.std(ddof=1)  # sample stddev, matches stddev_samp
-        z = (norms - norms.mean()) / sd if sd and sd > 0 else norms * float("nan")
+        if sd and sd > 0:
+            z = (norms - norms.mean()) / sd
+            # round half-AWAY-from-zero to match Spark/DuckDB round();
+            # Series.round is banker's (half-even), which diverges on
+            # .00005 boundaries
+            z = pd.Series(
+                np.sign(z) * np.floor(np.abs(z) * 1e4 + 0.5) / 1e4,
+                index=pdf.index,
+            )
+        else:
+            # single-row or zero-variance group: the oracle's
+            # nullif(stddev,0) division yields NULL — emit real NULLs,
+            # not NaN (the parity hash distinguishes them)
+            z = pd.Series([None] * len(norms), dtype=object, index=pdf.index)
         return pd.DataFrame(
-            {"vec_id": pdf["vec_id"], "label": pdf["label"], "z_norm": z.round(4)}
+            {"vec_id": pdf["vec_id"], "label": pdf["label"], "z_norm": z}
         )
 
     return emb.groupBy("label").applyInPandas(

@@ -174,7 +174,6 @@ def pit_interval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     us = F.unix_micros("ts")
-    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
     versions = (
         events.filter(F.col("event_type") == "signup")
         .select(

@@ -154,3 +154,45 @@ def test_cli_streaming_mode_resumable(spark, tmp_path, capsys):
     second = capsys.readouterr().out
     n2 = int(second.rsplit("total_chunks=", 1)[1].strip())
     assert n2 == n1  # resume published nothing new
+
+
+def test_cli_dry_run_with_streaming_refuses(spark, tmp_path, capsys):
+    """--dry-run has no discovery-only meaning in streaming mode — the
+    old code silently ran the FULL streaming ETL (publishing to the
+    store and advancing the checkpoint); now it refuses loudly."""
+    rc = main(
+        [
+            "--data-dir", "/root/testdata/sf0.001",
+            "--state-path", str(tmp_path / "s"),
+            "--output-dir", str(tmp_path / "o"),
+            "--streaming", "--dry-run",
+        ]
+    )
+    assert rc == 2
+    assert "not supported with --streaming" in capsys.readouterr().err
+    import os
+
+    assert not os.path.exists(str(tmp_path / "o"))  # nothing published
+
+
+def test_cli_recovers_state_after_commit_crash(spark, tmp_path, capsys):
+    """A crash between commit_state's two swap renames leaves the last
+    good state as `.old-*` and nothing at the path; load_state must
+    restore it (recover_state's prescribed startup call) — the old code
+    silently treated it as NO state and reprocessed the whole corpus
+    with an empty stale set (r10 review)."""
+    import os
+
+    state = str(tmp_path / "state")
+    _run(
+        capsys, "--data-dir", "/root/testdata/sf0.001",
+        "--state-path", state, "--output-dir", str(tmp_path / "c1"),
+    )
+    # simulate the crash window: state renamed away, new state never landed
+    os.rename(state, f"{state}.old-deadbeef")
+
+    line = _run(
+        capsys, "--data-dir", "/root/testdata/sf0.001",
+        "--state-path", state, "--output-dir", str(tmp_path / "c2"),
+    )
+    assert "processed=0" in line and "skipped=500" in line

@@ -88,3 +88,26 @@ def test_compaction_rebalance_path(spark, tmp_path):
     got = compact_small_files(spark, path, target_bytes=target, rebalance=True)
     assert 2 <= got <= 8
     assert spark.read.parquet(path).count() == total
+
+
+def test_compaction_recovers_from_crashed_swap(spark, tmp_path):
+    """compact_small_files shares commit_state's `.old-` swap naming, so
+    a crash between its two renames is recoverable — and the next
+    compaction performs that recovery itself before reading (r10
+    review: the old code left nothing at the path and no code path
+    consulted the sibling)."""
+    import os
+
+    from notion_vector_store_etl_pipeline_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(1000).repartition(8).write.parquet(path)
+    # simulate the crash window: data renamed away, rewrite never landed
+    os.rename(path, f"{path}.old-deadbeef")
+
+    n = compact_small_files(spark, path)
+    assert n >= 1
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(f"{path}.old-deadbeef")

@@ -79,3 +79,44 @@ def test_graph_pagerank_persists_are_tracked(spark):
     assert len(cache._PERSISTED) >= 2
     cache.release_cache()
     assert cache._PERSISTED == []
+
+
+def test_group_normalize_single_member_group_is_null_not_nan(spark, tmp_path):
+    """A single-member (or zero-variance) label group must z-score to
+    NULL, matching the oracle's nullif(stddev,0) division — the old
+    code shipped NaN doubles, which the parity hash distinguishes from
+    NULL ('NaN' vs the null token). The shipped fixtures have no such
+    group, so this crafts one and runs BOTH engines on it."""
+    import duckdb
+
+    from notion_vector_store_etl_pipeline_spark.plans import load_registry
+
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.0, 2.0]),
+            (3, 0, [3.0, 0.0]),
+            (4, 7, [5.0, 0.0]),  # label 7 has ONE member -> sd undefined
+        ],
+        "vec_id: long, label: int, embedding: array<double>",
+    )
+    sf = str(tmp_path)
+    emb.write.parquet(f"{sf}/embeddings.parquet")
+
+    q = load_registry()["group_normalize_pandas"]
+    got = {r.vec_id: r.z_norm for r in q.fn(spark, sf).collect()}
+    assert got[4] is None, f"single-member group produced {got[4]!r}, not NULL"
+
+    con = duckdb.connect()
+    # Spark wrote a DIRECTORY (the real fixtures are single files) —
+    # DuckDB needs the part-file glob
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    want = {r[0]: r[2] for r in con.execute(q.oracle).fetchall()}
+    for vid in got:
+        if want[vid] is None:
+            assert got[vid] is None
+        else:
+            assert abs(got[vid] - want[vid]) < 1e-9, (vid, got[vid], want[vid])

@@ -87,3 +87,44 @@ def test_extract_stage_is_pluggable(spark):
 
     out = run_pipeline(snap, state0, extract=shouty_extract)
     assert [r.text for r in out.chunks.collect()] == ["RAW-BYTES"]
+
+
+def test_zero_chunk_doc_is_recorded_in_state(spark):
+    """A doc whose text yields no chunks (empty/whitespace) must still
+    land in next_state — the reference writes its manifest entry
+    unconditionally (`:719-731`). Deriving state from chunks alone left
+    the OLD state row alive (still claiming the previous version's
+    vector ids), so every later run re-emitted the same already-deleted
+    ids as stale (r10 review)."""
+    from notion_vector_store_etl_pipeline_spark.operators.incremental import (
+        plan_increment,
+    )
+
+    # run 1: doc 1 has real text and gets vectors
+    snap1 = _snapshot(spark, [(1, "srcA", "t1", "real text " * 30)])
+    empty_state = spark.createDataFrame(
+        [],
+        "block_id: long, prior_let: string, prior_hash: string, "
+        "vector_file_ids: array<string>",
+    )
+    r1 = run_pipeline(snap1, empty_state)
+    s1 = {r.block_id: r for r in r1.next_state.collect()}
+    assert s1[1].vector_file_ids  # has vectors
+
+    # run 2: the doc's text becomes whitespace-only -> zero chunks
+    snap2 = _snapshot(spark, [(1, "srcA", "t2", "   ")])
+    r2 = run_pipeline(snap2, r1.next_state)
+    # the old ids are deleted exactly once
+    stale2 = {r.stale_vector_id for r in r2.stale_vectors.collect()}
+    assert stale2 == set(s1[1].vector_file_ids)
+    s2 = {r.block_id: r for r in r2.next_state.collect()}
+    assert 1 in s2, "zero-chunk doc missing from state"
+    assert s2[1].prior_let == "t2" and s2[1].vector_file_ids == []
+
+    # run 3 (same snapshot): nothing stale — the delete is not re-emitted
+    r3 = run_pipeline(snap2, r2.next_state)
+    assert r3.stale_vectors.count() == 0
+    plan3 = plan_increment(snap2, r2.next_state)
+    # (reference semantics: no ids -> not a cache hit -> reprocessed,
+    # but with nothing to delete and state staying converged)
+    assert {r.block_id for r in plan3.to_process.collect()} == {1}
