@@ -43,31 +43,41 @@ def bloom_prejoin_semi(
     k: int = 3,
 ) -> DataFrame:
     """EXACT left-semi join of ``probe`` against ``build_keys``, with a
-    broadcast Bloom pre-filter dropping probe rows before the shuffle."""
+    broadcast Bloom pre-filter dropping probe rows before the shuffle.
+
+    Duplicate probe rows are handled by weight, not by a per-row id:
+    identical rows collapse to one representative carrying their count
+    BEFORE the position explode (k exploded rows per DISTINCT value,
+    not per input row), the ``_k_hits == k`` gate runs on distinct
+    rows, and survivors re-expand to their original multiplicity. The
+    obvious alternative — tagging rows with
+    ``monotonically_increasing_id`` — is NON-DETERMINISTIC across
+    stage recomputation: a shuffle-fetch failure or speculative retry
+    re-executes the probe-side stage with different rids than the
+    partially-aggregated shuffle data, corrupting the exact ``== k``
+    gate (ADVICE r10). Every column here is a pure function of row
+    values, so retries reproduce identical rows."""
     words = bloom_build(build_keys, build_key, m_bits, k)
     cols = probe.columns
-    # the hit-count regroup keys on a per-row id, NOT on the row's
-    # columns: grouping by value merges duplicate probe rows, their
-    # 2k combined hits fail the == k gate, and both copies silently
-    # vanish from what is documented as an EXACT semi join
-    tagged = probe.withColumn("__rid", F.monotonically_increasing_id())
-    exploded = tagged.select(
-        "__rid",
+    distinct_w = probe.groupBy(*cols).agg(F.count(F.lit(1)).alias("__w"))
+    exploded = distinct_w.select(
         *cols,
-        F.posexplode(_positions(F.col(probe_key), m_bits, k)).alias("k_i", "pos"),
+        "__w",
+        F.explode(_positions(F.col(probe_key), m_bits, k)).alias("pos"),
     ).select(
-        "__rid",
         *cols,
+        "__w",
         (F.col("pos") / 64).cast("bigint").alias("word_idx"),
         F.pmod(F.col("pos"), F.lit(64)).cast("int").alias("bit"),
     )
     candidates = (
         exploded.join(F.broadcast(words), "word_idx")
         .filter(F.expr("(shiftright(word, bit) & 1) = 1"))
-        .groupBy("__rid", *cols)
+        .groupBy(*cols, "__w")
         .agg(F.count(F.lit(1)).alias("_k_hits"))
         .filter(F.col("_k_hits") == k)  # Bloom candidates (may have FPs)
-        .drop("_k_hits", "__rid")
+        .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__w"))))
+        .drop("_k_hits", "__w", "__i")
     )
     return candidates.join(
         build_keys, candidates[probe_key] == build_keys[build_key], "left_semi"

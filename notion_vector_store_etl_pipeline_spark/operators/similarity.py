@@ -666,8 +666,39 @@ def load_ivf_index_with_deltas(
     return _read_base_and_deltas(spark, path, delta_paths), c_ids, c_mat
 
 
+def _drop_and_dedup(
+    vectors: DataFrame,
+    drop_vec_ids: DataFrame | None,
+    dedup_rows: bool,
+) -> DataFrame:
+    """Shared fold-input hygiene for :func:`compact_ivf_index` /
+    :func:`rebuild_ivf_index` (the pipeline-level reclamation hooks,
+    VERDICT r10 #2): anti-join a delete set, then collapse physical
+    duplicates by ``vec_id``. The dedup is sound ONLY under the
+    composed pipeline's invariant that every live copy of a ``vec_id``
+    is byte-identical — copies arise solely from a document REVERT
+    physically re-adding chunks whose earlier copy was never reclaimed,
+    embeddings are a pure function of chunk content, and every retained
+    row was assigned under the manifest's current sidecar (in-process
+    folds are sequential; out-of-band rebuilds trip the writer-side
+    anchor re-validation) — so whichever copy survives, the bytes are
+    the same."""
+    if drop_vec_ids is not None:
+        vectors = vectors.join(
+            drop_vec_ids.select("vec_id").dropDuplicates(), "vec_id", "left_anti"
+        )
+    if dedup_rows:
+        vectors = vectors.dropDuplicates(["vec_id"])
+    return vectors
+
+
 def compact_ivf_index(
-    spark, base_path: str, delta_paths: list[str], out_path: str
+    spark,
+    base_path: str,
+    delta_paths: list[str],
+    out_path: str,
+    drop_vec_ids: DataFrame | None = None,
+    dedup_rows: bool = False,
 ) -> None:
     """Fold delta trees into the next stored-index VERSION: one
     ``list_id``-partitioned rewrite of base ∪ deltas plus a carried-over
@@ -677,8 +708,18 @@ def compact_ivf_index(
     ``compact_lsh_index``; the base version is never mutated). The
     sidecar is copied verbatim: compaction folds TREES, it never moves
     centroids, so a compacted index probes bit-identically to
-    base+deltas (pinned in tests/test_ann_recall.py)."""
-    vectors = _read_base_and_deltas(spark, base_path, delta_paths)
+    base+deltas (pinned in tests/test_ann_recall.py).
+
+    ``drop_vec_ids`` physically EXCLUDES a delete set from the folded
+    version — the reclamation hook for superseded document versions
+    (the reference deletes stale vector files outright,
+    ``Notion_openai_vector_etl.py:609-614``); ``dedup_rows`` collapses
+    byte-identical duplicate copies of a ``vec_id`` (see
+    :func:`_drop_and_dedup` for why that is sound). Both default off:
+    the generic streaming wing folds verbatim."""
+    vectors = _drop_and_dedup(
+        _read_base_and_deltas(spark, base_path, delta_paths), drop_vec_ids, dedup_rows
+    )
     vectors.repartition("list_id").write.mode("overwrite").partitionBy(
         "list_id"
     ).parquet(f"{out_path}/vectors")
@@ -735,6 +776,8 @@ def rebuild_ivf_index(
     delta_paths: list[str],
     out_path: str,
     sample_mod: int | None = None,
+    drop_vec_ids: DataFrame | None = None,
+    dedup_rows: bool = False,
 ) -> None:
     """Centroid REFRESH — the periodic index rebuild that
     :func:`append_ivf_delta` documents as the answer to distribution
@@ -762,7 +805,13 @@ def rebuild_ivf_index(
     the initial build, amortized over the rebuild cadence (drift is
     slow; the per-batch path stays :func:`append_ivf_delta`)."""
     vectors, _, _ = load_ivf_index_with_deltas(spark, base_path, delta_paths)
-    vecs = vectors.select("vec_id", "emb")
+    # delete-set exclusion + duplicate collapse BEFORE resampling: a
+    # reclaimed vector must not remain a centroid candidate, and a
+    # reverted doc's double-counted copy must not skew the carve
+    # (same hooks as compact_ivf_index — see _drop_and_dedup)
+    vecs = _drop_and_dedup(
+        vectors.select("vec_id", "emb"), drop_vec_ids, dedup_rows
+    )
     c_ids, c_mat = refresh_centroids(vecs, sample_mod)
     index = quantize_and_assign(
         vecs, c_ids, c_mat, topn=1, id_col="vec_id", emb_col="emb"

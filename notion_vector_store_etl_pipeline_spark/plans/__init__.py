@@ -58,66 +58,69 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # vintage first, then r4), recomputed each round from the
 # CORRECTNESS_r0*.json files.
 _PRIORITY = (
-    # (a) new in round 10 (6): the centroid-refresh rebuild probe and
-    # the IVF-blocked neardup family — never driver-sampled.
-    "knn_ivf_rebuilt",
-    "neardup_pairs_ivf_blocked",
-    "neardup_pairs_ivf_stored",
-    "neardup_components_ivf_blocked",
-    "neardup_probe_ivf_blocked",
-    "neardup_probe_ivf_stored",
-    # (b) oldest proof rows first (recomputed from CORRECTNESS_r0*.json
-    # at the start of r10): the 15 remaining round-6-vintage names.
-    "sample_deterministic",
-    "semdedup_cluster_prune",
-    "sort_nulls_ordering",
-    "state_merge_upsert",
-    "stratified_sample_per_group",
-    "text_token_stats",
-    "tfidf_top_terms",
-    "time_rollup_multi",
-    "token_count_bpe",
-    "tpch_q1_pricing_summary",
-    "unpivot_metrics",
-    "variant_extract_props",
-    "window_lag_lead",
-    "window_session_gap",
-    "window_tumbling_counts",
-    # (b) continued: 29 of the 49 round-7-vintage rows (alphabetical
-    # prefix; the remaining 20 — minhash_lsh_neardup through
-    # union_schema_evolution — lead the round-11 rotation). The window
-    # is EXACTLY 50 names (the driver's sample size, pinned in
-    # tests/test_fixture_canary.py), so every new registration bumps
-    # one vintage name into the next round's rotation.
-    "agg_approx_distinct",
-    "agg_distinct_counts",
-    "agg_group_sum",
-    "agg_rollup",
-    "anti_join_unchanged",
+    # (a) changed in round 11 (1): the Bloom pre-join was rebuilt
+    # around a deterministic dedup-and-reweight (the per-row
+    # monotonically_increasing_id gate was retry-unsafe, ADVICE r10).
     "bloom_prejoin_filter",
-    "chunk_explode",
-    "chunk_explode_udtf",
-    "chunk_explode_words",
-    "chunk_ids",
-    "classifier_score_linear",
-    "contamination_ngram_overlap",
-    "dedup_first_wins",
-    "domain_blocklist_filter",
-    "dq_expectations",
-    "embedding_norms",
-    "embedding_quantize_int8",
-    "graph_reachability_sql",
-    "hash_sha2",
-    "heavy_hitters_topk",
-    "hll_sketch_union",
-    "join_broadcast_dim",
-    "join_inner_equi",
-    "join_salted_skew",
-    "knn_ivf_approx",
-    "knn_ivf_quantized",
-    "knn_lsh_cosine",
-    "left_join_state",
-    "limit_pages",
+    # (b) the 14 round-10 review-changed queries whose newest driver
+    # proof predates their change (VERDICT r10 next-round #3) — my own
+    # sweeps proved the new versions; this puts driver rows on them.
+    "setop_except",
+    "stale_detect",
+    "simhash_neardup",
+    "simhash_buckets",
+    "ngram_jaccard_selfjoin",
+    "ngram_jaccard_prefixfilter",
+    "ngram_jaccard_prefixfilter_capped",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume",
+    "url_basename",
+    "knn_topk",
+    "group_normalize_pandas",
+    "multimodal_decode_stub",
+    "multimodal_decode_arrow",
+    # (c) oldest proof rows next (recomputed from CORRECTNESS_r0*.json
+    # at the start of r11): the 15 remaining round-7-vintage names not
+    # already listed above.
+    "minhash_lsh_neardup",
+    "minhash_neardup_components",
+    "mixture_rebalance_lang",
+    "needs_vector_flag",
+    "point_lookup",
+    "scan_union_seed",
+    "semi_join_filter",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "sort_topk",
+    "state_load",
+    "topk_per_group",
+    "tpch_q21_waiting_supplier",
+    "union_schema_evolution",
+    # (d) round-8-vintage fill (alphabetical prefix of the 44 r8 rows
+    # not already above; the remainder leads the round-12 rotation).
+    # The window is EXACTLY 50 names (the driver's sample size, pinned
+    # in tests/test_fixture_canary.py).
+    "agg_cube",
+    "agg_grouping_sets",
+    "array_hof_ops",
+    "dedup_embedding_cosine",
+    "hybrid_rrf_search",
+    "incremental_changed",
+    "interval_merge_islands",
+    "join_full_outer_coalesce",
+    "kmeans_assign",
+    "kmeans_update",
+    "knn_filtered",
+    "lateral_top_item",
+    "levenshtein_neardup_titles",
+    "map_explode_props",
+    "minhash_incremental_probe",
+    "neardup_cluster_survivors",
+    "outlier_mad_filter",
+    "parse_bool_int",
+    "pit_interval_lookup",
+    "project_coalesce",
 )
 
 _MODULES = (

@@ -136,6 +136,12 @@ class VectorStoreWriter(DataSourceWriter):
                 )
             else:
                 manifest["txns"].append(self.txn_id)
+        # record the record shape so an empty (or emptied) store still
+        # reads back as a TYPED frame — without it read_store would
+        # return a zero-column frame and any caller selecting expected
+        # columns would hit UNRESOLVED_COLUMN instead of zero rows
+        # (ADVICE r10)
+        manifest["fields"] = self.fields
         # atomic publish: readers switch to the new file set in one rename
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -179,7 +185,12 @@ def read_store(spark, path: str):
     reference reads only manifest-tracked vector files. A store that
     was never committed to (no manifest — e.g. a legitimate zero-row
     streaming run whose foreachBatch never fired) or whose committed
-    file set is empty reads as an EMPTY frame, not a crash."""
+    file set is empty reads as an EMPTY frame, not a crash. When the
+    manifest records the record shape (every commit does), the empty
+    frame carries those columns (string-typed — the finest JSONL
+    inference can promise with zero rows) so downstream ``.select``
+    gets zero rows, not UNRESOLVED_COLUMN; a store with NO manifest at
+    all has no schema to offer and reads as a zero-column empty frame."""
     try:
         with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
             manifest = json.load(fh)
@@ -187,7 +198,10 @@ def read_store(spark, path: str):
         manifest = {"files": {}}
     files = [os.path.join(path, name) for name in sorted(manifest["files"])]
     if not files:
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StringType, StructField, StructType
 
-        return spark.createDataFrame([], StructType([]))
+        schema = StructType(
+            [StructField(f, StringType()) for f in manifest.get("fields", [])]
+        )
+        return spark.createDataFrame([], schema)
     return spark.read.json(files)

@@ -84,9 +84,13 @@ def run_series(spark, root, corpus_path, lsh_path, ivf_path, n_batches, rows, **
             )
         pdf.to_parquet(src, index=False)
         t0 = time.perf_counter()
+        # update_index=False: this series isolates the SKIP-state read
+        # term; the r11 intra-stream dedup tail has its own cost shape
+        # (measured in the composed endurance smoke) and folding it in
+        # here would contaminate the state-compaction comparison
         q = streaming_ingest_etl(
             spark, src, corpus_path, lsh_path, ivf_path, out, ckpt,
-            page_size=rows, pages_per_batch=1, **kw,
+            page_size=rows, pages_per_batch=1, update_index=False, **kw,
         )
         q.processAllAvailable()
         q.stop()

