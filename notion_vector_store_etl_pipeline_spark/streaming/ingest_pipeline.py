@@ -674,6 +674,17 @@ def streaming_ingest_etl(
         prior = read_ingest_state(spark, out_dir, batch_id)
         todo = batch
         if prior is not None:
+            # scope the state view to THIS batch's doc ids first — a
+            # broadcast semi-join (the micro-batch is small by
+            # construction), so neither the latest-row group below nor
+            # the stale/revive explode ever shuffles the full state
+            # tree; the per-batch state cost is one filtered scan, not
+            # one state-wide exchange (at 100 TB the difference)
+            prior = prior.join(
+                F.broadcast(batch.select("doc_id").dropDuplicates()),
+                "doc_id",
+                "left_semi",
+            )
             # skip a doc only when its hash matches the doc's LATEST
             # state row (max batch_id; hash tie-breaks deterministically
             # — a doc_id appears at most once per batch) — the

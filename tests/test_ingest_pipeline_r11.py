@@ -180,14 +180,16 @@ def test_cross_batch_neardup_survives_fold_and_prune(
         .collect()
     }
     assert (10**6, -1) in flagged
-    # P1's clean row survives the fold in a corpus version the probe reads
+    # the flag really crossed the fold: P2 was processed in a batch
+    # ABOVE the watermark, so the probe found P1 only through the
+    # compacted index version + folded corpus (its batch dirs are gone)
     p2_b = (
         spark.read.parquet(f"{out}/flagged")
         .filter(F.col("batch_id") == 10**6)
         .select("ingest_batch")
         .head()[0]
     )
-    assert int(p2_b) > man["through_batch"] or man["through_batch"] >= 0
+    assert int(p2_b) > man["through_batch"] >= 0
 
 
 def _revert_lifecycle(spark, tmp_path, pipeline_fixture):
