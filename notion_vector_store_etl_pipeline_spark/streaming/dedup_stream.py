@@ -430,12 +430,28 @@ def compact_stream_state(
     folded = _read_prior_batches(
         spark,
         f"{out_dir}/clean",
-        ["doc_id", "text"],
+        ["doc_id", "text", "batch_id"],
         before_batch=through_batch + 1,
         after_batch=prev_through,
     )
     if folded is not None:
-        folded.write.mode("overwrite").parquet(f"{out_dir}/corpus_versions/v={k}")
+        # collapse to the LATEST text per doc within the window: the
+        # composed pipeline's clean tree holds one row per (re)process,
+        # so an updated doc would otherwise land in corpus_versions
+        # with BOTH texts and every later probe's verify universe would
+        # carry the sid twice — fanning candidate pairs across old/new
+        # text and flagging new docs against RETIRED content (r11
+        # review). For the wing's own feed (re-sends, same text) the
+        # collapse is a plain dedup. A doc edited across FOLD WINDOWS
+        # still has its older text in an earlier (immutable) version —
+        # that residual is documented at the flagship's tail-latest
+        # union, which is also where the current text wins on read.
+        (
+            folded.groupBy("doc_id")
+            .agg(F.max(F.struct("batch_id", "text"))["text"].alias("text"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/corpus_versions/v={k}")
+        )
     manifest = {
         "version": k,
         "index_path": None if tbl else idx_out,

@@ -115,10 +115,17 @@ def embedded_chunks(clean_docs: DataFrame, max_len: int = 400) -> DataFrame:
     """chunk -> embed: survivor docs to (vec_id, chunk id, doc_id,
     chunk_index, emb) rows. ``vec_id`` is the 64-bit hash of the
     deterministic chunk id (the reference's sha-derived per-chunk id,
-    ``:310-326``), the long key the IVF machinery indexes on."""
+    ``:310-326``) SALTED WITH doc_id, the long key the IVF machinery
+    indexes on. The doc_id salt keeps vector liveness per-document:
+    chunk ids are (source, content_hash, chunk_index) — two live docs
+    with identical source+text would otherwise share every vec_id, and
+    updating ONE of them would stale (and, at the next ann fold,
+    physically reclaim) the other's still-live vectors (r11 review).
+    Within one doc the id stays a pure content function, which is what
+    the revert/revive ordering relies on."""
     records = chunk_stage(clean_docs, max_len)
     return records.select(
-        F.xxhash64("id").alias("vec_id"),
+        F.xxhash64("id", "doc_id").alias("vec_id"),
         F.col("id").alias("chunk_id"),
         "doc_id",
         "chunk_index",
@@ -305,11 +312,21 @@ def _read_tree(
         )
     parts = []
     if man and man["version"] > 0 and fs.is_dir(f"{out_dir}/{tree}_versions"):
-        parts.append(
-            spark.read.parquet(f"{out_dir}/{tree}_versions")
-            .filter(F.col("v") <= man["version"])
-            .select(*cols)
-        )
+        ver = spark.read.parquet(f"{out_dir}/{tree}_versions")
+        missing = [c for c in cols if c not in ver.columns]
+        if missing:
+            # fail with the actual story, not UNRESOLVED_COLUMN: a
+            # pre-r11 fold dropped batch_id from the versions (the
+            # event ordering and latest-row skip now require it) — the
+            # folded rows carry no usable batch rank, so resuming on
+            # them silently cannot be correct (r11 review)
+            raise RuntimeError(
+                f"{out_dir}/{tree}_versions lacks column(s) {missing}: "
+                "folded by a pre-r11 compact_ingest_state, which did "
+                "not retain batch_id. Re-ingest into a fresh out_dir "
+                "(or migrate the folded versions) before resuming."
+            )
+        parts.append(ver.filter(F.col("v") <= man["version"]).select(*cols))
     if tail is not None:
         parts.append(tail)
     if not parts:
@@ -762,6 +779,11 @@ def streaming_ingest_etl(
         # per batch for)
         ann_man = read_compaction_manifest(f"{out_dir}/ann", spark)
         ivf_anchor = ann_man["index_path"] if ann_man else ivf_index_path
+        # intra_batch rides update_index: intra-stream dedup that
+        # caught a pair split ACROSS batches but let the same pair
+        # through when a page boundary happened to put both docs in
+        # ONE micro-batch would make coverage depend on pagination
+        # (r11 review) — the wing's intra stage closes exactly that
         staged = ingest_stage(
             spark,
             todo,
@@ -772,6 +794,7 @@ def streaming_ingest_etl(
             num_hashes,
             bands,
             max_len,
+            intra_batch=update_index,
             return_clean_buckets=update_index,
         )
         flagged, clean, chunks, assigned = staged[:4]

@@ -77,35 +77,50 @@ def build_feed(n_batches: int, rows: int, n_new: int, n_upd: int, n_rev: int):
     words = [f"tok{i}" for i in range(3000)]
     rows_out: list[tuple[int, str, str]] = []
     originals: dict[int, str] = {}
-    updated: list[int] = []  # docs rewritten, eligible for revert
+    updated: set[int] = set()  # docs rewritten, eligible for revert
     sent_by_batch: list[list[int]] = []
     next_id = 10_000_000
+    rows = n_new + n_upd + n_rev
     for b in range(n_batches):
+        batch_rows: list[tuple[int, str, str]] = []
         batch_ids = []
-        nn, nu, nr = n_new, n_upd, n_rev
+        # SNAPSHOT the revert pool before the update block mutates
+        # `updated`, and track this batch's picks: the pipeline (and
+        # the paginated source's page contract) assumes a doc_id
+        # appears at most once per micro-batch — an update and a revert
+        # of the SAME doc in one batch would contaminate every
+        # downstream number this smoke exists to measure (r11 review)
+        eligible_rev = sorted(updated)
+        chosen: set[int] = set()
         eligible_upd = [i for blk in sent_by_batch[:-1] for i in blk] if b >= 2 else []
-        if not eligible_upd:
-            nn, nu = nn + nu, 0
-        eligible_rev = updated
-        if not eligible_rev:
-            nn, nr = nn + nr, 0
-        for _ in range(nn):
+        if eligible_upd:
+            for d in rng.choice(eligible_upd, size=min(n_upd, len(eligible_upd)), replace=False):
+                batch_rows.append((int(d), synth_text(rng, words), "synth"))
+                updated.add(int(d))
+                chosen.add(int(d))
+        pool = [d for d in eligible_rev if d not in chosen]
+        if pool:
+            for d in rng.choice(pool, size=min(n_rev, len(pool)), replace=False):
+                batch_rows.append((int(d), originals[int(d)], "synth"))
+                updated.discard(int(d))
+        # fill the page to EXACTLY `rows` rows with brand-new docs: the
+        # paginated source slices fixed-size pages, so a short batch
+        # would shift every later page boundary off this builder's
+        # batch-major layout
+        while len(batch_rows) < rows:
             t = synth_text(rng, words)
-            rows_out.append((next_id, t, "synth"))
+            batch_rows.append((next_id, t, "synth"))
             originals[next_id] = t
             batch_ids.append(next_id)
             next_id += 1
-        if nu:
-            for d in rng.choice(eligible_upd, size=min(nu, len(eligible_upd)), replace=False):
-                rows_out.append((int(d), synth_text(rng, words), "synth"))
-                updated.append(int(d))
-        if nr:
-            picks = rng.choice(eligible_rev, size=min(nr, len(eligible_rev)), replace=False)
-            for d in picks:
-                rows_out.append((int(d), originals[int(d)], "synth"))
-            updated = [d for d in updated if d not in set(int(p) for p in picks)]
+        rows_out.extend(batch_rows)
         sent_by_batch.append(batch_ids)
-    return pd.DataFrame(rows_out, columns=["doc_id", "text", "source"]), originals
+    feed = pd.DataFrame(rows_out, columns=["doc_id", "text", "source"])
+    # hard assert of the page contract
+    for b in range(n_batches):
+        page = feed.iloc[b * rows: (b + 1) * rows]
+        assert len(page) == rows and page.doc_id.is_unique, f"batch {b} malformed"
+    return feed, originals
 
 
 def tree_bytes(root: str) -> int:

@@ -145,6 +145,59 @@ def test_cross_batch_neardup_flagged_and_twin_matches(
     assert (10**6 + 1, -1) in flagged2
 
 
+def test_same_batch_neardup_also_flagged(spark, tmp_path, pipeline_fixture):
+    """r11 review: intra-stream dedup must not depend on pagination —
+    the SAME pair arriving in ONE micro-batch flags too (intra_batch
+    rides update_index), first-wins by id."""
+    inc, corpus_path, lsh_path, ivf_path = pipeline_fixture
+    pair = pd.DataFrame(
+        {
+            "doc_id": [10**6, 10**6 + 1],
+            "text": [_planted("gentleness"), _planted("tenderness")],
+            "source": ["plant1", "plant2"],
+        }
+    )
+    feed = pd.concat([inc, pair], ignore_index=True)  # pair lands in the tail page
+    src = str(tmp_path / "incoming.parquet")
+    _write_source(feed, src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt,
+         page_size=len(feed), pages_per_batch=1)
+    n_batches = (
+        spark.read.parquet(f"{out}/clean").select("batch_id").distinct().count()
+    )
+    assert n_batches == 1, "fixture must land the pair in one micro-batch"
+    flagged = {
+        (r.batch_id, r.corpus_id)
+        for r in spark.read.parquet(f"{out}/flagged")
+        .select("batch_id", "corpus_id")
+        .collect()
+    }
+    assert (10**6 + 1, 10**6) in flagged
+    clean = {r.doc_id for r in spark.read.parquet(f"{out}/clean").collect()}
+    assert 10**6 in clean and 10**6 + 1 not in clean
+
+
+def test_vec_ids_are_per_document(spark):
+    """r11 review: two docs with IDENTICAL (source, text) must not
+    share vec_ids — shared ids would let one doc's update stale (and
+    physically reclaim) the other's still-live vectors."""
+    twins = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2], "text": [_P_BASE, _P_BASE], "source": ["s", "s"]}
+        )
+    )
+    per_doc = {
+        r.doc_id: r.vecs
+        for r in embedded_chunks(twins)
+        .groupBy("doc_id")
+        .agg(F.collect_set("vec_id").alias("vecs"))
+        .collect()
+    }
+    assert per_doc[1] and per_doc[2]
+    assert not (set(per_doc[1]) & set(per_doc[2]))
+
+
 def test_cross_batch_neardup_survives_fold_and_prune(
     spark, tmp_path, pipeline_fixture
 ):
