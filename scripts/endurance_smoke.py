@@ -7,32 +7,48 @@ the two product claims the per-feature smokes can't:
 
 1. per-batch wall-clock is FLAT over the series (no O(stream-age)
    term leaks through the composition of four manifests/watermarks);
-2. state/index footprint is BOUNDED (delta tails pruned to the fold
-   cadence, superseded index versions vacuumed to retain_versions,
-   the unconsumed stale/revive tails bounded by the ann fold cadence).
+2. state/index footprint is BOUNDED for the trees that claim a bound
+   (delta tails pruned to the fold cadence, superseded index versions
+   vacuumed to retain_versions, the unconsumed stale/revive tails
+   bounded by the ann fold cadence). Trees that grow by DESIGN —
+   clean/chunks/flagged (the stream's outputs) and the folded
+   state/event versions (history) — are reported separately; their
+   growth is the workload's, not a leak.
 
-Methodology (SCALE_SMOKE_R10 §7 rules): ONE streaming query over a
-pre-built feed (the paginated source pages it; every batch is exactly
-one page), per-batch times taken from Spark's own streaming progress
-(triggerExecution durationMs) — no per-sample query restart, so none
-of the restart harness's O(age) checkpoint-replay noise. The first
-WARM_BATCHES batches are excluded from drift baselines (session JIT,
-memory: jit-warmup-iterative-bench). Fold-boundary batches are
-reported as their own population — they PAY the fold; flatness is
-claimed for the non-boundary steady state, boundedness for the
-boundary cost itself.
+The run is split into TWO segments on one checkpoint (a mid-run
+restart, itself a recovery exercise): the bounded metrics are
+snapshotted at both segment ends, so boundedness is established by
+comparing two stream ages, not inferred from one terminal reading.
+Every claim is a hard GATE — the script exits nonzero listing each
+violated gate, so a background run's exit status is the verdict
+(r11 test review: a smoke that can only print cannot regress).
 
-Feed churn per 100-row batch: 85 brand-new docs, 10 UPDATES (rewrite
+Workload validity gates (same review): the synthetic 60-token texts
+from a 3000-word vocabulary cannot legitimately near-dup, so flagged
+must stay ZERO; every batch row must land clean (skip/flag leakage
+shows up as a clean-count mismatch); churn must actually exercise the
+A->B->A path (nonzero revive tail above the last fold watermark).
+
+Methodology (SCALE_SMOKE_R10 §7 rules): per-batch times come from
+Spark's own streaming progress (triggerExecution durationMs) — no
+per-sample query restart, so none of the restart harness's O(age)
+checkpoint-replay noise. The first WARM_BATCHES batches are excluded
+from drift baselines (session JIT, memory:
+jit-warmup-iterative-bench), as is the first batch of segment 2 (it
+pays the restart's source re-listing). Fold-boundary batches are
+their own population — they PAY the fold; flatness is claimed for the
+non-boundary steady state.
+
+Feed churn per 100-row batch: ~85 brand-new docs, 10 UPDATES (rewrite
 of a doc sent >=2 batches earlier), 5 REVERTS (a previously-updated
-doc returns to its original text — the ADVICE r10 A->B->A path, live
-at volume). Corpus + stored indexes are built from .scale/sf1
-documents (45k docs) so probe/assign run against realistic state.
+doc returns to its original text — ADVICE r10's A->B->A path, live at
+volume). Corpus + stored indexes are built from .scale/sf1 documents
+(45k docs) so probe/assign run against realistic state.
 
 Usage: python scripts/endurance_smoke.py [n_batches] [rows_per_batch]
 """
 
 from __future__ import annotations
-
 
 import os
 import sys
@@ -63,16 +79,21 @@ from notion_vector_store_etl_pipeline_spark.streaming.ingest_pipeline import (
 SF1_DOCS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         ".scale/sf1/documents.parquet")
 WARM_BATCHES = 20
+K = 10  # fold cadence for all three compactions
+REBUILD_EVERY = 5  # every 5th ann fold is a centroid rebuild
+RETAIN = 2  # index versions kept by the vacuum
+MAX_STEADY_DRIFT = 1.30
 
 
 def synth_text(rng: np.random.Generator, words: list[str]) -> str:
     return " ".join(rng.choice(words, size=60, replace=True))
 
 
-def build_feed(n_batches: int, rows: int, n_new: int, n_upd: int, n_rev: int):
-    """One DataFrame-able feed, batch-major row order. Returns
-    (pdf, originals) where originals maps doc_id -> first text (the
-    revert target)."""
+def build_feed(n_batches: int, n_new: int, n_upd: int, n_rev: int):
+    """One DataFrame-able feed, batch-major row order, EXACTLY
+    ``n_new+n_upd+n_rev`` rows per batch with unique doc_ids per batch
+    (the page contract). Returns (pdf, originals) where originals maps
+    doc_id -> first text (the revert target)."""
     rng = np.random.default_rng(7)
     words = [f"tok{i}" for i in range(3000)]
     rows_out: list[tuple[int, str, str]] = []
@@ -134,9 +155,66 @@ def tree_bytes(root: str) -> int:
     return total
 
 
+def _ann_stale_through(spark, out: str) -> int:
+    from notion_vector_store_etl_pipeline_spark.streaming.dedup_stream import (
+        read_compaction_manifest,
+    )
+
+    man = read_compaction_manifest(f"{out}/ann", spark)
+    return (man or {}).get("stale_through", -1)
+
+
+def bounded_snapshot(spark, out: str) -> dict[str, int]:
+    """The metrics the design CLAIMS are bounded, measured at one
+    stream age: uncompacted delta-dir counts (<= fold cadence + the
+    in-flight window), index versions kept (<= RETAIN), unconsumed
+    stale/revive event rows above the ann watermark."""
+    def _n(path):
+        return len(os.listdir(path)) if os.path.isdir(path) else 0
+
+    st = _ann_stale_through(spark, out)
+    stale_tail = read_stale_vectors(spark, out, 10**9, after_batch=st)
+    revive_tail = read_revived_vectors(spark, out, 10**9, after_batch=st)
+    return {
+        "lsh_delta_dirs": _n(f"{out}/index_delta"),
+        "ann_delta_dirs": _n(f"{out}/ann/delta"),
+        "state_tail_dirs": _n(f"{out}/state"),
+        "lsh_versions": _n(f"{out}/index_versions"),
+        "ann_versions": _n(f"{out}/ann/index_versions"),
+        "stale_tail_rows": 0 if stale_tail is None else stale_tail.count(),
+        "revive_tail_rows": 0 if revive_tail is None else revive_tail.count(),
+    }
+
+
+def run_segment(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, rows):
+    q = streaming_ingest_etl(
+        spark, src, corpus_path, lsh_path, ivf_path, out, ckpt,
+        page_size=rows, pages_per_batch=1,
+        compact_state_every=K, prune_state=True,
+        update_index=True,
+        compact_dedup_every=K, compact_dedup_prune=True, compact_dedup_retain=RETAIN,
+        compact_ann_every=K, compact_ann_prune=True, compact_ann_retain=RETAIN,
+        rebuild_ann_every=REBUILD_EVERY,
+    )
+    q.processAllAvailable()
+    prog = q.recentProgress  # StreamingQueryProgress objects
+    q.stop()
+    return {
+        int(p.batchId): (p.durationMs or {}).get("triggerExecution", 0) / 1000.0
+        for p in prog
+        if (p.numInputRows or 0) > 0
+    }
+
+
 def main() -> int:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    if n_batches < 2 * WARM_BATCHES + 2 * K:
+        raise SystemExit(
+            f"n_batches={n_batches} too short: need > {2 * WARM_BATCHES + 2 * K} "
+            f"(warm exclusion {WARM_BATCHES} + two fold windows) for a valid "
+            "drift measurement — nothing this run printed would be evidence"
+        )
     n_new, n_upd, n_rev = int(rows * 0.85), int(rows * 0.10), rows - int(rows * 0.85) - int(rows * 0.10)
 
     spark = get_spark()
@@ -162,47 +240,43 @@ def main() -> int:
     print(f"setup: corpus={corpus.count()} docs, indexes in {time.perf_counter()-t0:.1f}s",
           flush=True)
 
-    feed, _ = build_feed(n_batches, rows, n_new, n_upd, n_rev)
+    feed, _ = build_feed(n_batches, n_new, n_upd, n_rev)
     src = f"{base}/feed.parquet"
-    feed.to_parquet(src, index=False)
     out, ckpt = f"{base}/out", f"{base}/ckpt"
+    half = n_batches // 2
 
-    K = 10
+    # segment 1: first half of the feed, then snapshot at age `half`
+    feed.iloc[: half * rows].to_parquet(src, index=False)
     t0 = time.perf_counter()
-    q = streaming_ingest_etl(
-        spark, src, corpus_path, lsh_path, ivf_path, out, ckpt,
-        page_size=rows, pages_per_batch=1,
-        compact_state_every=K, prune_state=True,
-        update_index=True,
-        compact_dedup_every=K, compact_dedup_prune=True, compact_dedup_retain=2,
-        compact_ann_every=K, compact_ann_prune=True, compact_ann_retain=2,
-        rebuild_ann_every=5,
+    per_batch = run_segment(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, rows)
+    snap1 = bounded_snapshot(spark, out)
+    fp1 = {t: tree_bytes(f"{out}/{t}") for t in ("clean", "chunks", "ann")}
+    # segment 2: full feed on the SAME checkpoint (mid-run restart)
+    feed.to_parquet(src, index=False)
+    per_batch.update(
+        run_segment(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, rows)
     )
-    q.processAllAvailable()
-    prog = q.recentProgress  # StreamingQueryProgress objects
-    q.stop()
     wall = time.perf_counter() - t0
+    snap2 = bounded_snapshot(spark, out)
+    fp2 = {t: tree_bytes(f"{out}/{t}") for t in ("clean", "chunks", "ann")}
 
-    per_batch = {
-        int(p.batchId): (p.durationMs or {}).get("triggerExecution", 0) / 1000.0
-        for p in prog
-        if (p.numInputRows or 0) > 0
-    }
     ids = sorted(per_batch)
-    steady = [b for b in ids if b >= WARM_BATCHES and b % K != 0]
+    steady = [b for b in ids if b >= WARM_BATCHES and b % K != 0 and b != half]
     boundary = [b for b in ids if b >= WARM_BATCHES and b % K == 0]
-    rebuild = [b for b in boundary if (b // K) % 5 == 0]
+    rebuild = [b for b in boundary if (b // K) % REBUILD_EVERY == 0]
     plain_boundary = [b for b in boundary if b not in rebuild]
 
     def q50(xs):
         return float(np.median([per_batch[b] for b in xs])) if xs else float("nan")
 
-    half = steady[: len(steady) // 2], steady[len(steady) // 2:]
+    halves = steady[: len(steady) // 2], steady[len(steady) // 2:]
+    drift = q50(halves[1]) / q50(halves[0])
     print(f"\nbatches={len(ids)} wall={wall:.0f}s  rows/batch={rows} "
-          f"(new {n_new}/upd {n_upd}/rev {n_rev})  folds every {K}, rebuild every 5th fold")
-    print(f"steady-state (non-boundary, batch>={WARM_BATCHES}): "
-          f"p50 first-half {q50(half[0]):.2f}s vs second-half {q50(half[1]):.2f}s "
-          f"(drift x{q50(half[1])/q50(half[0]):.2f})")
+          f"(new {n_new}/upd {n_upd}/rev {n_rev})  folds every {K}, "
+          f"rebuild every {REBUILD_EVERY}th fold, restart at batch {half}")
+    print(f"steady-state (non-boundary, batch>={WARM_BATCHES}, restart batch excluded): "
+          f"p50 first-half {q50(halves[0]):.2f}s vs second-half {q50(halves[1]):.2f}s "
+          f"(drift x{drift:.2f})")
     for label, pop in (("plain fold boundaries", plain_boundary),
                        ("rebuild boundaries", rebuild)):
         if pop:
@@ -210,46 +284,55 @@ def main() -> int:
             print(f"{label}: n={len(pop)} p50 {q50(pop):.2f}s "
                   f"first-half {q50(h[0]):.2f}s vs second-half {q50(h[1]):.2f}s")
 
-    # ---- footprint boundedness ----
-    fp = {t: tree_bytes(f"{out}/{t}") for t in
-          ("state", "state_versions", "stale", "stale_versions", "revive",
-           "revive_versions", "index_delta", "index_versions", "corpus_versions",
-           "ann", "clean", "chunks", "flagged")}
-    print("\nfootprint (MB):",
-          {k: round(v / 1e6, 1) for k, v in sorted(fp.items())})
-    n_idx_versions = len([d for d in os.listdir(f"{out}/index_versions")]) \
-        if os.path.isdir(f"{out}/index_versions") else 0
-    n_ann_versions = len(os.listdir(f"{out}/ann/index_versions")) \
-        if os.path.isdir(f"{out}/ann/index_versions") else 0
-    n_delta_dirs = len(os.listdir(f"{out}/index_delta")) if os.path.isdir(f"{out}/index_delta") else 0
-    n_ann_delta_dirs = len(os.listdir(f"{out}/ann/delta")) if os.path.isdir(f"{out}/ann/delta") else 0
-    stale_tail = read_stale_vectors(spark, out, 10**9,
-                                    after_batch=_ann_stale_through(spark, out))
-    revive_tail = read_revived_vectors(spark, out, 10**9,
-                                       after_batch=_ann_stale_through(spark, out))
-    print(f"index versions kept: lsh={n_idx_versions} ann={n_ann_versions} "
-          f"(retain=2); uncompacted delta dirs: lsh={n_delta_dirs} "
-          f"ann={n_ann_delta_dirs} (cadence {K})")
-    print(f"unconsumed event tail: stale={0 if stale_tail is None else stale_tail.count()} "
-          f"revive={0 if revive_tail is None else revive_tail.count()} rows "
-          f"(bounded by the ann fold window)")
+    print(f"\nbounded metrics at age {half} vs {n_batches}:")
+    for k in snap1:
+        print(f"  {k}: {snap1[k]} -> {snap2[k]}")
+    print("output trees (grow with the workload by design, MB at the two ages):",
+          {t: (round(fp1[t] / 1e6, 1), round(fp2[t] / 1e6, 1)) for t in fp1})
 
-    # served view sanity: loads, and serves exactly one row per vec_id
+    flagged_rows = (
+        spark.read.parquet(f"{out}/flagged").count()
+        if os.path.isdir(f"{out}/flagged") else 0
+    )
+    clean_rows = spark.read.parquet(f"{out}/clean").count()
     index, _, _ = load_pipeline_ann_state(spark, out, ivf_path, 10**9)
     n_rows = index.count()
     n_ids = index.select("vec_id").distinct().count()
-    print(f"served ANN view: {n_rows} rows, {n_ids} distinct vec_ids "
-          f"({'OK' if n_rows == n_ids else 'DUPLICATES!'})")
+    print(f"workload: flagged={flagged_rows} clean={clean_rows} "
+          f"(expect 0 / {n_batches * rows}); served ANN view {n_rows} rows / "
+          f"{n_ids} distinct vec_ids")
+
+    # ---- hard gates: the claims, each falsifiable ----
+    delta_bound = K + 2  # fold cadence + the in-flight window
+    event_bound = (K + 1) * rows  # events from <= K+1 unconsumed batches
+    failures = []
+    if not (drift == drift and drift <= MAX_STEADY_DRIFT):
+        failures.append(f"steady-state drift x{drift:.2f} > x{MAX_STEADY_DRIFT}")
+    for s, age in ((snap1, half), (snap2, n_batches)):
+        for key, bound in (
+            ("lsh_delta_dirs", delta_bound), ("ann_delta_dirs", delta_bound),
+            ("state_tail_dirs", delta_bound),
+            ("lsh_versions", RETAIN), ("ann_versions", RETAIN),
+            ("stale_tail_rows", event_bound), ("revive_tail_rows", event_bound),
+        ):
+            if s[key] > bound:
+                failures.append(f"{key}={s[key]} at age {age} exceeds bound {bound}")
+    if flagged_rows != 0:
+        failures.append(f"flagged={flagged_rows}: synthetic texts cannot near-dup")
+    if clean_rows != n_batches * rows:
+        failures.append(f"clean={clean_rows} != {n_batches * rows}: rows leaked")
+    if snap2["revive_tail_rows"] + snap1["revive_tail_rows"] == 0:
+        failures.append("revive tail empty at both ages: the A->B->A churn "
+                        "path was not exercised — workload invalid")
+    if n_rows != n_ids:
+        failures.append(f"served view has duplicates: {n_rows} rows / {n_ids} ids")
+    if failures:
+        print("\nFAIL:")
+        for f in failures:
+            print(f"  - {f}")
+        return 1
+    print("\nall gates green")
     return 0
-
-
-def _ann_stale_through(spark, out: str) -> int:
-    from notion_vector_store_etl_pipeline_spark.streaming.dedup_stream import (
-        read_compaction_manifest,
-    )
-
-    man = read_compaction_manifest(f"{out}/ann", spark)
-    return (man or {}).get("stale_through", -1)
 
 
 if __name__ == "__main__":

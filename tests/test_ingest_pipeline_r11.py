@@ -105,17 +105,23 @@ def test_cross_batch_neardup_flagged_and_twin_matches(
     # the flagged doc contributed nothing to the index
     p2_vecs = _doc_vecs(spark, _planted("tenderness"), "plant2", 10**6)
     assert not (p2_vecs & {v for v, _ in _served(spark, out, ivf_path)})
-    # they really were processed in different micro-batches
+    # the PAIR really spanned micro-batches: P1 cleaned in batch 0, P2
+    # FLAGGED in a later batch (without pinning P2's ingest_batch a
+    # feed tweak could land both in batch 0 and this test would
+    # silently duplicate the same-batch pin below — r11 test review)
     p1_b = (
         spark.read.parquet(f"{out}/clean")
         .filter(F.col("doc_id") == -1)
         .select("batch_id")
         .head()[0]
     )
-    n_batches = (
-        spark.read.parquet(f"{out}/clean").select("batch_id").distinct().count()
+    p2_flag_b = (
+        spark.read.parquet(f"{out}/flagged")
+        .filter(F.col("batch_id") == 10**6)
+        .select("ingest_batch")
+        .head()[0]
     )
-    assert n_batches >= 2 and p1_b == 0
+    assert p1_b == 0 and int(p2_flag_b) > 0
 
     # the one-pass twin composes the same semantics
     b_flagged_df, b_clean_df, _, _ = batch_ingest_etl(
@@ -306,21 +312,30 @@ def test_revert_doc_served_with_original_vectors(spark, tmp_path, pipeline_fixtu
         r.vec_id for r in read_revived_vectors(spark, out, 10**9).collect()
     }
     assert va <= revived
-    served = _served(spark, out, ivf_path)
-    served_ids = {v for v, _ in served}
+    index, _, _ = load_pipeline_ann_state(spark, out, ivf_path, 10**9)
+    served_ids = {r.vec_id for r in index.select("vec_id").collect()}
     assert va <= served_ids, "reverted version-A vectors not served"
     assert not (vb & served_ids), "superseded version-B vectors still served"
-    # exactly one served row per revived vec_id (the re-add created a
-    # second physical copy; the serve path collapses it)
-    assert len(served) == len(served_ids)
+    # exactly one served ROW per revived vec_id — counted on the
+    # DataFrame, not a collected set (a set would collapse the very
+    # duplicate this pins: the revert physically re-added chunks whose
+    # first copy is still in an earlier delta)
+    assert index.count() == index.select("vec_id").distinct().count()
 
 
 def test_pipeline_ann_compaction_reclaims_stale(spark, tmp_path, pipeline_fixture):
-    """VERDICT r10 #2: the fold consumes the stale/revive events — the
-    folded version physically contains ZERO dead vec_ids and exactly
-    one copy of each revived one, the consumed events are retired
-    behind stale_through, the served view is identical before/after,
-    and a replayed fold is a no-op."""
+    """VERDICT r10 #2, pinned with TWO folds so the watermark does
+    real work (a single fold through the final batch would leave a
+    trivially-empty tail — r11 test review). Fold 1 stops BEFORE the
+    revert batch: only the update-era events are consumed, so version
+    A's vectors (staled, not yet revived inside the window) are
+    physically reclaimed from v1 while version B's (staled only in the
+    unconsumed tail) remain physical and are subtracted at serve time
+    — the tail above the watermark is asserted NON-empty, proving the
+    retirement filter keys on stale_through rather than being vacuous.
+    Fold 2 consumes the revert batch: B reclaimed, A's revived copy
+    kept exactly once, tail now empty. The served view is identical
+    across both folds and a replayed fold is a no-op."""
     out, ckpt, ivf_path, va, vb, x = _revert_lifecycle(
         spark, tmp_path, pipeline_fixture
     )
@@ -330,26 +345,54 @@ def test_pipeline_ann_compaction_reclaims_stale(spark, tmp_path, pipeline_fixtur
 
     served_before = _served(spark, out, ivf_path)
     last = latest_committed_batch(ckpt, spark)
-    assert last >= 1
-    man = compact_pipeline_ann_state(
-        spark, out, through_batch=last, base_index_path=ivf_path
+    # the revert's reprocess batch: doc x's newest clean row
+    r = (
+        spark.read.parquet(f"{out}/clean")
+        .filter(F.col("doc_id") == x)
+        .agg(F.max("batch_id"))
+        .head()[0]
     )
-    assert man["version"] == 1 and man["stale_through"] == last
+    assert 1 <= r <= last
+
+    man1 = compact_pipeline_ann_state(
+        spark, out, through_batch=r - 1, base_index_path=ivf_path
+    )
+    assert man1["version"] == 1 and man1["stale_through"] == r - 1
     assert _served(spark, out, ivf_path) == served_before
+    v1_ids = {
+        row.vec_id
+        for row in spark.read.parquet(f"{out}/ann/index_versions/v1/vectors")
+        .select("vec_id")
+        .collect()
+    }
+    assert not (va & v1_ids), "update-era dead vectors not reclaimed"
+    assert vb <= v1_ids, "tail-staled vectors must stay physical until consumed"
+    stale_tail = read_stale_vectors(spark, out, 10**9, after_batch=r - 1)
+    revive_tail = read_revived_vectors(spark, out, 10**9, after_batch=r - 1)
+    tail_stale_ids = {row.vec_id for row in stale_tail.collect()}
+    assert vb <= tail_stale_ids
+    # va's stale event (the update batch) is BELOW the watermark and
+    # must be filtered out — the direct proof the retirement filter
+    # keys on stale_through
+    assert not (va & tail_stale_ids)
+    assert va <= {row.vec_id for row in revive_tail.collect()}
 
-    folded = spark.read.parquet(f"{out}/ann/index_versions/v1/vectors")
-    folded_ids = [r.vec_id for r in folded.select("vec_id").collect()]
-    assert not (vb & set(folded_ids)), "dead vectors not reclaimed from the fold"
-    assert va <= set(folded_ids)
-    assert len(folded_ids) == len(set(folded_ids)), "duplicate physical copies"
-
-    # consumed events are retired: nothing above the watermark
-    stale_tail = read_stale_vectors(spark, out, 10**9, after_batch=last)
-    assert stale_tail is None or stale_tail.isEmpty()
-
-    # replayed fold: idempotent no-op
     man2 = compact_pipeline_ann_state(
         spark, out, through_batch=last, base_index_path=ivf_path
     )
-    assert man2 == man
+    assert man2["version"] == 2 and man2["stale_through"] == last
+    assert _served(spark, out, ivf_path) == served_before
+    v2 = spark.read.parquet(f"{out}/ann/index_versions/v2/vectors")
+    v2_ids = [row.vec_id for row in v2.select("vec_id").collect()]
+    assert not (vb & set(v2_ids)), "dead vectors not reclaimed from the fold"
+    assert va <= set(v2_ids)
+    assert len(v2_ids) == len(set(v2_ids)), "duplicate physical copies"
+    tail2 = read_stale_vectors(spark, out, 10**9, after_batch=last)
+    assert tail2 is None or tail2.isEmpty()
+
+    # replayed fold: idempotent no-op
+    man3 = compact_pipeline_ann_state(
+        spark, out, through_batch=last, base_index_path=ivf_path
+    )
+    assert man3 == man2
     assert _served(spark, out, ivf_path) == served_before
