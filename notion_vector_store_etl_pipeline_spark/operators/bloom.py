@@ -3,16 +3,16 @@
 Spark 4.1 does not expose ``bloom_filter_agg``/``might_contain`` as SQL
 functions, so the sketch is composed from JVM expressions: build-side
 keys hash to ``k`` bit positions (xxhash64 with distinct seeds), the
-positions bit_or-aggregate into (word_idx, word) rows — a distributed
-Bloom BUILD whose result is a sketch of ``m_bits/8`` bytes. The sketch
-is then collapsed to one dense array LITERAL and each probe row tests
-its own ``k`` bits row-locally — a pure filter expression, so the probe
-side is pruned with NO shuffle, NO explode, and NO join before the
-final exact semi-join that removes false positives. The point at
-100 TB: probe rows drop inside the scan's own stage — the
+positions bit_or-aggregate into (word_idx, word) rows, and the sparse
+word set densifies into ONE one-row ``array<bigint>`` that BROADCASTS.
+Each probe row tests its own ``k`` bits row-locally (O(1)
+``element_at`` on the broadcast array + shiftright) — the probe side
+is pruned with NO shuffle, NO explode, and NO row-expanding join before
+the final exact semi-join that removes false positives. The point at
+100 TB: probe rows drop inside their own scan stage — the
 runtime-filter pattern, explicit and testable.
 
-Determinism (ADVICE r10): every column is a pure function of row
+Determinism (ADVICE r10): every probe column is a pure function of row
 values — a shuffle-fetch failure or speculative retry reproduces
 identical rows. (An earlier shape tagged probe rows with
 ``monotonically_increasing_id`` to survive duplicates through an
@@ -21,12 +21,22 @@ the partially-aggregated shuffle data and silently drop them. The
 row-local form needs no row identity at all, and duplicates are
 trivially preserved by a filter.)
 
-Sketch-size envelope: the literal costs ``m_bits/8`` bytes in every
-task closure (128 KiB at the default 2^20 bits — the same bytes the
-old broadcast join shipped). ``m_bits`` above ``_MAX_LITERAL_BITS``
-(2^26 = 8 MiB) is refused loudly: at that scale the false-positive
-budget calls for engine-side runtime filters or a partitioned-probe
-design, not a plan-embedded literal.
+Two rejected shapes, for the record (r11 review + bench): the
+explode→join→regroup form shuffles probe-side rows it exists to avoid
+shuffling (and the dedup-and-reweight variant shuffles the ENTIRE
+probe input before the filter); a driver-collected ``F.lit(dense)``
+literal materializes as ``array(lit, lit, …)`` — a 16k-node expression
+tree that costs seconds of analysis/codegen per query (measured 0.4 →
+9.2 s at sf0.1), and a one-row MAP broadcast probes each bit through
+a linear scan of all map entries (ArrayBasedMapData has no hash
+lookup — measured ~3x slower end to end). The one-row dense-array
+crossJoin(broadcast) ships m_bits/8 bytes once, adds zero
+expression-tree weight, and probes in O(1).
+
+Sketch-size envelope: ``m_bits`` above ``_MAX_SKETCH_BITS`` (2^26 —
+a broadcast row in the tens of MB) is refused loudly: at that scale
+the false-positive budget calls for engine-side runtime filters or a
+partitioned-probe design, not a broadcast sketch.
 """
 
 from __future__ import annotations
@@ -34,8 +44,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# largest sketch worth embedding as a plan literal (8 MiB dense)
-_MAX_LITERAL_BITS = 1 << 26
+# largest sketch worth shipping as one broadcast row
+_MAX_SKETCH_BITS = 1 << 26
+
+_WORDS_COL = "__bloom_words"
 
 
 def _positions(key: Column, m_bits: int, k: int) -> Column:
@@ -56,17 +68,36 @@ def bloom_build(build_keys: DataFrame, key: str, m_bits: int = 1 << 20, k: int =
     )
 
 
-def bloom_might_contain(
-    key: Column, dense_words: list[int], m_bits: int, k: int = 3
-) -> Column:
-    """Row-local Bloom membership test: TRUE iff all ``k`` bit probes
-    of ``key`` are set in the dense word array (one array literal —
-    ``element_at`` + shift per probe, no join)."""
-    arr = F.lit(dense_words)
+def bloom_words_row(build_keys: DataFrame, key: str, m_bits: int = 1 << 20, k: int = 3) -> DataFrame:
+    """The sketch as ONE row holding the DENSE ``array<bigint>`` of
+    words — the broadcastable form :func:`bloom_might_contain` probes
+    with O(1) ``element_at`` per bit test. The sparse (word_idx, word)
+    aggregate is collected to the driver (bounded at m_bits/8 bytes by
+    the :func:`bloom_prejoin_semi` guard — the ``collect_vectors``
+    economics) and densified in Python: a one-row LocalRelation with a
+    real array VALUE, not a 16k-node ``array(lit, lit, …)`` expression
+    (seconds of analysis/codegen — the rejected-literal note in the
+    module docstring), and not a one-row map (whose per-probe lookup
+    is a LINEAR scan of all entries — measured ~3x slower end to end).
+    An empty build side gives an all-zero array: every probe test is
+    then false, correctly."""
+    spark = build_keys.sparkSession
+    dense = [0] * ((m_bits + 63) // 64)
+    for r in bloom_build(build_keys, key, m_bits, k).collect():
+        dense[int(r["word_idx"])] = int(r["word"])
+    return spark.createDataFrame([(dense,)], f"{_WORDS_COL}: array<bigint>")
+
+
+def bloom_might_contain(key: Column, m_bits: int, k: int = 3) -> Column:
+    """Row-local Bloom membership test against the broadcast dense
+    words array (``crossJoin(broadcast(bloom_words_row(...)))``
+    first): TRUE iff all ``k`` bit probes of ``key`` are set. The
+    1-based ``element_at`` index is in range by construction
+    (pos < m_bits), so ANSI mode cannot abort."""
     checks = []
     for i in range(k):
         pos = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
-        word = F.element_at(arr, ((pos / 64).cast("int") + F.lit(1)))
+        word = F.element_at(F.col(_WORDS_COL), (pos / 64).cast("int") + F.lit(1))
         # F.shiftright only takes a PYTHON int for the shift amount;
         # the per-row bit offset needs the SQL function via
         # call_function, which accepts a Column
@@ -94,24 +125,18 @@ def bloom_prejoin_semi(
     row-local Bloom pre-filter (module docstring) dropping probe rows
     inside their own scan stage before the semi-join's shuffle or
     broadcast. Duplicate probe rows pass through untouched — the
-    pre-filter is a plain ``filter``, so semi-join multiplicity
-    semantics are preserved by construction."""
-    if m_bits > _MAX_LITERAL_BITS:
+    pre-filter is a plain ``filter`` over a one-row broadcast, so
+    semi-join multiplicity semantics are preserved by construction."""
+    if m_bits > _MAX_SKETCH_BITS:
         raise ValueError(
-            f"m_bits={m_bits} exceeds the plan-literal envelope "
-            f"({_MAX_LITERAL_BITS}); a sketch this large should be an "
-            "engine-side runtime filter, not an embedded literal"
+            f"m_bits={m_bits} exceeds the broadcast-sketch envelope "
+            f"({_MAX_SKETCH_BITS}); a sketch this large should be an "
+            "engine-side runtime filter, not a broadcast row"
         )
-    words = bloom_build(build_keys, build_key, m_bits, k)
-    # collect the sparse sketch into a dense array: m_bits/8 bytes by
-    # design — the same volume the broadcast-join form shipped to every
-    # executor, now shipped once in the task closure instead of through
-    # a join build side
-    dense = [0] * ((m_bits + 63) // 64)
-    for r in words.collect():
-        dense[int(r["word_idx"])] = int(r["word"])
-    candidates = probe.filter(
-        bloom_might_contain(F.col(probe_key), dense, m_bits, k)
+    candidates = (
+        probe.crossJoin(F.broadcast(bloom_words_row(build_keys, build_key, m_bits, k)))
+        .filter(bloom_might_contain(F.col(probe_key), m_bits, k))
+        .drop(_WORDS_COL)
     )
     return candidates.join(
         build_keys, candidates[probe_key] == build_keys[build_key], "left_semi"

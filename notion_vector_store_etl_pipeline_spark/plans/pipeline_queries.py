@@ -312,15 +312,18 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "built distributed from pure JVM expressions: the filtered build "
     "side's keys hash to k=3 bit positions (xxhash64 with distinct "
     "seeds), positions bit_or-aggregate into (word_idx, word) rows — a "
-    "partitioned Bloom build whose result is a few-KB table. The probe "
-    "side explodes its own k positions, broadcast-joins the words, and "
-    "keeps only rows with all k bits set — dropping non-matching rows "
-    "BEFORE the join shuffle; a final semi-join removes the false "
-    "positives, so the result is exact. At 100 TB this is the "
-    "difference between shuffling the full probe table and shuffling "
-    "the fraction that survives — what AQE's runtime filters do, made "
-    "explicit and testable (Spark 4.1 does not expose bloom_filter_agg "
-    "in SQL, so the sketch is composed from shiftleft/bit_or/pmod).",
+    "distributed Bloom build densified into one m/8-byte array shipped "
+    "as a ONE-ROW broadcast. Each probe row then tests its own k bits "
+    "ROW-LOCALLY (O(1) element_at + shiftright in the probe's filter) "
+    "— no explode, no row-expanding join, no shuffle before the final "
+    "exact semi-join that removes false positives; every probe column "
+    "is a pure row function, so speculative/retried stages reproduce "
+    "identical rows. At 100 TB "
+    "this is the difference between shuffling the full probe table and "
+    "shuffling the fraction that survives — what AQE's runtime filters "
+    "do, made explicit and testable (Spark 4.1 does not expose "
+    "bloom_filter_agg in SQL, so the sketch is composed from "
+    "shiftleft/bit_or/pmod).",
 )
 def bloom_prejoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from notion_vector_store_etl_pipeline_spark.operators.bloom import (

@@ -218,11 +218,12 @@ def compact_ingest_state(
     the exact unbounded term `_read_prior_batches` was built to kill
     (a month of 1k batches/day = a 30k-dir enumeration per batch).
 
-    The fold is ADDITIVE (each version holds only its window's
-    (doc_id, content_hash) rows, deduplicated within the window): the
-    skip stage consumes the state as an anti-join SET, so duplicate
-    pairs across versions are harmless and no cross-version merge is
-    needed — the same constant-scan-branch design as the dedup wing's
+    The fold is ADDITIVE (each version holds only its window's rows,
+    deduplicated within the window): the skip stage reduces the union
+    to the LATEST row per doc by batch_id and the event readers reduce
+    by max-batch rank, so duplicate rows across versions are harmless
+    and no cross-version merge is needed — the same
+    constant-scan-branch design as the dedup wing's
     ``corpus_versions``. Idempotent below the watermark; a crash
     between the version write and the publish leaves an orphan
     ``v=<k>`` dir the read path's ``v <= version`` filter hides and a
