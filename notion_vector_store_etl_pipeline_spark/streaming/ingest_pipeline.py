@@ -202,11 +202,69 @@ def _state_manifest_path(out_dir: str) -> str:
     return f"{out_dir}/state/_compaction/manifest.json"
 
 
+def vacuum_consumed_events(spark: SparkSession, out_dir: str) -> dict:
+    """Physically delete stale/revive event VERSIONS whose every row is
+    at or below the ann manifest's ``stale_through`` watermark — those
+    events were CONSUMED by :func:`compact_pipeline_ann_state` (their
+    effect is physical in the folded index), so the rows are pure
+    history that would otherwise accumulate for the life of the corpus
+    (the r11 "watermark-retired but not physically vacuumed" residual).
+
+    Version windows are batch-ordered and monotone in ``v``, so the
+    scan walks contiguously from a per-tree vacuum watermark
+    (``state/_compaction/events_vacuum.json``) and stops at the first
+    version holding any unconsumed row — each call probes only
+    versions added since the last vacuum, never O(stream age). A
+    version dir missing (a prior crashed vacuum's completed delete, or
+    a window in which the tree had no events) just advances the
+    watermark. When a tree's versions root is left empty it is removed
+    so readers keep their fast is_dir miss. Crash-safe: the watermark
+    is written AFTER the deletes; a replay re-issues idempotent
+    deletes, never skips one. Returns the watermark dict.
+
+    Tail dirs below the STATE fold watermark are reclaimed by
+    ``compact_ingest_state(prune_state=True)`` as before; with
+    ``vacuum_events=True`` that fold also excludes already-consumed
+    rows from the versions it writes, so fold + prune + this vacuum
+    together leave no physical copy of a consumed event."""
+    fs = state_fs(spark, out_dir)
+    man = read_json(fs, _state_manifest_path(out_dir))
+    if not man:
+        return {}
+    ann_man = read_compaction_manifest(f"{out_dir}/ann", spark)
+    consumed = (ann_man or {}).get("stale_through", -1)
+    wm_path = f"{out_dir}/state/_compaction/events_vacuum.json"
+    wm = read_json(fs, wm_path) or {}
+    changed = False
+    for tree in ("stale", "revive"):
+        root = f"{out_dir}/{tree}_versions"
+        through = wm.get(tree, 0)
+        for j in range(through + 1, man["version"] + 1):
+            vdir = f"{root}/v={j}"
+            if fs.is_dir(vdir):
+                mx = spark.read.parquet(vdir).agg(F.max("batch_id")).head()[0]
+                if mx is not None and mx > consumed:
+                    break
+                fs.delete_recursive(vdir)
+            through = j
+        if through != wm.get(tree, 0):
+            wm[tree] = through
+            changed = True
+        if fs.is_dir(root) and not any(
+            n.startswith("v=") for n in fs.list_names(root)
+        ):
+            fs.delete_recursive(root)
+    if changed:
+        write_json_atomic(fs, wm_path, wm)
+    return wm
+
+
 def compact_ingest_state(
     spark: SparkSession,
     out_dir: str,
     through_batch: int,
     prune_state: bool = False,
+    vacuum_events: bool = False,
 ) -> dict:
     """Fold the ``state``/``stale``/``revive`` batch tails (N <=
     ``through_batch``) into the next ``{tree}_versions/v=<k>``
@@ -229,7 +287,15 @@ def compact_ingest_state(
     ``v=<k>`` dir the read path's ``v <= version`` filter hides and a
     retried compaction overwrites. ``prune_state=True`` deletes the
     folded batch dirs after the publish (their rows live in the
-    version)."""
+    version). ``vacuum_events=True`` additionally (a) excludes
+    stale/revive rows already CONSUMED by the ann fold (at or below the
+    ann manifest's ``stale_through`` — their effect is physical in the
+    index version) from the event versions this fold writes, and (b)
+    runs :func:`vacuum_consumed_events` after the publish — with
+    ``prune_state`` too, no physical copy of a consumed event survives.
+    A retried fold under an advanced ann watermark rewrites ``v=<k>``
+    with fewer consumed rows, all of which every reader already
+    filters below ``stale_through``."""
     from notion_vector_store_etl_pipeline_spark.operators.statefs import batch_dirs
 
     fs = state_fs(spark, out_dir)
@@ -239,7 +305,15 @@ def compact_ingest_state(
     }
     prev = man["through_batch"]
     if through_batch <= prev:
+        if vacuum_events:
+            # the ann watermark advances on its own cadence — consumed
+            # versions stay vacuumable even when this fold is a no-op
+            vacuum_consumed_events(spark, out_dir)
         return man
+    consumed = -1
+    if vacuum_events:
+        ann_man = read_compaction_manifest(f"{out_dir}/ann", spark)
+        consumed = (ann_man or {}).get("stale_through", -1)
     k = man["version"] + 1
     folded_dirs = []
     # batch_id (the partition column of the per-batch dirs) is KEPT as
@@ -255,13 +329,16 @@ def compact_ingest_state(
         dirs = batch_dirs(fs, root, prev, through_batch + 1)
         if not dirs:
             continue
-        (
+        window = (
             spark.read.option("basePath", root)
             .parquet(*dirs)
             .select(*cols)
             .dropDuplicates()
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/{tree}_versions/v={k}")
+        )
+        if tree != "state" and consumed >= 0:
+            window = window.filter(F.col("batch_id") > consumed)
+        window.write.mode("overwrite").parquet(
+            f"{out_dir}/{tree}_versions/v={k}"
         )
         folded_dirs.extend(dirs)
     if not folded_dirs:
@@ -271,6 +348,8 @@ def compact_ingest_state(
     if prune_state:
         for d in folded_dirs:
             fs.delete_recursive(d)
+    if vacuum_events:
+        vacuum_consumed_events(spark, out_dir)
     return man
 
 
@@ -387,7 +466,10 @@ def read_stale_vectors(
     versions' vec_ids stale at N. Liveness is decided against the
     newest revive event (:func:`read_revived_vectors`); pass
     ``after_batch`` = the ann manifest's ``stale_through`` to see only
-    events not yet consumed by physical reclamation."""
+    events not yet consumed by physical reclamation. History below the
+    watermark may be physically absent once
+    :func:`vacuum_consumed_events` has run — a default ``after_batch``
+    read is a view of the SURVIVING events, not an audit log."""
     return _read_events(spark, out_dir, "stale", before_batch, after_batch)
 
 
@@ -503,9 +585,9 @@ def compact_pipeline_ann_state(
     ``through_batch``) — doing so is still CORRECT (events stay
     unconsumed and the serve path keeps subtracting them), just
     unreclaimed. Event rows at or below ``stale_through`` remain in
-    the (folded) stale/revive trees as history; they are filtered by
-    watermark, and physically vacuuming them is deliberate future
-    work, not a serve-path cost."""
+    the (folded) stale/revive trees as filtered-by-watermark history
+    until a state fold with ``vacuum_events=True`` (or a direct
+    :func:`vacuum_consumed_events` call) physically deletes them."""
     from notion_vector_store_etl_pipeline_spark.operators.statefs import (
         batch_dirs as _batch_dirs,
     )
@@ -596,10 +678,12 @@ def streaming_ingest_etl(
     max_len: int = 400,
     compact_state_every: int | None = None,
     prune_state: bool = False,
+    vacuum_events: bool = False,
     update_index: bool = True,
     compact_dedup_every: int | None = None,
     compact_dedup_prune: bool = False,
     compact_dedup_retain: int | None = None,
+    compact_dedup_major_every: int | None = None,
     compact_ann_every: int | None = None,
     compact_ann_prune: bool = False,
     compact_ann_retain: int | None = None,
@@ -621,10 +705,14 @@ def streaming_ingest_etl(
     Compaction knobs, each an independent cadence over its own
     manifest: ``compact_state_every=K`` folds the skip-state and
     stale/revive tails (:func:`compact_ingest_state`; ``prune_state``
-    deletes folded batch dirs); ``compact_dedup_every=K`` folds the
+    deletes folded batch dirs; ``vacuum_events`` physically deletes
+    event rows/versions the ann fold already consumed —
+    :func:`vacuum_consumed_events`); ``compact_dedup_every=K`` folds the
     LSH deltas + clean docs through the dedup wing's
     :func:`~streaming.dedup_stream.compact_stream_state` (prune/retain
-    via ``compact_dedup_prune``/``compact_dedup_retain``);
+    via ``compact_dedup_prune``/``compact_dedup_retain``;
+    ``compact_dedup_major_every=M`` upgrades every M-th dedup fold to
+    the MAJOR corpus-rewrite + index-rebuild fold);
     ``compact_ann_every=K`` folds the ann deltas AND physically
     reclaims dead vectors (:func:`compact_pipeline_ann_state`;
     ``rebuild_ann_every=R`` upgrades every R-th ann fold to a centroid
@@ -650,7 +738,11 @@ def streaming_ingest_etl(
         at_boundary = lambda every: every and batch_id > 0 and batch_id % every == 0  # noqa: E731
         if at_boundary(compact_state_every):
             compact_ingest_state(
-                spark, out_dir, through_batch=batch_id - 1, prune_state=prune_state
+                spark,
+                out_dir,
+                through_batch=batch_id - 1,
+                prune_state=prune_state,
+                vacuum_events=vacuum_events,
             )
         dedup_man = None
         if update_index:
@@ -664,6 +756,14 @@ def streaming_ingest_etl(
                     base_corpus_path=corpus_path,
                     prune_deltas=compact_dedup_prune,
                     retain_versions=compact_dedup_retain,
+                    major=bool(
+                        compact_dedup_major_every
+                        and (batch_id // compact_dedup_every)
+                        % compact_dedup_major_every
+                        == 0
+                    ),
+                    num_hashes=num_hashes,
+                    bands=bands,
                 )
             else:
                 dedup_man = read_compaction_manifest(out_dir, spark)
@@ -752,13 +852,13 @@ def streaming_ingest_etl(
                 # clean rows in several batches, and the verify
                 # universe wants one (current) text per sid. The
                 # anti-join is a broadcast filter on the big side — no
-                # corpus shuffle. Residual, stated honestly: a doc
-                # edited across FOLD windows still has its old text in
-                # an earlier corpus_version (same exposure as the
-                # dedup wing); candidates it generates verify against
-                # whichever text row they matched, so the worst case
-                # is a flag against retired content, never a missed
-                # true pair against current content.
+                # corpus shuffle. A doc edited across FOLD windows is
+                # handled one level down: compact_stream_state records
+                # its id in the superseded sidecar and
+                # _load_anchor_corpus resolves latest-wins, so the
+                # verify universe carries exactly one (current) text
+                # per sid (r11b — closed the flag-against-retired-text
+                # residual).
                 tail_latest = prior_clean.groupBy("doc_id").agg(
                     F.max(F.struct("batch_id", "text"))["text"].alias("text")
                 )
