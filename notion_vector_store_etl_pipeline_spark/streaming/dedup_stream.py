@@ -132,6 +132,28 @@ def _read_prior_batches(
     return spark.read.option("basePath", path).parquet(*dirs).select(*columns)
 
 
+def _latest_per_doc(tail: DataFrame) -> DataFrame:
+    """Collapse (doc_id, text, batch_id) rows to the newest text per
+    doc — batch-ordered; a doc appears at most once per batch, so the
+    struct max is deterministic. The one latest-wins collapse every
+    fold and tail union shares (r11b review #4: five hand-copied
+    variants would let a future tie-break change diverge them)."""
+    return tail.groupBy("doc_id").agg(
+        F.max(F.struct("batch_id", "text"))["text"].alias("text")
+    )
+
+
+def _merge_latest_tail(docs: DataFrame, tail: DataFrame) -> DataFrame:
+    """``docs`` with every doc present in ``tail`` replaced by its
+    newest tail text: collapse the tail per doc, anti-join the big side
+    on the tail's churn-sized id set (a broadcast filter — no corpus
+    shuffle), union the collapsed tail back."""
+    latest = _latest_per_doc(tail)
+    return docs.join(
+        latest.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(latest)
+
+
 def probe_batch(
     batch: DataFrame,
     corpus_docs: DataFrame,
@@ -436,6 +458,22 @@ def compact_stream_state(
         # would have no schema to infer (ADVICE r9 #2). A MAJOR fold
         # proceeds regardless: its job is the rewrite, not the window.
         return man
+    # the manifest records the stream's signature params (whoever folds
+    # first is authoritative — the wing passes its own); a MAJOR fold
+    # validates against them before rebuilding, because a mismatched
+    # rebuild (checkable swaps the bucket hash; num_hashes/bands change
+    # every bucket value) would produce an index whose buckets match NO
+    # probe signature — every near-dup of a folded doc silently sails
+    # through (r11b review #2)
+    signature = (man or {}).get("signature") or [num_hashes, bands, checkable]
+    if major and signature != [num_hashes, bands, checkable]:
+        raise ValueError(
+            f"major fold called with signature params (num_hashes, bands, "
+            f"checkable) = {[num_hashes, bands, checkable]} but the "
+            f"manifest records {signature} — a rebuild under different "
+            "params yields an index no probe signature can hit; pass the "
+            "stream's own params"
+        )
     k = (man["version"] + 1) if man else 1
     idx_out = f"{out_dir}/index_versions/v{k}"
     tbl = f"{bucketed_table}_v{k}" if bucketed_table else None
@@ -452,12 +490,7 @@ def compact_stream_state(
             after_batch=prev_through,
         )
         if window is not None:
-            tail_latest = window.groupBy("doc_id").agg(
-                F.max(F.struct("batch_id", "text"))["text"].alias("text")
-            )
-            cur = cur.join(
-                tail_latest.select("doc_id"), "doc_id", "left_anti"
-            ).unionByName(tail_latest)
+            cur = _merge_latest_tail(cur, window)
         # one materialization feeds the corpus rewrite AND the index
         # rebuild (the signature pass would otherwise replay the whole
         # resolve-union per consumer)
@@ -487,16 +520,20 @@ def compact_stream_state(
             "corpus_base": man["corpus_base"] if man else base_corpus_path,
             "through_batch": through_batch,
             "corpus_floor": k,
+            "signature": signature,
         }
         _write_manifest(out_dir, manifest, spark)
         if prune_deltas:
             for d in delta_dirs:
                 fs.delete_recursive(d)
         vacuum_retired_corpus(spark, out_dir, k)
-        if retain_versions is not None:
-            vacuum_index_versions(
-                spark, out_dir, k, retain_versions, bucketed_table=bucketed_table
-            )
+        # index versions below the floor are vacuumed UNCONDITIONALLY
+        # (retention margin 1, overriding retain_versions): their
+        # corpus was just deleted above, so rolling back to them would
+        # probe an index whose sids have no verify text — a major fold
+        # is an epoch boundary, not a point on the rollback margin
+        # (r11b review #3)
+        vacuum_index_versions(spark, out_dir, k, 1, bucketed_table=bucketed_table)
         return manifest
     compact_lsh_index(
         spark,
@@ -528,11 +565,8 @@ def compact_stream_state(
         # text and flagging new docs against RETIRED content (r11
         # review). For the wing's own feed (re-sends, same text) the
         # collapse is a plain dedup.
-        (
-            folded.groupBy("doc_id")
-            .agg(F.max(F.struct("batch_id", "text"))["text"].alias("text"))
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/corpus_versions/v={k}")
+        _latest_per_doc(folded).write.mode("overwrite").parquet(
+            f"{out_dir}/corpus_versions/v={k}"
         )
         # superseded sidecar (r11b — closes the cross-WINDOW residual):
         # a doc folded into v=k that already exists at a lower
@@ -577,6 +611,10 @@ def compact_stream_state(
         "through_batch": through_batch,
         # a prior MAJOR fold's floor survives minor folds unchanged
         "corpus_floor": (man or {}).get("corpus_floor", 0),
+        # recorded for major-fold validation; an existing record wins
+        # (minor folds never recompute signatures, so their own args
+        # must not overwrite the stream's)
+        "signature": signature,
     }
     _write_manifest(out_dir, manifest, spark)
     if prune_deltas:
@@ -871,14 +909,8 @@ def streaming_dedup_ingest(
                 # it through as clean) would otherwise sit in the
                 # verify universe with both texts, and a new near-dup
                 # of the RETIRED text could flag against content the
-                # corpus no longer serves. Broadcast anti-join on the
-                # tail's churn-sized id set — no corpus shuffle.
-                tail_latest = prior_clean.groupBy("doc_id").agg(
-                    F.max(F.struct("batch_id", "text"))["text"].alias("text")
-                )
-                docs = docs.join(
-                    tail_latest.select("doc_id"), "doc_id", "left_anti"
-                ).unionByName(tail_latest)
+                # corpus no longer serves.
+                docs = _merge_latest_tail(docs, prior_clean)
         probed = probe_batch(
             batch,
             docs,

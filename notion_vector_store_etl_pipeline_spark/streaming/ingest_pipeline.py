@@ -100,6 +100,7 @@ from notion_vector_store_etl_pipeline_spark.sources.paginated import (
 from notion_vector_store_etl_pipeline_spark.streaming.dedup_stream import (
     _load_anchor_corpus,
     _load_anchor_index,
+    _merge_latest_tail,
     _read_prior_batches,
     _write_manifest,
     compact_stream_state,
@@ -235,21 +236,42 @@ def vacuum_consumed_events(spark: SparkSession, out_dir: str) -> dict:
     consumed = (ann_man or {}).get("stale_through", -1)
     wm_path = f"{out_dir}/state/_compaction/events_vacuum.json"
     wm = read_json(fs, wm_path) or {}
+    if consumed < 0:
+        # no ann fold has ever consumed anything — nothing can be
+        # vacuumable, so don't pay a per-call parquet scan (r11b
+        # review #5: without this, every state-fold boundary of a
+        # vacuum_events stream with no ann cadence launched two jobs
+        # that could never delete)
+        return wm
     changed = False
     for tree in ("stale", "revive"):
         root = f"{out_dir}/{tree}_versions"
         through = wm.get(tree, 0)
+        head = wm.get(f"{tree}_head")  # [version, max_batch] cache
         for j in range(through + 1, man["version"] + 1):
             vdir = f"{root}/v={j}"
             if fs.is_dir(vdir):
+                if head and head[0] == j and head[1] > consumed:
+                    # the blocking version's max batch is cached from a
+                    # prior walk and still unconsumed — skip the scan.
+                    # A retried fold can only REWRITE v=j with fewer
+                    # consumed rows (max never grows), so the cache is
+                    # an upper bound: it may defer a delete one call,
+                    # never delete early.
+                    break
                 mx = spark.read.parquet(vdir).agg(F.max("batch_id")).head()[0]
                 if mx is not None and mx > consumed:
+                    if head != [j, mx]:
+                        wm[f"{tree}_head"] = [j, mx]
+                        changed = True
                     break
                 fs.delete_recursive(vdir)
             through = j
         if through != wm.get(tree, 0):
             wm[tree] = through
             changed = True
+            if wm.get(f"{tree}_head") and wm[f"{tree}_head"][0] <= through:
+                del wm[f"{tree}_head"]
         if fs.is_dir(root) and not any(
             n.startswith("v=") for n in fs.list_names(root)
         ):
@@ -342,6 +364,12 @@ def compact_ingest_state(
         )
         folded_dirs.extend(dirs)
     if not folded_dirs:
+        if vacuum_events:
+            # an idle feed advances through_batch without folding
+            # anything — consumed versions must still vacuum here, or
+            # they linger exactly while nothing else is happening
+            # (r11b review #1)
+            vacuum_consumed_events(spark, out_dir)
         return man
     man = {"version": k, "through_batch": through_batch}
     write_json_atomic(fs, _state_manifest_path(out_dir), man)
@@ -859,12 +887,7 @@ def streaming_ingest_etl(
                 # verify universe carries exactly one (current) text
                 # per sid (r11b — closed the flag-against-retired-text
                 # residual).
-                tail_latest = prior_clean.groupBy("doc_id").agg(
-                    F.max(F.struct("batch_id", "text"))["text"].alias("text")
-                )
-                corpus_docs = corpus_docs.join(
-                    tail_latest.select("doc_id"), "doc_id", "left_anti"
-                ).unionByName(tail_latest)
+                corpus_docs = _merge_latest_tail(corpus_docs, prior_clean)
         else:
             if lsh_index_table:
                 lsh_index = load_lsh_index_bucketed(spark, lsh_index_table)

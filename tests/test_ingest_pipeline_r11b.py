@@ -110,12 +110,15 @@ def test_vacuum_consumed_events_bounded_history(
     assert _served(spark, out, ivf_path) == served_before
 
     # phase 2: ann fold consumes everything; vacuum deletes the event
-    # versions outright (no fold progress needed — the no-op path)
+    # versions outright. through_batch ADVANCES over an idle window
+    # (no batch dirs exist above `last`) — the exact path that used to
+    # skip the vacuum behind the empty-fold early return (r11b review
+    # #1: an idle feed left consumed versions lingering indefinitely)
     compact_pipeline_ann_state(
         spark, out, through_batch=last, base_index_path=ivf_path
     )
     compact_ingest_state(
-        spark, out, through_batch=last, prune_state=True, vacuum_events=True
+        spark, out, through_batch=last + 3, prune_state=True, vacuum_events=True
     )
     assert not os.path.isdir(f"{out}/stale_versions")
     assert not os.path.isdir(f"{out}/revive_versions")
@@ -437,6 +440,12 @@ def test_major_fold_rewrites_corpus_rebuilds_index_and_vacuums(
     man3 = fold(2, major=True)  # v=3 rewrite, floor
     assert man3["version"] == 3 and man3["corpus_floor"] == 3
     assert man3["through_batch"] == 2
+    # below-floor INDEX versions are retired with their corpus: their
+    # sids would have no verify text, so they are not a rollback margin
+    idx_vdirs = sorted(
+        d for d in os.listdir(f"{out}/index_versions") if d.startswith("v")
+    )
+    assert idx_vdirs == ["v3"]
 
     # physical state: only the floor version remains, sidecar gone,
     # retired text A nowhere on disk
@@ -498,6 +507,12 @@ def test_major_fold_rewrites_corpus_rebuilds_index_and_vacuums(
         for r in _load_anchor_corpus(spark, man4, out).collect()
     }
     assert final == set({**base_docs, -5: text_b, -6: text_e2}.items())
+
+    # a major rebuild under signature params different from the
+    # manifest's record must refuse loudly — a mismatched rebuild
+    # yields an index no probe signature can hit (silent dedup loss)
+    with pytest.raises(ValueError, match="signature"):
+        fold(4, major=True, checkable=True)
 
 
 def test_major_fold_stream_knob_matches_uncompacted_twin(spark, tmp_path):
