@@ -2,8 +2,12 @@
 long `streaming_ingest_etl` run with EVERYTHING on — skip-state
 compaction+prune, intra-stream dedup with LSH fold+prune+vacuum, stale
 retirement with physical ANN reclamation, periodic centroid rebuild,
-version vacuum — under realistic churn (updates AND reverts), checking
-the two product claims the per-feature smokes can't:
+version vacuum, and (r11b) consumed-event vacuum (`vacuum_events`) +
+periodic MAJOR dedup folds (`compact_dedup_major_every`: corpus
+rewritten latest-per-doc to a floor version, LSH index rebuilt from it,
+below-floor versions + superseded sidecar vacuumed) — under realistic
+churn (updates AND reverts), checking the two product claims the
+per-feature smokes can't:
 
 1. per-batch wall-clock is FLAT over the series (no O(stream-age)
    term leaks through the composition of four manifests/watermarks);
@@ -46,6 +50,7 @@ volume). Corpus + stored indexes are built from .scale/sf1 documents
 (45k docs) so probe/assign run against realistic state.
 
 Usage: python scripts/endurance_smoke.py [n_batches] [rows_per_batch]
+       [major_every]   (every Nth dedup fold is MAJOR; default 10)
 """
 
 from __future__ import annotations
@@ -83,6 +88,11 @@ K = 10  # fold cadence for all three compactions
 REBUILD_EVERY = 5  # every 5th ann fold is a centroid rebuild
 RETAIN = 2  # index versions kept by the vacuum
 MAX_STEADY_DRIFT = 1.30
+# r11b additions also on: vacuum_events (consumed stale/revive events
+# physically deleted at state folds) and every MAJOR_EVERY-th dedup
+# fold a MAJOR corpus rewrite + LSH rebuild (corpus_floor epoch);
+# overridable as argv[3] so short validation runs still hit majors
+MAJOR_EVERY = 10
 
 
 def synth_text(rng: np.random.Generator, words: list[str]) -> str:
@@ -168,7 +178,9 @@ def bounded_snapshot(spark, out: str) -> dict[str, int]:
     """The metrics the design CLAIMS are bounded, measured at one
     stream age: uncompacted delta-dir counts (<= fold cadence + the
     in-flight window), index versions kept (<= RETAIN), unconsumed
-    stale/revive event rows above the ann watermark."""
+    stale/revive event rows above the ann watermark, surviving event
+    VERSION dirs (vacuumed once consumed — r11b), corpus versions +
+    superseded-sidecar versions (reset by each MAJOR fold — r11b)."""
     def _n(path):
         return len(os.listdir(path)) if os.path.isdir(path) else 0
 
@@ -183,16 +195,23 @@ def bounded_snapshot(spark, out: str) -> dict[str, int]:
         "ann_versions": _n(f"{out}/ann/index_versions"),
         "stale_tail_rows": 0 if stale_tail is None else stale_tail.count(),
         "revive_tail_rows": 0 if revive_tail is None else revive_tail.count(),
+        "stale_version_dirs": _n(f"{out}/stale_versions"),
+        "revive_version_dirs": _n(f"{out}/revive_versions"),
+        "corpus_version_dirs": _n(f"{out}/corpus_versions"),
+        "superseded_version_dirs": _n(f"{out}/superseded_versions"),
     }
 
 
-def run_segment(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, rows):
+def run_segment(
+    spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, rows, major_every
+):
     q = streaming_ingest_etl(
         spark, src, corpus_path, lsh_path, ivf_path, out, ckpt,
         page_size=rows, pages_per_batch=1,
-        compact_state_every=K, prune_state=True,
+        compact_state_every=K, prune_state=True, vacuum_events=True,
         update_index=True,
         compact_dedup_every=K, compact_dedup_prune=True, compact_dedup_retain=RETAIN,
+        compact_dedup_major_every=major_every,
         compact_ann_every=K, compact_ann_prune=True, compact_ann_retain=RETAIN,
         rebuild_ann_every=REBUILD_EVERY,
     )
@@ -209,6 +228,7 @@ def run_segment(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, rows):
 def main() -> int:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    major_every = int(sys.argv[3]) if len(sys.argv) > 3 else MAJOR_EVERY
     if n_batches < 2 * WARM_BATCHES + 2 * K:
         raise SystemExit(
             f"n_batches={n_batches} too short: need > {2 * WARM_BATCHES + 2 * K} "
@@ -248,13 +268,17 @@ def main() -> int:
     # segment 1: first half of the feed, then snapshot at age `half`
     feed.iloc[: half * rows].to_parquet(src, index=False)
     t0 = time.perf_counter()
-    per_batch = run_segment(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, rows)
+    per_batch = run_segment(
+        spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, rows, major_every
+    )
     snap1 = bounded_snapshot(spark, out)
     fp1 = {t: tree_bytes(f"{out}/{t}") for t in ("clean", "chunks", "ann")}
     # segment 2: full feed on the SAME checkpoint (mid-run restart)
     feed.to_parquet(src, index=False)
     per_batch.update(
-        run_segment(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, rows)
+        run_segment(
+            spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, rows, major_every
+        )
     )
     wall = time.perf_counter() - t0
     snap2 = bounded_snapshot(spark, out)
@@ -263,8 +287,12 @@ def main() -> int:
     ids = sorted(per_batch)
     steady = [b for b in ids if b >= WARM_BATCHES and b % K != 0 and b != half]
     boundary = [b for b in ids if b >= WARM_BATCHES and b % K == 0]
-    rebuild = [b for b in boundary if (b // K) % REBUILD_EVERY == 0]
-    plain_boundary = [b for b in boundary if b not in rebuild]
+    major = [b for b in boundary if (b // K) % major_every == 0]
+    rebuild = [
+        b for b in boundary
+        if (b // K) % REBUILD_EVERY == 0 and b not in major
+    ]
+    plain_boundary = [b for b in boundary if b not in rebuild and b not in major]
 
     def q50(xs):
         return float(np.median([per_batch[b] for b in xs])) if xs else float("nan")
@@ -278,7 +306,8 @@ def main() -> int:
           f"p50 first-half {q50(halves[0]):.2f}s vs second-half {q50(halves[1]):.2f}s "
           f"(drift x{drift:.2f})")
     for label, pop in (("plain fold boundaries", plain_boundary),
-                       ("rebuild boundaries", rebuild)):
+                       ("rebuild boundaries", rebuild),
+                       ("MAJOR fold boundaries", major)):
         if pop:
             h = pop[: len(pop) // 2], pop[len(pop) // 2:]
             print(f"{label}: n={len(pop)} p50 {q50(pop):.2f}s "
@@ -314,9 +343,26 @@ def main() -> int:
             ("state_tail_dirs", delta_bound),
             ("lsh_versions", RETAIN), ("ann_versions", RETAIN),
             ("stale_tail_rows", event_bound), ("revive_tail_rows", event_bound),
+            # consumed event versions vacuum at state folds: at most the
+            # last fold's version + one lag window survives (r11b)
+            ("stale_version_dirs", 2), ("revive_version_dirs", 2),
+            # each MAJOR fold resets corpus versions + sidecar to the
+            # floor; between majors, one minor version per fold (r11b)
+            ("corpus_version_dirs", major_every + 1),
+            ("superseded_version_dirs", major_every + 1),
         ):
             if s[key] > bound:
                 failures.append(f"{key}={s[key]} at age {age} exceeds bound {bound}")
+    if major:
+        from notion_vector_store_etl_pipeline_spark.streaming.dedup_stream import (
+            read_compaction_manifest,
+        )
+
+        floor = (read_compaction_manifest(out, spark) or {}).get("corpus_floor", 0)
+        if not floor:
+            failures.append(
+                f"major boundaries ran ({major}) but no corpus_floor published"
+            )
     if flagged_rows != 0:
         failures.append(f"flagged={flagged_rows}: synthetic texts cannot near-dup")
     if clean_rows != n_batches * rows:
