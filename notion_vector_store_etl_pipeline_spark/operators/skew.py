@@ -10,12 +10,35 @@ Design: replicate the small/dim side `salt_buckets`-fold with an
 exploded salt column; scatter the fact side by `pmod(hash(key), n)`;
 join on (key, salt). The shuffle key becomes (key, salt) so a hot key
 spreads over n reducers.
+
+The spreader MUST be deterministic per row content (`xxhash64` over the
+row's natural columns), never `monotonically_increasing_id` /
+`rand`: on a shuffle-fetch failure or speculative retry Spark recomputes
+only the lost map tasks, and a nondeterministic salt re-scatters the
+recomputed rows across different (key, salt) reducers than the original
+attempt used — the classic repartition-nondeterminism hazard that
+double-counts or drops rows (the same class of bug fixed in
+operators/bloom.py's `__rid` pipeline). Content hashing is retry-stable
+by construction: a recomputed row carries the same bytes, so it lands in
+the same bucket. Degenerate caveat: byte-identical duplicate rows share
+a bucket, so the spread of a hot key comes from its payload diversity —
+for fully-identical rows pre-aggregate a count first.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _content_salt(columns: list[str], salt_buckets: int) -> Column:
+    """Deterministic per-row salt: xxhash64 over every natural column.
+
+    Retry-safe (same bytes → same bucket on recompute); no arithmetic
+    overflow risk under ANSI mode (xxhash64 wraps internally, unlike a
+    raw `hash + id` BIGINT addition).
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in columns]), F.lit(salt_buckets))
 
 
 def salted_join(
@@ -27,19 +50,10 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi join resilient to a skewed fact-side key distribution."""
-    # any deterministic spreader works: the dim side is replicated over
-    # every salt value, so the fact row's bucket never changes the result
-    # the row id goes INTO the hash, not added after it: xxhash64 never
-    # overflows, while `hash + id` is an unguarded BIGINT addition that
-    # ANSI mode (Spark 4 default) turns into a job-killing
-    # ARITHMETIC_OVERFLOW once the id is large enough
-    fact_salted = fact.withColumn(
-        "__salt_f",
-        F.pmod(
-            F.xxhash64(F.col(fact_key), F.monotonically_increasing_id()),
-            F.lit(salt_buckets),
-        ),
-    )
+    # any deterministic spreader works for correctness here (the dim side
+    # is replicated over every salt value) — content hash keeps the
+    # scatter stable under task retry too, see module docstring
+    fact_salted = fact.withColumn("__salt_f", _content_salt(fact.columns, salt_buckets))
     dim_replicated = dim.withColumn(
         "__salt_d",
         F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt_buckets - 1).cast("long"))),
@@ -56,8 +70,9 @@ def salted_count(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
     """Two-phase count for a skewed grouping key: pre-aggregate on
     (key, salt), then merge — the hot key's rows hit `salt_buckets`
     reducers in phase 1 instead of one."""
-    salted = df.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
-    )
+    # deterministic content salt: phase-1 partitioning is (key, salt), so a
+    # retry-recomputed map task must re-assign every row to the SAME salt or
+    # the merge double-counts/loses rows (module docstring)
+    salted = df.withColumn("__salt", _content_salt(df.columns, salt_buckets))
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__partial"))
     return partial.groupBy(key).agg(F.sum("__partial").cast("bigint").alias("n_rows"))

@@ -7,6 +7,9 @@ and graph_pagerank's persists being release_cache()-able.
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from notion_vector_store_etl_pipeline_spark.functions import strings as S
@@ -120,3 +123,97 @@ def test_group_normalize_single_member_group_is_null_not_nan(spark, tmp_path):
             assert got[vid] is None
         else:
             assert abs(got[vid] - want[vid]) < 1e-9, (vid, got[vid], want[vid])
+
+
+def test_salt_assignment_is_content_deterministic(spark):
+    """The skew spreader must assign the same bucket to the same row
+    bytes across independent evaluations (no cache): a salt derived
+    from monotonically_increasing_id / rand can re-scatter rows when a
+    lost map task is recomputed, double-counting or dropping rows in
+    salted_count's (key, salt) phase-1 shuffle (VERDICT r11 finding)."""
+    from notion_vector_store_etl_pipeline_spark.operators.skew import _content_salt
+
+    df = spark.createDataFrame(
+        [(i % 3, f"payload-{i}") for i in range(200)], "k: long, v: string"
+    ).withColumn("__salt", _content_salt(["k", "v"], 16))
+    a = {(r["k"], r["v"]): r["__salt"] for r in df.collect()}
+    b = {(r["k"], r["v"]): r["__salt"] for r in df.collect()}  # fresh action, no cache
+    assert a == b
+    # the spreader actually spreads a hot key over many buckets
+    assert len({s for (k, _v), s in a.items() if k == 0}) > 4
+
+
+def test_salted_count_matches_plain_groupby(spark):
+    from notion_vector_store_etl_pipeline_spark.operators.skew import salted_count
+
+    df = spark.createDataFrame(
+        [(i % 3 if i < 900 else 99, f"p{i}") for i in range(1000)],
+        "k: long, v: string",
+    )
+    got = {r.k: r.n_rows for r in salted_count(df, "k").collect()}
+    exp = {r.k: r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert got == exp
+
+
+# Retry-replay pin (VERDICT r11 #1): a transiently-failing upstream stage
+# forces Spark to recompute map tasks that carry the salt assignment; the
+# deterministic content salt must reproduce the exact unsalted results.
+# Runs in its own JVM: local[4, 2] enables task retries (the shared test
+# session's default local master fails the job on first task failure).
+_SALT_RETRY_SCRIPT = """
+import os, sys
+from pyspark.sql import SparkSession, functions as F
+from notion_vector_store_etl_pipeline_spark.operators.skew import salted_count, salted_join
+
+marker_dir = sys.argv[1]
+spark = (SparkSession.builder.master("local[4, 2]").appName("salt-retry-test")
+         .config("spark.sql.shuffle.partitions", "8").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+def flaky(it):
+    from pyspark import TaskContext
+    ctx = TaskContext.get()
+    marker = os.path.join(marker_dir, f"{ctx.stageId()}_p{ctx.partitionId()}")
+    if not os.path.exists(marker):
+        open(marker, "w").close()
+        raise RuntimeError("transient failure on first attempt")
+    for pdf in it:
+        yield pdf
+
+# skewed fact: key 0 dominates
+rows = [(i % 3 if i < 900 else 99, i) for i in range(1000)]
+fact = spark.createDataFrame(rows, "k: long, v: long").repartition(4)
+flaky_fact = fact.mapInPandas(flaky, fact.schema)
+
+got = {r.k: r.n_rows for r in salted_count(flaky_fact, "k").collect()}
+exp = {0: 300, 1: 300, 2: 300, 99: 100}
+assert got == exp, (got, exp)
+
+dim = spark.createDataFrame([(0, "x"), (99, "y")], "dk: long, name: string")
+j = salted_join(flaky_fact, dim, "k", "dk").select("k", "v", "name")
+got_j = sorted(map(tuple, j.collect()))
+exp_j = sorted(map(tuple, fact.join(dim, fact.k == dim.dk)
+                   .select("k", "v", "name").collect()))
+assert got_j == exp_j, (len(got_j), len(exp_j))
+assert len(os.listdir(marker_dir)) > 0  # failures actually happened
+print("SALT_RETRY_OK", len(got_j))
+spark.stop()
+"""
+
+
+@pytest.mark.slow
+def test_salted_ops_survive_task_retry(tmp_path):
+    import subprocess
+    import sys
+
+    marker_dir = str(tmp_path / "attempts")
+    os.makedirs(marker_dir, exist_ok=True)
+    proc = subprocess.run(
+        [sys.executable, "-c", _SALT_RETRY_SCRIPT, marker_dir],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SALT_RETRY_OK" in proc.stdout
