@@ -49,6 +49,26 @@ _MAX_SKETCH_BITS = 1 << 26
 
 _WORDS_COL = "__bloom_words"
 
+# Session-scoped sketch memo (VERDICT r11 #8): building the dense words
+# row costs one build-side scan + driver collect per call — a fixed,
+# data-independent cost that repeated probes against the SAME build side
+# (the stored-index / repeated-lookup shape) should amortize, the
+# `_CHUNKER_UDFS` pattern applied to a derived artifact. Keyed by the
+# build plan's semanticHash + (key, m_bits, k), verified by
+# sameSemantics before reuse (a hash collision must not serve a wrong
+# sketch). The memo holds one-row LocalRelations — plain Python data,
+# no executor storage, so operators.cache.release_cache() does not need
+# to know about it. Staleness caveat: semantics track the PLAN, not the
+# files under it — a caller that rewrites the build-side parquet between
+# probes must call clear_sketch_memo() (same contract as index_memo's
+# version tag).
+_SKETCH_MEMO: dict[tuple, tuple] = {}
+_SKETCH_MEMO_MAX = 16
+
+
+def clear_sketch_memo() -> None:
+    _SKETCH_MEMO.clear()
+
 
 def _positions(key: Column, m_bits: int, k: int) -> Column:
     return F.array(*[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)])
@@ -80,12 +100,29 @@ def bloom_words_row(build_keys: DataFrame, key: str, m_bits: int = 1 << 20, k: i
     module docstring), and not a one-row map (whose per-probe lookup
     is a LINEAR scan of all entries — measured ~3x slower end to end).
     An empty build side gives an all-zero array: every probe test is
-    then false, correctly."""
+    then false, correctly.
+
+    Repeated calls for the same build plan + params return the memoized
+    row without re-collecting (module comment at ``_SKETCH_MEMO``)."""
     spark = build_keys.sparkSession
+    try:
+        sem = build_keys.semanticHash()
+    except Exception:  # pragma: no cover - plan shapes without a hash
+        sem = None
+    memo_key = (sem, key, m_bits, k)
+    if sem is not None and memo_key in _SKETCH_MEMO:
+        prior_df, prior_session, words_row = _SKETCH_MEMO[memo_key]
+        if prior_session is spark and build_keys.sameSemantics(prior_df):
+            return words_row
     dense = [0] * ((m_bits + 63) // 64)
     for r in bloom_build(build_keys, key, m_bits, k).collect():
         dense[int(r["word_idx"])] = int(r["word"])
-    return spark.createDataFrame([(dense,)], f"{_WORDS_COL}: array<bigint>")
+    words_row = spark.createDataFrame([(dense,)], f"{_WORDS_COL}: array<bigint>")
+    if sem is not None:
+        while len(_SKETCH_MEMO) >= _SKETCH_MEMO_MAX:
+            _SKETCH_MEMO.pop(next(iter(_SKETCH_MEMO)))
+        _SKETCH_MEMO[memo_key] = (build_keys, spark, words_row)
+    return words_row
 
 
 def bloom_might_contain(key: Column, m_bits: int, k: int = 3) -> Column:

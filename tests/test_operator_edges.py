@@ -217,3 +217,42 @@ def test_salted_ops_survive_task_retry(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "SALT_RETRY_OK" in proc.stdout
+
+
+def test_bloom_sketch_memoized_per_build_side(spark, monkeypatch):
+    """Second probe against the same build side must reuse the memoized
+    dense words row instead of re-running the build-side scan + driver
+    collect (a fixed per-query cost the stored-index shape amortizes).
+    A semantically different build side or different params rebuilds."""
+    from notion_vector_store_etl_pipeline_spark.operators import bloom
+
+    bloom.clear_sketch_memo()
+    builds = {"n": 0}
+    real_build = bloom.bloom_build
+
+    def counting_build(*a, **kw):
+        builds["n"] += 1
+        return real_build(*a, **kw)
+
+    monkeypatch.setattr(bloom, "bloom_build", counting_build)
+
+    probe = spark.createDataFrame([(1, "a"), (2, "b"), (9, "z")], "k: long, v: string")
+    build = spark.createDataFrame([(1,), (2,)], "bk: long")
+    first = sorted(r.k for r in bloom.bloom_prejoin_semi(probe, build, "k", "bk").collect())
+    second = sorted(r.k for r in bloom.bloom_prejoin_semi(probe, build, "k", "bk").collect())
+    assert first == second == [1, 2]
+    assert builds["n"] == 1  # sketch built exactly once
+
+    # different params -> separate sketch
+    bloom.bloom_words_row(build, "bk", m_bits=1 << 10, k=2)
+    assert builds["n"] == 2
+    # semantically different build side -> rebuild (and correctness holds)
+    build2 = spark.createDataFrame([(9,)], "bk: long")
+    got = sorted(r.k for r in bloom.bloom_prejoin_semi(probe, build2, "k", "bk").collect())
+    assert got == [9]
+    assert builds["n"] == 3
+    # explicit invalidation hook for callers that rewrite underlying files
+    bloom.clear_sketch_memo()
+    bloom.bloom_words_row(build, "bk")
+    assert builds["n"] == 4
+    bloom.clear_sketch_memo()
