@@ -384,6 +384,64 @@ def minhash_neardup(
     )
 
 
+#: Chain-disposition policies for intra-set dedup over verified pairs
+#: (VERDICT r11 #2). "sequential": greedy first-wins by id — a doc is
+#: flagged iff it has a verified pair with a SURVIVING lower id, so on a
+#: chain a~b~c (no a~c pair) c survives because its only lower partner b
+#: was itself flagged. This matches what a strictly sequential stream
+#: computes when the chain is split one-doc-per-batch (each batch probes
+#: only prior SURVIVORS), making the disposition invariant to batch
+#: boundaries. "conservative": every verified pair flags its higher id —
+#: b AND c are dropped; stricter removal, and on a stream it makes chain
+#: disposition depend on how pagination splits the chain.
+CHAIN_POLICIES = ("sequential", "conservative")
+
+
+def sequential_firstwins_pairs(pairs: DataFrame) -> DataFrame:
+    """Resolve verified near-dup ``pairs`` (a_id < b_id, + carry
+    columns) to the subset whose a_id SURVIVES greedy first-wins-by-id
+    elimination — exactly the pairs a sequential one-doc-at-a-time
+    pass would flag (``CHAIN_POLICIES`` note). Output rows' b_ids are
+    the flagged docs; every other id survives.
+
+    Iterative peel over the pair DAG (a < b orients it, so it is
+    acyclic and each round decides at least the minimal ids): ids that
+    are nobody's b-side survive, their pairs flag their b_ids, pairs
+    whose a-side was flagged die (a flagged doc flags nobody), repeat.
+    Rounds = longest chain length; each round is two anti-joins over
+    the (small, verified-pair) set, localCheckpoint-truncated so the
+    loop's plan does not nest.
+    """
+    undecided = pairs.localCheckpoint(eager=True)
+    kept: DataFrame | None = None
+    while not undecided.isEmpty():
+        b_side = undecided.select(F.col("b_id").alias("id")).distinct()
+        survivors = (
+            undecided.select(F.col("a_id").alias("id"))
+            .distinct()
+            .join(b_side, "id", "left_anti")
+        )
+        decided = undecided.join(
+            survivors.withColumnRenamed("id", "a_id"), "a_id", "left_semi"
+        )
+        kept = decided if kept is None else kept.unionByName(decided)
+        flagged = decided.select(F.col("b_id").alias("id")).distinct()
+        undecided = (
+            undecided
+            # decided pairs leave the frontier
+            .join(survivors.withColumnRenamed("id", "a_id"), "a_id", "left_anti")
+            # a flagged doc can neither flag (a-side) nor be re-flagged
+            # (b-side decided)
+            .join(flagged.withColumnRenamed("id", "a_id"), "a_id", "left_anti")
+            .join(flagged.withColumnRenamed("id", "b_id"), "b_id", "left_anti")
+            .select(*pairs.columns)
+            .localCheckpoint(eager=True)
+        )
+    if kept is None:
+        return pairs  # empty input: nothing to resolve
+    return kept.localCheckpoint(eager=True)
+
+
 #: How many lowest-sid members a dense bucket keeps as probe targets
 #: when it is collapsed (see :func:`collapse_dense_buckets`). One is
 #: NOT enough: the min-sid member can be a banding false positive (it

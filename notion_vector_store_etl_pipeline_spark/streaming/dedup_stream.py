@@ -44,11 +44,15 @@ arrive in the SAME micro-batch are both clean — cross-batch dedup only,
 so coverage at the margin depends on page/batch boundaries.
 ``intra_batch=True`` closes the gap: after the corpus probe, the batch
 survivors are self-joined (:func:`operators.dedup.minhash_neardup`)
-and the higher-id doc of each verified pair is flagged against the
-lower (first-wins by id, matching the batch engine's
-``dedup_first_wins`` convention). On chains a~b~c this is conservative:
-both b and c are flagged (every flagged pair IS a true near-dup pair);
-a strictly-sequential one-doc-per-batch stream would keep c.
+and verified pairs flag the higher id against the lower (first-wins by
+id, matching the batch engine's ``dedup_first_wins`` convention).
+Multi-doc CHAINS a~b~c resolve per ``chain_policy``
+(:data:`operators.dedup.CHAIN_POLICIES`, VERDICT r11 #2): the default
+"sequential" keeps c (b's flagging un-flags its partners — exactly
+what a one-doc-per-batch stream computes, so the flagged set no longer
+depends on where pagination splits a chain); "conservative" flags both
+b and c (every verified pair flags — stricter removal, historic r11
+behavior).
 
 Per-ingest cost: batch-side signatures + a bipartite bucket join +
 candidate-local exact verify. The corpus is touched only by (a) the
@@ -74,8 +78,10 @@ from notion_vector_store_etl_pipeline_spark.operators.statefs import (
     write_json_atomic,
 )
 from notion_vector_store_etl_pipeline_spark.operators.dedup import (
+    CHAIN_POLICIES,
     DENSE_BUCKET_CAP,
     PROBE_DENSE_KEEP,
+    sequential_firstwins_pairs,
     build_lsh_index,
     compact_lsh_index,
     jaccard_verify_pairs,
@@ -164,6 +170,7 @@ def probe_batch(
     checkable: bool = False,
     intra_batch: bool = False,
     return_clean_buckets: bool = False,
+    chain_policy: str = "sequential",
 ) -> tuple[DataFrame, ...]:
     """One ingest step, batch-API shaped so the streaming wrapper and
     tests share it: probe ``batch`` (doc_id, text) against a prebuilt
@@ -172,8 +179,12 @@ def probe_batch(
     emit). Returns ``(flagged_pairs, clean_docs)`` — flagged is
     (batch_id, corpus_id, jaccard); clean is the batch rows with no
     flagged pair. ``intra_batch=True`` additionally self-joins the
-    corpus survivors and flags the higher-id doc of each verified pair
-    (see module docstring for the chain semantics).
+    corpus survivors; how multi-doc CHAINS among them resolve is
+    ``chain_policy`` (``operators.dedup.CHAIN_POLICIES``):
+    "sequential" (default) keeps the greedy first-wins survivors —
+    the same disposition the stream computes when the chain is split
+    across batches, so output is pagination-invariant; "conservative"
+    flags the higher id of EVERY verified pair (module docstring).
     ``return_clean_buckets=True`` appends a third element: the melted
     (sid, band, bucket) rows of the CLEAN docs, checkpoint-backed —
     the signature pass already ran for the probe, so the index-delta
@@ -203,6 +214,8 @@ def probe_batch(
     churn, a reliable ``checkpoint()`` into the state root is the
     alternative; per-micro-batch replay-from-source is the cheaper
     default here (batches are small by construction)."""
+    if chain_policy not in CHAIN_POLICIES:
+        raise ValueError(f"chain_policy must be one of {CHAIN_POLICIES}, got {chain_policy!r}")
     local_persists: list[DataFrame] = []
     tracked_before = tracked_snapshot()
 
@@ -264,7 +277,7 @@ def probe_batch(
         )
         # self-join the corpus survivors; verified pairs emit a_id <
         # b_id, so flagging b_id keeps the lowest id (first-wins)
-        intra = minhash_neardup(
+        intra_pairs = minhash_neardup(
             survivors,
             "text",
             "doc_id",
@@ -272,7 +285,13 @@ def probe_batch(
             num_hashes=num_hashes,
             bands=bands,
             checkable=checkable,
-        ).select(
+        )
+        if chain_policy == "sequential":
+            # resolve chains to the stream-equivalent greedy disposition
+            # (CHAIN_POLICIES in operators.dedup): a~b~c keeps c, making
+            # the flagged set invariant to where batch boundaries fall
+            intra_pairs = sequential_firstwins_pairs(intra_pairs)
+        intra = intra_pairs.select(
             F.col("b_id").alias("batch_id"), F.col("a_id").alias("corpus_id"), "jaccard"
         )
         flagged = flagged.unionByName(intra)
@@ -351,6 +370,57 @@ def latest_committed_batch(
     return max(ids, default=-1)
 
 
+def _check_signature_by_probe(
+    spark: SparkSession,
+    man: dict,
+    out_dir: str,
+    num_hashes: int,
+    bands: int,
+    checkable: bool,
+    sample: int = 5,
+) -> None:
+    """Guard a MAJOR rebuild on a pre-``signature`` manifest (ADVICE
+    r11): recompute the melted buckets of up to ``sample`` anchored
+    corpus docs under the CALLER's params and require at least one
+    recomputed (sid, band, bucket) row to exist in the current index.
+    Right params -> nearly every sampled doc reproduces all its
+    buckets; wrong params (different num_hashes/bands, or the checkable
+    hash swap) -> zero matches with overwhelming probability. A doc
+    updated since its index version was built can individually miss, so
+    several docs are sampled and ONE hit suffices. Raises with an
+    explicit opt-out (``assume_signature=True``) on mismatch or when
+    the probe cannot run (no common docs)."""
+    index = _load_anchor_index(spark, man)
+    docs = (
+        _load_anchor_corpus(spark, man, out_dir)
+        .join(index.select(F.col("sid").alias("doc_id")).dropDuplicates(), "doc_id", "left_semi")
+        .limit(sample)
+    )
+    probe = melted_signature_buckets(
+        minhash_signatures(docs, "text", "doc_id", num_hashes, checkable=checkable),
+        bands,
+        num_hashes // bands,
+        checkable,
+    )
+    hits = probe.join(
+        index,
+        (probe["sid"] == index["sid"])
+        & (probe["band"] == index["band"])
+        & (probe["bucket"] == index["bucket"]),
+        "left_semi",
+    ).count()
+    if hits == 0:
+        raise ValueError(
+            "this stream's manifest predates the 'signature' record and the "
+            f"caller's params (num_hashes={num_hashes}, bands={bands}, "
+            f"checkable={checkable}) reproduce NONE of the sampled docs' "
+            "index buckets — a major rebuild under mismatched params yields "
+            "an index no probe signature can hit (silent dedup loss). Pass "
+            "the stream's original params, or assume_signature=True to "
+            "override after verifying them out of band."
+        )
+
+
 def compact_stream_state(
     spark: SparkSession,
     out_dir: str,
@@ -368,6 +438,8 @@ def compact_stream_state(
     num_hashes: int = 32,
     bands: int = 8,
     checkable: bool = False,
+    assume_signature: bool = False,
+    auto_major_rows: int | None = None,
 ) -> dict | None:
     """Fold the stream's committed per-batch state through
     ``through_batch`` into the next compacted version and publish the
@@ -418,6 +490,13 @@ def compact_stream_state(
       1k batches/day leaves ~3k obsolete index copies on the 100 TB
       storage bill).
 
+    - ``auto_major_rows=N`` upgrades a MINOR call to MAJOR when the
+      manifest's cumulative ``superseded_rows`` (reset by each major)
+      has reached N — the SIZE trigger beside the caller's batch-count
+      cadence: the sidecar (and the broadcast set every corpus read
+      ships) stays bounded by N under hot-update churn that a cadence
+      alone cannot see (VERDICT r11 #5).
+
     - ``major=True`` is the LSM-style MAJOR compaction (r11b): instead
       of folding the window additively, it rewrites the reader's
       CURRENT corpus view — latest text per doc over base ∪ folded
@@ -458,6 +537,39 @@ def compact_stream_state(
         # would have no schema to infer (ADVICE r9 #2). A MAJOR fold
         # proceeds regardless: its job is the rewrite, not the window.
         return man
+    pending = (man or {}).get("pending_vacuum_floor")
+    if pending:
+        # the previous MAJOR fold published its floor but deferred the
+        # physical below-floor deletes one fold cycle (ADVICE r11): an
+        # out-of-process reader mid-query on the prior anchor kept a
+        # read margin until now — this call IS the next fold. Index
+        # versions first: a crash between the two deletes leaves
+        # corpus-without-index (harmless), never an index whose sids
+        # have no verify text. The flag clears with this fold's own
+        # manifest publish; a crash before that replays idempotent
+        # deletes, never skips one.
+        vacuum_index_versions(
+            spark,
+            out_dir,
+            man["version"],
+            man["version"] - pending + 1,
+            bucketed_table=bucketed_table,
+        )
+        vacuum_retired_corpus(spark, out_dir, pending)
+    if (
+        not major
+        and auto_major_rows is not None
+        and (man or {}).get("superseded_rows", 0) >= auto_major_rows
+    ):
+        # size-triggered MAJOR upgrade (VERDICT r11 #5): the superseded
+        # sidecar grows with distinct UPDATED docs between majors, and a
+        # batch-count cadence (compact_major_every) cannot see a
+        # hot-update workload outgrowing it. The manifest's cumulative
+        # superseded-row count is the trigger: past the threshold this
+        # fold rewrites and resets it, bounding the sidecar (and the
+        # broadcast set every corpus read ships) by the threshold, not
+        # by luck of the cadence.
+        major = True
     # the manifest records the stream's signature params (whoever folds
     # first is authoritative — the wing passes its own); a MAJOR fold
     # validates against them before rebuilding, because a mismatched
@@ -466,6 +578,17 @@ def compact_stream_state(
     # probe signature — every near-dup of a folded doc silently sails
     # through (r11b review #2)
     signature = (man or {}).get("signature") or [num_hashes, bands, checkable]
+    if major and man and "signature" not in man and not assume_signature:
+        # pre-signature manifest (ADVICE r11): the fallback above adopts
+        # the CALLER's params, so a mismatched rebuild on an upgraded
+        # stream would not be caught — and a rebuild under wrong params
+        # yields an index no probe signature can hit (silent dedup
+        # loss). Sanity-probe before trusting them: sampled folded docs
+        # must reproduce at least one of their recorded index buckets
+        # under the caller's params.
+        _check_signature_by_probe(
+            spark, man, out_dir, num_hashes, bands, checkable
+        )
     if major and signature != [num_hashes, bands, checkable]:
         raise ValueError(
             f"major fold called with signature params (num_hashes, bands, "
@@ -481,7 +604,19 @@ def compact_stream_state(
     cur_path = man.get("index_path") if man else base_index_path
     if major:
         prev_man = man or {"version": 0, "corpus_base": base_corpus_path}
-        cur = _load_anchor_corpus(spark, prev_man, out_dir)
+        # self-healing resolve (ADVICE r11): corpus versions written
+        # before the superseded sidecar existed can hold cross-version
+        # duplicate texts with NO sidecar entry — the anchor read alone
+        # would pass both texts through, and this rewrite would bake
+        # both (plus the retired text's LSH buckets) into the floor
+        # version permanently. Resolve per doc by highest precedence
+        # rank (base = 0, version = its v) directly; for post-sidecar
+        # state this is a no-op on top of the sidecar filter.
+        cur = (
+            _load_anchor_corpus(spark, prev_man, out_dir, with_rank=True)
+            .groupBy("doc_id")
+            .agg(F.max(F.struct(F.col("_rank"), F.col("text")))["text"].alias("text"))
+        )
         window = _read_prior_batches(
             spark,
             f"{out_dir}/clean",
@@ -521,19 +656,21 @@ def compact_stream_state(
             "through_batch": through_batch,
             "corpus_floor": k,
             "signature": signature,
+            # physical below-floor deletes are DEFERRED one fold cycle
+            # (ADVICE r11): the floor is published now — readers anchor
+            # on v=k — but an out-of-process reader mid-query on the
+            # previous anchor keeps a read margin until the next fold
+            # call processes this flag (top of this function). Below-
+            # floor index versions still vacuum unconditionally THEN
+            # (epoch boundary, not a rollback-margin point — r11b
+            # review #3); during the grace cycle their corpus is intact
+            # so rolling back to them stays sound.
+            "pending_vacuum_floor": k,
         }
         _write_manifest(out_dir, manifest, spark)
         if prune_deltas:
             for d in delta_dirs:
                 fs.delete_recursive(d)
-        vacuum_retired_corpus(spark, out_dir, k)
-        # index versions below the floor are vacuumed UNCONDITIONALLY
-        # (retention margin 1, overriding retain_versions): their
-        # corpus was just deleted above, so rolling back to them would
-        # probe an index whose sids have no verify text — a major fold
-        # is an epoch boundary, not a point on the rollback margin
-        # (r11b review #3)
-        vacuum_index_versions(spark, out_dir, k, 1, bucketed_table=bucketed_table)
         return manifest
     compact_lsh_index(
         spark,
@@ -549,6 +686,7 @@ def compact_stream_state(
         base_table=cur_table,
         delta_dirs=delta_dirs,
     )
+    n_sup = 0
     folded = _read_prior_batches(
         spark,
         f"{out_dir}/clean",
@@ -597,7 +735,8 @@ def compact_stream_state(
             .persist()
         )
         try:
-            if sup.count() > 0:
+            n_sup = sup.count()
+            if n_sup > 0:
                 sup.write.mode("overwrite").parquet(
                     f"{out_dir}/superseded_versions/v={k}"
                 )
@@ -615,6 +754,10 @@ def compact_stream_state(
         # (minor folds never recompute signatures, so their own args
         # must not overwrite the stream's)
         "signature": signature,
+        # cumulative sidecar rows since the last MAJOR fold — the
+        # size trigger auto_major_rows reads (majors reset it by
+        # publishing a manifest without the key)
+        "superseded_rows": (man or {}).get("superseded_rows", 0) + n_sup,
     }
     _write_manifest(out_dir, manifest, spark)
     if prune_deltas:
@@ -722,7 +865,7 @@ def _load_anchor_index(spark: SparkSession, manifest: dict) -> DataFrame:
 
 
 def _load_anchor_corpus(
-    spark: SparkSession, manifest: dict, out_dir: str
+    spark: SparkSession, manifest: dict, out_dir: str, with_rank: bool = False
 ) -> DataFrame:
     """Base corpus ∪ the folded clean versions — TWO scan branches
     regardless of how many compactions have run: all versions are
@@ -750,9 +893,10 @@ def _load_anchor_corpus(
             "the major-fold rewrite this floor points at does not exist"
         )
     if not have_versions:
-        return spark.read.parquet(manifest["corpus_base"]).select(
+        base_only = spark.read.parquet(manifest["corpus_base"]).select(
             "doc_id", "text"
         )
+        return base_only.withColumn("_rank", F.lit(0)) if with_rank else base_only
     folded = spark.read.parquet(root).filter(
         (F.col("v") <= manifest["version"]) & (F.col("v") >= floor)
     )
@@ -769,9 +913,10 @@ def _load_anchor_corpus(
                 "doc_id", "text", F.col("v").cast("int").alias("_rank")
             )
         )
+    out_cols = ["doc_id", "text", "_rank"] if with_rank else ["doc_id", "text"]
     sup_root = f"{out_dir}/superseded_versions"
     if not fs.is_dir(sup_root):
-        return ranked.select("doc_id", "text")
+        return ranked.select(*out_cols)
     sup = (
         spark.read.parquet(sup_root)
         .filter((F.col("v") <= manifest["version"]) & (F.col("v") > floor))
@@ -781,7 +926,7 @@ def _load_anchor_corpus(
     return (
         ranked.join(F.broadcast(sup), "doc_id", "left")
         .filter(F.col("_since").isNull() | (F.col("_rank") >= F.col("_since")))
-        .select("doc_id", "text")
+        .select(*out_cols)
     )
 
 
@@ -805,7 +950,9 @@ def streaming_dedup_ingest(
     compact_prune_deltas: bool = False,
     compact_retain_versions: int | None = None,
     compact_major_every: int | None = None,
+    compact_major_rows: int | None = None,
     intra_batch: bool = False,
+    chain_policy: str = "sequential",
 ) -> StreamingQuery:
     """Start the streaming ingest-dedup query.
 
@@ -833,8 +980,13 @@ def streaming_dedup_ingest(
     ``compact_major_every=M`` upgrades every M-th compaction to a
     MAJOR fold (corpus rewritten latest-per-doc, index rebuilt from
     it, below-floor versions + sidecar vacuumed — see
-    :func:`compact_stream_state`). ``intra_batch``: also dedup within
-    each micro-batch (module docstring)."""
+    :func:`compact_stream_state`); ``compact_major_rows=N`` ALSO
+    upgrades any fold once the cumulative superseded sidecar passes N
+    rows (the size trigger — a hot-update workload cannot outgrow a
+    batch-count cadence, VERDICT r11 #5). ``intra_batch``: also dedup within
+    each micro-batch; ``chain_policy`` picks the intra-batch chain
+    disposition (module docstring — "sequential" keeps the stream's
+    output invariant to pagination)."""
     register_paginated_source(spark)
 
     base_manifest = {
@@ -875,6 +1027,7 @@ def streaming_dedup_ingest(
                     compact_major_every
                     and (batch_id // compact_every) % compact_major_every == 0
                 ),
+                auto_major_rows=compact_major_rows,
                 num_hashes=num_hashes,
                 bands=bands,
                 checkable=checkable,
@@ -921,6 +1074,7 @@ def streaming_dedup_ingest(
             checkable,
             intra_batch=intra_batch,
             return_clean_buckets=update_index,
+            chain_policy=chain_policy,
         )
         flagged, clean = probed[0], probed[1]
         # batch_id-keyed overwrite => replay-idempotent (exactly-once).

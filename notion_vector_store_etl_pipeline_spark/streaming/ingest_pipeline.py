@@ -48,8 +48,13 @@ batches must flag, not sail through. The delta/compaction machinery is
 on this pipeline's own ``index_delta``/``clean`` trees behind the same
 atomic manifest). ``update_index=False`` restores the cross-corpus-only
 scope. The batch twin :func:`batch_ingest_etl` composes the same
-semantics one-pass via ``intra_batch=True`` (its chain behavior is the
-documented conservative variant — probe_batch module docstring).
+semantics one-pass via ``intra_batch=True``. Multi-doc chains resolve
+per the shared ``chain_policy`` knob (VERDICT r11 #2,
+:data:`operators.dedup.CHAIN_POLICIES`): the default "sequential"
+makes the stream and the one-pass twin agree EXACTLY — a chain a~b~c
+flags b (against a) and keeps c whether the chain lands in one
+micro-batch, splits across batches, or runs through the twin —
+pinned in tests/test_chain_policy.py.
 
 Document lifecycle (ADVICE r10 + VERDICT r10 #2): the skip stage
 compares each doc against its LATEST state row (not the additive
@@ -146,6 +151,7 @@ def ingest_stage(
     max_len: int = 400,
     intra_batch: bool = False,
     return_clean_buckets: bool = False,
+    chain_policy: str = "sequential",
 ) -> tuple[DataFrame, ...]:
     """The shared probe -> chunk -> embed -> assign composition (after
     the skip stage, which differs between batch and stream only in
@@ -170,6 +176,7 @@ def ingest_stage(
         bands,
         intra_batch=intra_batch,
         return_clean_buckets=return_clean_buckets,
+        chain_policy=chain_policy,
     )
     flagged, clean = probed[0], probed[1]
     # probe_batch consumes only (doc_id, text); rejoin for the chunk
@@ -359,6 +366,16 @@ def compact_ingest_state(
         )
         if tree != "state" and consumed >= 0:
             window = window.filter(F.col("batch_id") > consumed)
+            if window.isEmpty():
+                # every row in the window was already consumed by the
+                # ann fold: writing an empty v=k dir would cost a write
+                # job now and a parquet max-scan in every later
+                # vacuum_consumed_events walk (ADVICE r11). The tail
+                # dirs still fold away — their rows' effect is physical
+                # in the ann index, and the readers' stale_through
+                # filter hides them regardless.
+                folded_dirs.extend(dirs)
+                continue
         window.write.mode("overwrite").parquet(
             f"{out_dir}/{tree}_versions/v={k}"
         )
@@ -585,6 +602,7 @@ def compact_pipeline_ann_state(
     retain_versions: int | None = None,
     rebuild_centroids: bool = False,
     rebuild_sample_mod: int | None = None,
+    vacuum_consumed: bool = True,
 ) -> dict | None:
     """The composed pipeline's ann compaction: fold the ``{out}/ann``
     delta tail through ``through_batch`` into the next index version
@@ -612,10 +630,15 @@ def compact_pipeline_ann_state(
     tree for reclamation (it folds verbatim and advances only
     ``through_batch``) — doing so is still CORRECT (events stay
     unconsumed and the serve path keeps subtracting them), just
-    unreclaimed. Event rows at or below ``stale_through`` remain in
-    the (folded) stale/revive trees as filtered-by-watermark history
-    until a state fold with ``vacuum_events=True`` (or a direct
-    :func:`vacuum_consumed_events` call) physically deletes them."""
+    unreclaimed. With ``vacuum_consumed=True`` (default) the fold runs
+    :func:`vacuum_consumed_events` itself after advancing
+    ``stale_through`` (VERDICT r11 #6): event VERSIONS fully below the
+    new watermark delete here, at the moment they become history,
+    instead of lingering until the next state fold's ``vacuum_events``
+    pass (consumed rows in the un-folded batch TAIL still wait for the
+    state fold+prune, as before). The streaming wrapper wires this to
+    its ``vacuum_events`` knob so a stream configured to KEEP event
+    history keeps it everywhere."""
     from notion_vector_store_etl_pipeline_spark.operators.statefs import (
         batch_dirs as _batch_dirs,
     )
@@ -677,6 +700,11 @@ def compact_pipeline_ann_state(
         "stale_through": through_batch,
     }
     _write_manifest(ann_dir, manifest, spark)
+    if vacuum_consumed:
+        # consumed event versions become pure history at THIS publish —
+        # reclaim them now (idempotent, watermark-walk cheap) rather
+        # than waiting for the next state fold's vacuum_events pass
+        vacuum_consumed_events(spark, out_dir)
     if prune_deltas:
         for d in deltas:
             fs.delete_recursive(d)
@@ -712,11 +740,13 @@ def streaming_ingest_etl(
     compact_dedup_prune: bool = False,
     compact_dedup_retain: int | None = None,
     compact_dedup_major_every: int | None = None,
+    compact_dedup_major_rows: int | None = None,
     compact_ann_every: int | None = None,
     compact_ann_prune: bool = False,
     compact_ann_retain: int | None = None,
     rebuild_ann_every: int | None = None,
     rebuild_sample_mod: int | None = None,
+    chain_policy: str = "sequential",
 ) -> StreamingQuery:
     """Start the composed crawl->skip->dedup->chunk->embed->index
     stream. Outputs under ``out_dir``: ``state/batch_id=N`` (processed
@@ -740,7 +770,10 @@ def streaming_ingest_etl(
     :func:`~streaming.dedup_stream.compact_stream_state` (prune/retain
     via ``compact_dedup_prune``/``compact_dedup_retain``;
     ``compact_dedup_major_every=M`` upgrades every M-th dedup fold to
-    the MAJOR corpus-rewrite + index-rebuild fold);
+    the MAJOR corpus-rewrite + index-rebuild fold;
+    ``compact_dedup_major_rows=N`` also upgrades a fold once the
+    cumulative superseded sidecar passes N rows — the size trigger a
+    hot-update workload needs, VERDICT r11 #5);
     ``compact_ann_every=K`` folds the ann deltas AND physically
     reclaims dead vectors (:func:`compact_pipeline_ann_state`;
     ``rebuild_ann_every=R`` upgrades every R-th ann fold to a centroid
@@ -790,6 +823,7 @@ def streaming_ingest_etl(
                         % compact_dedup_major_every
                         == 0
                     ),
+                    auto_major_rows=compact_dedup_major_rows,
                     num_hashes=num_hashes,
                     bands=bands,
                 )
@@ -803,6 +837,7 @@ def streaming_ingest_etl(
                 base_index_path=ivf_index_path,
                 prune_deltas=compact_ann_prune,
                 retain_versions=compact_ann_retain,
+                vacuum_consumed=vacuum_events,
                 rebuild_centroids=bool(
                     rebuild_ann_every
                     and (batch_id // compact_ann_every) % rebuild_ann_every == 0
@@ -920,6 +955,7 @@ def streaming_ingest_etl(
             max_len,
             intra_batch=update_index,
             return_clean_buckets=update_index,
+            chain_policy=chain_policy,
         )
         flagged, clean, chunks, assigned = staged[:4]
         # batch_id-keyed overwrites => replay-idempotent, same
@@ -1038,6 +1074,7 @@ def batch_ingest_etl(
     bands: int = 8,
     max_len: int = 400,
     intra_batch: bool = False,
+    chain_policy: str = "sequential",
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The one-pass twin: the SAME stage composition over the whole
     input — the parity target the streaming run must equal batch-union
@@ -1045,9 +1082,10 @@ def batch_ingest_etl(
     clean, chunks, assigned) like :func:`ingest_stage`.
     ``intra_batch=True`` composes the stream's intra-stream dedup
     (``update_index``) semantics one-pass: the incoming set is also
-    self-deduped, first-wins by id (exact pair parity on chains is
-    conservative vs the stream's sequential order — probe_batch
-    module docstring)."""
+    self-deduped, first-wins by id. ``chain_policy`` (shared with the
+    stream, probe_batch docstring) governs chains; under the default
+    "sequential" the twin's flagged/clean sets equal the stream's
+    exactly, chains included."""
     lsh_index = load_lsh_index(spark, lsh_index_path)
     corpus_docs = spark.read.parquet(corpus_path).select("doc_id", "text")
     return ingest_stage(
@@ -1061,4 +1099,5 @@ def batch_ingest_etl(
         bands,
         max_len,
         intra_batch=intra_batch,
+        chain_policy=chain_policy,
     )

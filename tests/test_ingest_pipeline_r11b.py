@@ -117,6 +117,12 @@ def test_vacuum_consumed_events_bounded_history(
     compact_pipeline_ann_state(
         spark, out, through_batch=last, base_index_path=ivf_path
     )
+    # the ann fold vacuums its own consumed event versions (VERDICT r11
+    # #6): fully-consumed version dirs are gone IMMEDIATELY after the
+    # fold that made them history — no waiting for the next state fold
+    assert not os.path.isdir(f"{out}/stale_versions")
+    assert not os.path.isdir(f"{out}/revive_versions")
+    assert _served(spark, out, ivf_path) == served_before
     compact_ingest_state(
         spark, out, through_batch=last + 3, prune_state=True, vacuum_events=True
     )
@@ -440,23 +446,23 @@ def test_major_fold_rewrites_corpus_rebuilds_index_and_vacuums(
     man3 = fold(2, major=True)  # v=3 rewrite, floor
     assert man3["version"] == 3 and man3["corpus_floor"] == 3
     assert man3["through_batch"] == 2
-    # below-floor INDEX versions are retired with their corpus: their
-    # sids would have no verify text, so they are not a rollback margin
+    # physical below-floor deletes are DEFERRED one fold cycle (ADVICE
+    # r11): the floor is PUBLISHED — readers anchor on v=3 — but an
+    # out-of-process reader mid-query on the previous anchor keeps its
+    # files until the next fold processes the pending flag
+    assert man3["pending_vacuum_floor"] == 3
     idx_vdirs = sorted(
         d for d in os.listdir(f"{out}/index_versions") if d.startswith("v")
     )
-    assert idx_vdirs == ["v3"]
-
-    # physical state: only the floor version remains, sidecar gone,
-    # retired text A nowhere on disk
+    assert idx_vdirs == ["v1", "v2", "v3"]  # grace margin intact
     vdirs = sorted(
         d for d in os.listdir(f"{out}/corpus_versions") if d.startswith("v=")
     )
-    assert vdirs == ["v=3"]
-    assert not os.path.isdir(f"{out}/superseded_versions")
+    assert vdirs == ["v=1", "v=2", "v=3"]
+    # the floor version itself holds the resolved content
     rows = {
         r.doc_id: r.text
-        for r in spark.read.parquet(f"{out}/corpus_versions").collect()
+        for r in spark.read.parquet(f"{out}/corpus_versions/v=3").collect()
     }
     assert rows == {**base_docs, -5: text_b, -6: text_e}
     # resolved read == physical floor content (no duplicates)
@@ -500,13 +506,36 @@ def test_major_fold_rewrites_corpus_rebuilds_index_and_vacuums(
     )
     q.processAllAvailable()
     q.stop()
-    man4 = fold(3)  # minor: v=4 (E, E2) + sup v=4 {E}
+    man4 = fold(3)  # minor: v=4 (E2) + sup v=4 {E}
     assert man4["version"] == 4 and man4["corpus_floor"] == 3
+    assert "pending_vacuum_floor" not in man4
     final = {
         (r.doc_id, r.text)
         for r in _load_anchor_corpus(spark, man4, out).collect()
     }
     assert final == set({**base_docs, -5: text_b, -6: text_e2}.items())
+
+    # the NEXT fold (this one) processed the deferred vacuum: below-
+    # floor index/corpus versions and the pre-floor sidecar are now
+    # physically gone; retired text A is nowhere on disk
+    idx_vdirs = sorted(
+        d for d in os.listdir(f"{out}/index_versions") if d.startswith("v")
+    )
+    assert idx_vdirs == ["v3", "v4"]
+    vdirs = sorted(
+        d for d in os.listdir(f"{out}/corpus_versions") if d.startswith("v=")
+    )
+    assert vdirs == ["v=3", "v=4"]
+    sup_vdirs = sorted(
+        d
+        for d in os.listdir(f"{out}/superseded_versions")
+        if d.startswith("v=")
+    )
+    assert sup_vdirs == ["v=4"]
+    all_texts = {
+        r.text for r in spark.read.parquet(f"{out}/corpus_versions").collect()
+    }
+    assert text_a not in all_texts
 
     # a major rebuild under signature params different from the
     # manifest's record must refuse loudly — a mismatched rebuild

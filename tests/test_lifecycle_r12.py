@@ -1,0 +1,294 @@
+"""Round-12 lifecycle pins (ADVICE r11 + VERDICT r11 #6):
+
+- a state fold whose entire stale/revive window was already consumed by
+  the ann fold writes NO empty event-version dir;
+- a MAJOR dedup fold self-heals pre-sidecar corpus state (cross-version
+  duplicate texts with no superseded entry) by resolving per doc on
+  precedence rank;
+- a MAJOR rebuild on a manifest that predates the ``signature`` field is
+  guarded by a bucket-reproduction probe instead of silently trusting
+  the caller's params;
+- the major fold's physical below-floor vacuum is deferred one fold
+  cycle (out-of-process readers keep a read margin) — the deferred-
+  delete pins themselves live in test_ingest_pipeline_r11b.py's major
+  test, updated for the new contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from notion_vector_store_etl_pipeline_spark.operators import dedup as D
+from notion_vector_store_etl_pipeline_spark.streaming.dedup_stream import (
+    _load_anchor_corpus,
+    _load_anchor_index,
+    _write_manifest,
+    compact_stream_state,
+    latest_committed_batch,
+    read_compaction_manifest,
+    streaming_dedup_ingest,
+)
+from notion_vector_store_etl_pipeline_spark.streaming.ingest_pipeline import (
+    compact_ingest_state,
+    compact_pipeline_ann_state,
+)
+
+from tests.test_ingest_pipeline_r11 import (  # noqa: F401  (fixture deps)
+    _revert_lifecycle,
+    _served,
+)
+from tests.test_ingest_pipeline import _fixture
+
+
+@pytest.fixture(scope="module")
+def pipeline_fixture(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("r12fix")
+    incoming, corpus_path, lsh_path, ivf_path = _fixture(spark, tmp)
+    inc = incoming.orderBy("doc_id").limit(8).toPandas()
+    return inc, corpus_path, lsh_path, ivf_path
+
+
+def test_fully_consumed_window_writes_no_event_version(
+    spark, tmp_path, pipeline_fixture
+):
+    """ADVICE r11 #4: when the ann fold already consumed EVERY event in
+    the state fold's window, the fold used to write an empty
+    ``{tree}_versions/v=k`` dir that the vacuum deleted moments later —
+    a wasted write job plus a parquet max-scan per later vacuum walk.
+    Now the version write is skipped outright while the tail dirs still
+    fold away and the state tree itself still versions."""
+    out, ckpt, ivf_path, va, vb, x = _revert_lifecycle(
+        spark, tmp_path, pipeline_fixture
+    )
+    served_before = _served(spark, out, ivf_path)
+    last = latest_committed_batch(ckpt, spark)
+    # consume EVERYTHING first
+    compact_pipeline_ann_state(
+        spark, out, through_batch=last, base_index_path=ivf_path
+    )
+    assert os.path.isdir(f"{out}/stale")  # unconsumed TAIL still on disk
+    man = compact_ingest_state(
+        spark, out, through_batch=last, prune_state=True, vacuum_events=True
+    )
+    assert man["version"] == 1
+    # no empty event versions were ever written; state itself versioned
+    assert not os.path.isdir(f"{out}/stale_versions")
+    assert not os.path.isdir(f"{out}/revive_versions")
+    assert os.path.isdir(f"{out}/state_versions/v=1")
+    # tails pruned regardless (the skip branch still folds the dirs)
+    stale_tail = (
+        [d for d in os.listdir(f"{out}/stale") if d.startswith("batch_id=")]
+        if os.path.isdir(f"{out}/stale")
+        else []
+    )
+    assert stale_tail == []
+    assert _served(spark, out, ivf_path) == served_before
+
+
+# ---------------------------------------------------------------- major
+
+_T_BASE = (
+    "canal locks meter water gentleness so carefully that a single "
+    "flight can lift a loaded barge seventy feet using nothing but "
+    "gravity patience and the stored rainfall of the summit pound "
+    "while the keeper walks the beam arms exactly as generations did"
+)
+
+
+def _vtext(word: str) -> str:
+    return _T_BASE.replace("gentleness", word)
+
+
+def _mk_wing(spark, tmp_path, docs_feed):
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "text": [
+                    "a corpus document cataloguing the pigments medieval "
+                    "illuminators ground from local minerals and shells"
+                ],
+            }
+        )
+    )
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+    index_path = str(tmp_path / "lsh_index")
+    D.write_lsh_index(D.build_lsh_index(corpus), index_path)
+    src = str(tmp_path / "incoming.parquet")
+    docs_feed.to_parquet(src, index=False)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = streaming_dedup_ingest(
+        spark, src, corpus_path, index_path, out, ckpt,
+        page_size=1, pages_per_batch=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    return out, corpus_path, index_path
+
+
+def test_major_fold_self_heals_presidecar_duplicates(spark, tmp_path):
+    """ADVICE r11 #1: corpus versions written before the superseded
+    sidecar existed hold cross-version duplicate texts with NO sidecar
+    entry. The major fold resolves per doc by precedence rank directly,
+    so the rewrite bakes ONE text (the newest version's) into the floor
+    instead of both."""
+    feed = pd.DataFrame(
+        {
+            "doc_id": [-5, -5, 7],
+            "text": [
+                _vtext("gentleness"),  # version A of doc -5
+                _vtext("tenderness"),  # near-dup UPDATE (same id passes)
+                "an unrelated third stream document about the migration "
+                "timing of arctic terns across two polar summers",
+            ],
+        }
+    )
+    out, corpus_path, index_path = _mk_wing(spark, tmp_path, feed)
+    fold = lambda through, **kw: compact_stream_state(  # noqa: E731
+        spark, out, through_batch=through,
+        base_index_path=index_path, base_corpus_path=corpus_path, **kw
+    )
+    fold(0)  # v=1 holds A
+    fold(1)  # v=2 holds A' + sidecar {-5}
+    # simulate PRE-SIDECAR state: the duplicate copies exist but no
+    # sidecar entry records the supersession
+    import shutil
+
+    assert os.path.isdir(f"{out}/superseded_versions")
+    shutil.rmtree(f"{out}/superseded_versions")
+    man = fold(2, major=True)
+    floor = man["corpus_floor"]
+    rows = spark.read.parquet(f"{out}/corpus_versions/v={floor}")
+    per_doc = {
+        r.doc_id: r.n
+        for r in rows.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n == 1 for n in per_doc.values()), per_doc
+    text5 = rows.filter(F.col("doc_id") == -5).head().text
+    assert text5 == _vtext("tenderness"), "newest version must win"
+    D.release_cache()
+
+
+def test_presignature_manifest_major_guarded_by_probe(spark, tmp_path):
+    """ADVICE r11 #3: a manifest written before the ``signature`` field
+    existed used to let a major rebuild silently adopt the CALLER's
+    params. Now a bucket-reproduction probe over sampled folded docs
+    guards the rebuild: wrong params raise, right params pass, and
+    assume_signature=True is the explicit override."""
+    feed = pd.DataFrame(
+        {
+            "doc_id": [-5, 7],
+            "text": [
+                _vtext("gentleness"),
+                "an unrelated stream document about the hum of high "
+                "voltage lines in freezing fog and corona discharge",
+            ],
+        }
+    )
+    out, corpus_path, index_path = _mk_wing(spark, tmp_path, feed)
+    fold = lambda through, **kw: compact_stream_state(  # noqa: E731
+        spark, out, through_batch=through,
+        base_index_path=index_path, base_corpus_path=corpus_path, **kw
+    )
+    man = fold(0)
+    assert man["signature"] == [32, 8, False]
+    # simulate a pre-upgrade manifest: drop the signature record
+    legacy = {k: v for k, v in man.items() if k != "signature"}
+    _write_manifest(out, legacy, spark)
+    assert "signature" not in read_compaction_manifest(out, spark)
+
+    # wrong params: the probe reproduces no bucket -> loud refusal
+    with pytest.raises(ValueError, match="reproduce NONE"):
+        fold(1, major=True, checkable=True)
+    # NB (16, 4) would NOT be flagged — same rows-per-band means its
+    # bands are a prefix-subset of the recorded (32, 8) bands, so
+    # probes genuinely reproduce buckets (degraded recall, not the
+    # total-loss mismatch the guard exists for). A changed band WIDTH
+    # is the destructive case:
+    with pytest.raises(ValueError, match="reproduce NONE"):
+        fold(1, major=True, num_hashes=16, bands=8)
+    # right params: probe passes, rebuild proceeds, signature recorded
+    man2 = fold(1, major=True)
+    assert man2["corpus_floor"] == man2["version"]
+    assert man2["signature"] == [32, 8, False]
+    D.release_cache()
+
+
+def test_presignature_assume_signature_override(spark, tmp_path):
+    feed = pd.DataFrame(
+        {
+            "doc_id": [7],
+            "text": [
+                "a stream document on how railway fishplates creep in "
+                "summer heat and the expansion joints that absorb it"
+            ],
+        }
+    )
+    out, corpus_path, index_path = _mk_wing(spark, tmp_path, feed)
+    man = compact_stream_state(
+        spark, out, through_batch=0,
+        base_index_path=index_path, base_corpus_path=corpus_path,
+    )
+    legacy = {k: v for k, v in man.items() if k != "signature"}
+    _write_manifest(out, legacy, spark)
+    # explicit opt-in skips the probe and trusts the caller
+    man2 = compact_stream_state(
+        spark, out, through_batch=1, major=True,
+        base_index_path=index_path, base_corpus_path=corpus_path,
+        assume_signature=True,
+    )
+    assert man2 is not None and man2["corpus_floor"] == man2["version"]
+    D.release_cache()
+
+
+def test_size_triggered_major_fold(spark, tmp_path):
+    """VERDICT r11 #5: the superseded sidecar grows with distinct
+    updated docs between majors; a batch-count cadence cannot see a
+    hot-update workload outgrowing it. auto_major_rows upgrades the
+    fold once the manifest's cumulative superseded count passes the
+    threshold — the sidecar is bounded by the threshold, not by luck."""
+    feed = pd.DataFrame(
+        {
+            "doc_id": [-5, -5, 7, -5, 8],
+            "text": [
+                _vtext("gentleness"),
+                _vtext("tenderness"),  # update 1 of -5
+                "an unrelated document about the seasonal thickening of "
+                "pond ice and the songs skaters hear through it",
+                _vtext("patience"),  # update 2 of -5
+                "another unrelated document on the smell of rain hitting "
+                "hot dust and the soil bacteria that produce it",
+            ],
+        }
+    )
+    out, corpus_path, index_path = _mk_wing(spark, tmp_path, feed)
+    fold = lambda through, **kw: compact_stream_state(  # noqa: E731
+        spark, out, through_batch=through,
+        base_index_path=index_path, base_corpus_path=corpus_path,
+        auto_major_rows=1, **kw
+    )
+    man1 = fold(0)  # v=1: A; no supersession yet
+    assert man1.get("superseded_rows", 0) == 0 and man1["corpus_floor"] == 0
+    man2 = fold(1)  # v=2: A' supersedes A -> counter 1 == threshold
+    assert man2["superseded_rows"] == 1 and man2["corpus_floor"] == 0
+    man3 = fold(2)  # threshold reached: MINOR call auto-upgrades
+    assert man3["corpus_floor"] == man3["version"], "size trigger must fire"
+    assert "superseded_rows" not in man3  # major resets the counter
+    man4 = fold(3)  # update 2 of -5: counter restarts from the floor
+    assert man4["superseded_rows"] == 1
+    man5 = fold(4)  # fires again
+    assert man5["corpus_floor"] == man5["version"]
+    # resolved read is one text per doc, newest update winning
+    rows = {
+        (r.doc_id, r.text)
+        for r in _load_anchor_corpus(spark, man5, out).collect()
+    }
+    texts = dict(rows)
+    assert texts[-5] == _vtext("patience")
+    assert len(rows) == len(texts)
+    D.release_cache()
