@@ -1,0 +1,172 @@
+"""Real (optional) HTTP transports for the fetch stage and the
+vector-store sink (VERDICT r11 #3).
+
+The engine's remote-touching operators ship with INJECTABLE transports
+so the hermetic test suite never needs a network: ``operators.fetch``
+takes any ``url -> (status, bytes)`` callable, and the vectorstore sink
+stages JSONL locally behind a transactional manifest. This module
+closes the last ~20 lines a real deployment had to write itself — an
+actual HTTP GET for the download stage (the reference's
+``download_with_retries``, ``Notion_openai_vector_etl.py:219-235``) and
+an actual JSONL POST for the store upload (``upload_chunks_jsonl``,
+``:329-344``) — while keeping the retry POLICY where it already lives
+(:func:`operators.fetch.fetch_with_retry`: 0/1/2/4 s backoff, retry set
+{429, 500, 502, 503, 504}).
+
+Implementation notes:
+
+- ``requests`` is used when importable (connection pooling via a
+  per-partition ``Session`` — the reference's shape); otherwise the
+  stdlib ``urllib.request`` fallback makes the transports dependency-
+  free, so the local-HTTP-server integration test
+  (tests/test_transport_integration.py) runs even in sandboxes with no
+  package installs.
+- Transports return ``(status, body)`` and NEVER raise on HTTP error
+  statuses — classification (retry vs fail-row) belongs to
+  ``fetch_with_retry``. Network-level failures (refused connection,
+  DNS, timeout) map to status 503: they are transient in exactly the
+  sense the retryable set models, and after the backoff schedule
+  exhausts, the row fails with that status instead of killing a 500k-
+  row task.
+- These are PLAIN FUNCTIONS/factories safe to close over in
+  ``mapInPandas`` stages: build per-partition state (sessions) via
+  ``transport_factory`` so nothing unpicklable crosses the driver ->
+  executor boundary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Tuple
+
+try:  # pragma: no cover - exercised only where requests is installed
+    import requests as _requests
+except Exception:  # ImportError in this sandbox
+    _requests = None
+
+DEFAULT_TIMEOUT = 30.0  # reference REQUEST_TIMEOUT (`:49`)
+
+Transport = Callable[[str], Tuple[int, bytes]]
+
+
+def _urllib_get(url: str, timeout: float, headers: dict) -> Tuple[int, bytes]:
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as exc:  # non-2xx WITH a status
+        return exc.code, b""
+    except (urllib.error.URLError, OSError, TimeoutError):
+        return 503, b""  # transport-level fault -> retryable
+
+
+def http_transport_factory(
+    timeout: float = DEFAULT_TIMEOUT,
+    headers: dict | None = None,
+) -> Callable[[], Transport]:
+    """Factory for a real HTTP GET transport — pass as
+    ``fetch_urls(transport_factory=http_transport_factory(...))`` so
+    each partition builds ONE pooled session (the reference keeps one
+    ``requests.Session`` for the whole sequential run; per-partition is
+    the distributed equivalent)."""
+    hdrs = dict(headers or {})
+
+    def build() -> Transport:
+        if _requests is not None:
+            session = _requests.Session()
+            session.headers.update(hdrs)
+
+            def tx(url: str) -> Tuple[int, bytes]:
+                try:
+                    resp = session.get(url, timeout=timeout)
+                    return resp.status_code, resp.content
+                except _requests.RequestException:
+                    return 503, b""
+
+            return tx
+
+        def tx(url: str) -> Tuple[int, bytes]:
+            return _urllib_get(url, timeout, hdrs)
+
+        return tx
+
+    return build
+
+
+def http_post(
+    url: str,
+    body: bytes,
+    timeout: float = DEFAULT_TIMEOUT,
+    headers: dict | None = None,
+) -> Tuple[int, bytes]:
+    """One HTTP POST, same (status, body) / no-raise contract as the
+    GET transports. Used by :func:`upload_store_jsonl`; exposed for
+    custom sinks."""
+    hdrs = dict(headers or {})
+    if _requests is not None:
+        try:
+            resp = _requests.post(url, data=body, timeout=timeout, headers=hdrs)
+            return resp.status_code, resp.content
+        except _requests.RequestException:
+            return 503, b""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, headers=hdrs, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as exc:
+        return exc.code, b""
+    except (urllib.error.URLError, OSError, TimeoutError):
+        return 503, b""
+
+
+def upload_store_jsonl(
+    store_path: str,
+    endpoint: str,
+    timeout: float = DEFAULT_TIMEOUT,
+    headers: dict | None = None,
+    post: Callable[..., Tuple[int, bytes]] = http_post,
+) -> list[dict]:
+    """Push every COMMITTED JSONL part of a local vectorstore-sink
+    store to a remote endpoint — the reference's
+    ``upload_chunks_jsonl`` (`:329-344`) as a post-commit shim: the
+    sink's transactional manifest stays the source of truth (only
+    files it lists are uploaded, so a crashed write job can never leak
+    staged garbage to the remote), and each part is POSTed as one
+    JSONL body with the fetch stage's retry policy via
+    :func:`operators.fetch.fetch_with_retry` over a POST-shaped
+    transport.
+
+    Returns one record per part: ``{"filename", "status", "attempts",
+    "ok"}``. Driver-side by design — the store's committed parts are
+    the already-reduced output of a distributed write (one per task),
+    so the upload fan-out is O(partitions), not O(rows); a deployment
+    with thousands of parts should point ``endpoint`` at a bulk-import
+    API or wrap this loop in its own executor pool.
+    """
+    from notion_vector_store_etl_pipeline_spark.operators.fetch import fetch_with_retry
+    from notion_vector_store_etl_pipeline_spark.sources.vectorstore import MANIFEST
+
+    with open(os.path.join(store_path, MANIFEST)) as f:
+        manifest = json.load(f)
+    results = []
+    # manifest["files"] is {filename: {"rows": n}} (vectorstore.commit)
+    for fname in sorted(manifest.get("files", {})):
+        with open(os.path.join(store_path, fname), "rb") as f:
+            body = f.read()
+
+        def tx(_url: str) -> Tuple[int, bytes]:
+            status, _ = post(_url, body, timeout=timeout, headers=headers)
+            return status, b""
+
+        status, attempts, _ = fetch_with_retry(endpoint, tx)
+        results.append(
+            {"filename": fname, "status": status, "attempts": attempts, "ok": status == 200}
+        )
+    return results
