@@ -28,18 +28,27 @@ def entry(spark: SparkSession) -> DataFrame:
     chunking -> deterministic chunk ids -> per-language rollup of the
     processed/skipped/chunk outcomes (the reference's run summary,
     `:771-776`), joined to embeddings coverage."""
+    return entry_frame(spark, SF0001)
+
+
+def entry_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship lifecycle parameterized by scale dir — what
+    ``entry`` runs at sf0.001 and what bench.py times at the bench SF
+    as the ``flagship_pipeline`` row (VERDICT r11 #4: lifecycle cost —
+    skip stage, incremental plan, chunk, rollup — tracked per round
+    like registry queries)."""
     from notion_vector_store_etl_pipeline_spark.pipeline import run_pipeline
     from notion_vector_store_etl_pipeline_spark.plans.incremental_queries import (
         build_snapshot,
         build_state,
     )
 
-    docs = load_table(spark, SF0001, "documents")
-    emb = load_table(spark, SF0001, "embeddings")
-    snapshot = build_snapshot(spark, SF0001).join(
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    snapshot = build_snapshot(spark, sf_dir).join(
         docs.select(F.col("doc_id").alias("block_id"), "text", "lang"), "block_id"
     )
-    result = run_pipeline(snapshot, build_state(spark, SF0001), max_len=1200)
+    result = run_pipeline(snapshot, build_state(spark, sf_dir), max_len=1200)
 
     chunk_stats = (
         result.chunks.join(emb, result.chunks.block_id == emb.vec_id, "left_outer")

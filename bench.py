@@ -122,7 +122,20 @@ HEADLINE = [
     # assignment pass; the count branch reads only the list_id
     # partition column)
     "neardup_pairs_ivf_stored",
+    # round 12 addition (VERDICT r11 #4): the composed flagship
+    # lifecycle (__spark_entry__.entry parameterized by SF) — skip
+    # stage, incremental plan, chunk + chunk ids, per-language rollup —
+    # so lifecycle cost is tracked across rounds like registry queries.
+    # Not a registry entry (it is the driver's entry() contract, not an
+    # oracle-checked operator); bench.py resolves it specially.
+    "flagship_pipeline",
 ]
+
+
+def _flagship_query(spark, sf_dir):
+    import __spark_entry__ as _entry
+
+    return _entry.entry_frame(spark, sf_dir)
 
 
 def main() -> None:
@@ -164,7 +177,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        q = registry[name]
+        fn = _flagship_query if name == "flagship_pipeline" else registry[name].fn
         # min over trials: single-trial numbers on this host swing
         # 2-10x from external load (measured 4s vs 22s for identical
         # code at load avg ~6). Two trials normally; if they disagree
@@ -188,19 +201,19 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_BENCH_WARM") == "1":
             release_cache()
             spark.catalog.clearCache()
-            run(q.fn(spark, SF_DIR))
+            run(fn(spark, SF_DIR))
         trials = []
         for _ in range(n_trials):
             release_cache()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            run(q.fn(spark, SF_DIR))
+            run(fn(spark, SF_DIR))
             trials.append(time.perf_counter() - t0)
         if max(trials) > 2 * min(trials):
             release_cache()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            run(q.fn(spark, SF_DIR))
+            run(fn(spark, SF_DIR))
             trials.append(time.perf_counter() - t0)
         timings[name] = round(min(trials), 3)
         # also drop residue before the next query's first trial

@@ -72,8 +72,13 @@ def test_headline_set_pinned():
     reg = load_registry()
     assert len(bench.HEADLINE) >= 56
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
-    missing = [n for n in bench.HEADLINE if n not in reg]
+    # flagship_pipeline is the driver's entry() contract, resolved by
+    # bench.py itself (VERDICT r11 #4), not a registry query
+    missing = [
+        n for n in bench.HEADLINE if n not in reg and n != "flagship_pipeline"
+    ]
     assert not missing, f"headline names not registered: {missing}"
+    assert "flagship_pipeline" in bench.HEADLINE
     for sentinel in (
         "title_coalesce",
         "left_join_state",
