@@ -58,69 +58,67 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # vintage first, then r4), recomputed each round from the
 # CORRECTNESS_r0*.json files.
 _PRIORITY = (
-    # (a) changed in round 11 (1): the Bloom pre-join was rebuilt
-    # around a deterministic dedup-and-reweight (the per-row
-    # monotonically_increasing_id gate was retry-unsafe, ADVICE r10).
+    # (a) new/changed in round 12 (3): the sequential chain-disposition
+    # registration (new operator, VERDICT r11 #2), the deterministic
+    # content-salt rewrite of the skew spreader (VERDICT r11 #1), and
+    # the session-memoized Bloom sketch (VERDICT r11 #8).
+    "dedup_chain_sequential",
+    "join_salted_skew",
     "bloom_prejoin_filter",
-    # (b) the 14 round-10 review-changed queries whose newest driver
-    # proof predates their change (VERDICT r10 next-round #3) — my own
-    # sweeps proved the new versions; this puts driver rows on them.
-    "setop_except",
-    "stale_detect",
-    "simhash_neardup",
-    "simhash_buckets",
-    "ngram_jaccard_selfjoin",
-    "ngram_jaccard_prefixfilter",
-    "ngram_jaccard_prefixfilter_capped",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_volume",
-    "url_basename",
-    "knn_topk",
-    "group_normalize_pandas",
-    "multimodal_decode_stub",
-    "multimodal_decode_arrow",
-    # (c) oldest proof rows next (recomputed from CORRECTNESS_r0*.json
-    # at the start of r11): the 15 remaining round-7-vintage names not
-    # already listed above.
-    "minhash_lsh_neardup",
-    "minhash_neardup_components",
-    "mixture_rebalance_lang",
-    "needs_vector_flag",
-    "point_lookup",
-    "scan_union_seed",
-    "semi_join_filter",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_intersect_all",
-    "sort_topk",
-    "state_load",
-    "topk_per_group",
-    "tpch_q21_waiting_supplier",
-    "union_schema_evolution",
-    # (d) round-8-vintage fill (alphabetical prefix of the 44 r8 rows
-    # not already above; the remainder leads the round-12 rotation).
-    # The window is EXACTLY 50 names (the driver's sample size, pinned
-    # in tests/test_fixture_canary.py).
-    "agg_cube",
-    "agg_grouping_sets",
-    "array_hof_ops",
-    "dedup_embedding_cosine",
-    "hybrid_rrf_search",
-    "incremental_changed",
-    "interval_merge_islands",
-    "join_full_outer_coalesce",
-    "kmeans_assign",
-    "kmeans_update",
-    "knn_filtered",
-    "lateral_top_item",
-    "levenshtein_neardup_titles",
-    "map_explode_props",
-    "minhash_incremental_probe",
-    "neardup_cluster_survivors",
-    "outlier_mad_filter",
-    "parse_bool_int",
-    "pit_interval_lookup",
-    "project_coalesce",
+    # (b) oldest proof rows first (COVERAGE.md staleness manifest,
+    # recomputed by scripts/coverage_manifest.py at the start of r12):
+    # the 24 round-8-vintage names — after this window every proof is
+    # r9+ and the max staleness stays within the 4-round budget.
+    "regex_extract_id",
+    "regexp_extract_all_numbers",
+    "repetition_profile",
+    "safe_filename",
+    "scd2_intervals",
+    "sequence_packing",
+    "session_window_native",
+    "similarity_selfjoin",
+    "split_train_val_test",
+    "timeseries_gapfill",
+    "title_coalesce",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_values",
+    "tpch_q12_priority_case_agg",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_avg",
+    "tpch_q19_or_predicates",
+    "train_export_shuffle",
+    "traversal_step",
+    "uuid_normalize",
+    "winnowing_fingerprint",
+    "zorder_layout",
+    # (c) round-9-vintage alphabetical fill to exactly 50 (the driver's
+    # sample size, pinned in tests/test_fixture_canary.py); the
+    # remainder of the r9 vintage leads the round-13 rotation.
+    "agg_percentiles",
+    "agg_stats_corr",
+    "agg_status_counts",
+    "agg_string_concat",
+    "cogroup_conversion_stats",
+    "curation_funnel",
+    "date_arithmetic",
+    "dedup_exact_hash",
+    "doc_fingerprint",
+    "every_nth_row",
+    "filter_isin_notnull",
+    "from_json_schema_read",
+    "graph_pagerank",
+    "graph_reachability",
+    "histogram_width_bucket",
+    "join_asof_latest",
+    "join_range_theta",
+    "json_extract_props",
+    "knn_ivf_incremental",
+    "knn_ivf_stored_index",
+    "label_centroids",
+    "lang_id_heuristic",
+    "minhash_probe_stored_index",
 )
 
 _MODULES = (

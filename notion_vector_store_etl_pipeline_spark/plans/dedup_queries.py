@@ -277,6 +277,58 @@ def minhash_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "dedup_chain_sequential",
+    oracle=_SHINGLES_CTE.replace("WITH words", "WITH RECURSIVE words", 1)
+    + _MH_PAIRS_CTES
+    + """
+    , ord AS (
+      SELECT id, row_number() OVER (ORDER BY id) AS rn
+      FROM (SELECT a_id AS id FROM mh_pairs UNION SELECT b_id FROM mh_pairs)
+    ), walk(rn, survivors) AS (
+      SELECT 0, CAST([] AS BIGINT[])
+      UNION ALL
+      SELECT w.rn + 1,
+             CASE WHEN EXISTS (
+                 SELECT 1 FROM mh_pairs p
+                 WHERE p.b_id = (SELECT id FROM ord WHERE rn = w.rn + 1)
+                   AND list_contains(w.survivors, p.a_id))
+               THEN w.survivors
+               ELSE list_append(w.survivors, (SELECT id FROM ord WHERE rn = w.rn + 1))
+             END
+      FROM walk w WHERE w.rn < (SELECT count(*) FROM ord)
+    ), final AS (
+      SELECT survivors FROM walk ORDER BY rn DESC LIMIT 1
+    )
+    SELECT p.a_id, p.b_id, p.jaccard
+    FROM mh_pairs p, final f
+    WHERE list_contains(f.survivors, p.a_id)
+    """,
+    doc="Greedy first-wins chain disposition over the verified near-dup "
+    "pairs (operators.dedup.sequential_firstwins_pairs, VERDICT r11 #2): "
+    "process ids ascending, keep a doc iff it has no verified pair with "
+    "an already-kept lower id — on a chain a~b~c only (a,b) survives, so "
+    "c is KEPT (its sole lower partner was itself flagged). This is the "
+    "batch registration of the shared chain_policy='sequential' default "
+    "used by the streaming dedup wing, the composed flagship, and the "
+    "intra_batch one-pass twins: the same pair set a strictly sequential "
+    "one-doc-per-batch stream produces, so dedup output is invariant to "
+    "pagination. Engine side: iterative DAG peel (a<b orients the pair "
+    "graph acyclic), one round per chain level, localCheckpoint per "
+    "round. Oracle: the identical mh_pairs CTEs + a linear recursive "
+    "walk accumulating the survivor list in id order. The sf0.01 "
+    "fixtures contain a real chain (25 conservative pairs -> 24 "
+    "sequential), so this check discriminates the policies.",
+)
+def dedup_chain_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup(docs, "text", "doc_id", threshold=0.2, checkable=True)
+    return D.sequential_firstwins_pairs(pairs)
+
+
+
 # The probe pipeline replayed in SQL, shared verbatim by the
 # compute-fresh registration and the stored-index registration (the
 # two MUST be value-identical — that equivalence is the stored index's

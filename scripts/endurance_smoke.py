@@ -50,7 +50,17 @@ volume). Corpus + stored indexes are built from .scale/sf1 documents
 (45k docs) so probe/assign run against realistic state.
 
 Usage: python scripts/endurance_smoke.py [n_batches] [rows_per_batch]
-       [major_every]   (every Nth dedup fold is MAJOR; default 10)
+       [major_every] [update_share] [major_rows]
+
+- major_every: every Nth dedup fold is MAJOR (default 10); 0 disables
+  the batch-count cadence entirely.
+- update_share: fraction of each batch that is UPDATES (default 0.10);
+  the hot-update variant (VERDICT r11 #5) runs 10x that share.
+- major_rows: size trigger — a fold auto-upgrades to MAJOR once the
+  cumulative superseded sidecar passes this row count
+  (compact_dedup_major_rows). With major_every=0 this is the ONLY
+  major mechanism, so the bounded-sidecar gates prove the trigger,
+  not the cadence.
 """
 
 from __future__ import annotations
@@ -203,7 +213,8 @@ def bounded_snapshot(spark, out: str) -> dict[str, int]:
 
 
 def run_segment(
-    spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, rows, major_every
+    spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, rows, major_every,
+    major_rows=None,
 ):
     q = streaming_ingest_etl(
         spark, src, corpus_path, lsh_path, ivf_path, out, ckpt,
@@ -211,7 +222,8 @@ def run_segment(
         compact_state_every=K, prune_state=True, vacuum_events=True,
         update_index=True,
         compact_dedup_every=K, compact_dedup_prune=True, compact_dedup_retain=RETAIN,
-        compact_dedup_major_every=major_every,
+        compact_dedup_major_every=major_every or None,
+        compact_dedup_major_rows=major_rows,
         compact_ann_every=K, compact_ann_prune=True, compact_ann_retain=RETAIN,
         rebuild_ann_every=REBUILD_EVERY,
     )
@@ -229,13 +241,18 @@ def main() -> int:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     major_every = int(sys.argv[3]) if len(sys.argv) > 3 else MAJOR_EVERY
+    update_share = float(sys.argv[4]) if len(sys.argv) > 4 else 0.10
+    major_rows = int(sys.argv[5]) if len(sys.argv) > 5 else None
     if n_batches < 2 * WARM_BATCHES + 2 * K:
         raise SystemExit(
             f"n_batches={n_batches} too short: need > {2 * WARM_BATCHES + 2 * K} "
             f"(warm exclusion {WARM_BATCHES} + two fold windows) for a valid "
             "drift measurement — nothing this run printed would be evidence"
         )
-    n_new, n_upd, n_rev = int(rows * 0.85), int(rows * 0.10), rows - int(rows * 0.85) - int(rows * 0.10)
+    n_upd = int(rows * update_share)
+    n_rev = max(1, int(rows * 0.05))
+    n_new = rows - n_upd - n_rev
+    assert n_new > 0, f"update_share={update_share} leaves no new docs"
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
@@ -269,7 +286,8 @@ def main() -> int:
     feed.iloc[: half * rows].to_parquet(src, index=False)
     t0 = time.perf_counter()
     per_batch = run_segment(
-        spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, rows, major_every
+        spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, rows, major_every,
+        major_rows,
     )
     snap1 = bounded_snapshot(spark, out)
     fp1 = {t: tree_bytes(f"{out}/{t}") for t in ("clean", "chunks", "ann")}
@@ -277,7 +295,8 @@ def main() -> int:
     feed.to_parquet(src, index=False)
     per_batch.update(
         run_segment(
-            spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, rows, major_every
+            spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, rows, major_every,
+            major_rows,
         )
     )
     wall = time.perf_counter() - t0
@@ -287,7 +306,9 @@ def main() -> int:
     ids = sorted(per_batch)
     steady = [b for b in ids if b >= WARM_BATCHES and b % K != 0 and b != half]
     boundary = [b for b in ids if b >= WARM_BATCHES and b % K == 0]
-    major = [b for b in boundary if (b // K) % major_every == 0]
+    major = (
+        [b for b in boundary if (b // K) % major_every == 0] if major_every else []
+    )
     rebuild = [
         b for b in boundary
         if (b // K) % REBUILD_EVERY == 0 and b not in major
@@ -334,6 +355,17 @@ def main() -> int:
     # ---- hard gates: the claims, each falsifiable ----
     delta_bound = K + 2  # fold cadence + the in-flight window
     event_bound = (K + 1) * rows  # events from <= K+1 unconsumed batches
+    # corpus/sidecar reset bound: with a batch-count cadence, one minor
+    # version per fold between majors; with the SIZE trigger, however
+    # many folds the threshold takes to cross (+ slack for the
+    # in-flight window and the deferred below-floor vacuum)
+    if major_rows:
+        folds_to_cross = -(-major_rows // max(1, K * n_upd))  # ceil
+        reset_bound = folds_to_cross + 3
+    elif major_every:
+        reset_bound = major_every + 1
+    else:
+        reset_bound = n_batches // K + 2  # no major mechanism at all
     failures = []
     if not (drift == drift and drift <= MAX_STEADY_DRIFT):
         failures.append(f"steady-state drift x{drift:.2f} > x{MAX_STEADY_DRIFT}")
@@ -348,21 +380,34 @@ def main() -> int:
             ("stale_version_dirs", 2), ("revive_version_dirs", 2),
             # each MAJOR fold resets corpus versions + sidecar to the
             # floor; between majors, one minor version per fold (r11b)
-            ("corpus_version_dirs", major_every + 1),
-            ("superseded_version_dirs", major_every + 1),
+            ("corpus_version_dirs", reset_bound),
+            ("superseded_version_dirs", reset_bound),
         ):
             if s[key] > bound:
                 failures.append(f"{key}={s[key]} at age {age} exceeds bound {bound}")
-    if major:
+    if major or major_rows:
         from notion_vector_store_etl_pipeline_spark.streaming.dedup_stream import (
             read_compaction_manifest,
         )
 
-        floor = (read_compaction_manifest(out, spark) or {}).get("corpus_floor", 0)
+        dman = read_compaction_manifest(out, spark) or {}
+        floor = dman.get("corpus_floor", 0)
         if not floor:
             failures.append(
-                f"major boundaries ran ({major}) but no corpus_floor published"
+                "major mechanism active "
+                f"(cadence boundaries {major}, size trigger {major_rows}) "
+                "but no corpus_floor published"
             )
+        if major_rows:
+            # the size trigger's whole claim: the cumulative sidecar
+            # counter can never exceed threshold + one fold window
+            ctr = dman.get("superseded_rows", 0)
+            ctr_bound = major_rows + K * n_upd
+            if ctr > ctr_bound:
+                failures.append(
+                    f"superseded_rows={ctr} exceeds size-trigger bound "
+                    f"{ctr_bound} (threshold {major_rows} + fold window)"
+                )
     if flagged_rows != 0:
         failures.append(f"flagged={flagged_rows}: synthetic texts cannot near-dup")
     if clean_rows != n_batches * rows:
