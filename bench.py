@@ -18,6 +18,7 @@ import os
 import time
 
 from notion_vector_store_etl_pipeline_spark import get_spark
+from notion_vector_store_etl_pipeline_spark.operators.bloom import clear_sketch_memo
 from notion_vector_store_etl_pipeline_spark.operators.cache import release_cache
 from notion_vector_store_etl_pipeline_spark.plans import load_registry
 
@@ -206,12 +207,17 @@ def main() -> None:
         for _ in range(n_trials):
             release_cache()
             spark.catalog.clearCache()
+            # the Bloom sketch memo (operators/bloom.py) would otherwise
+            # make trial 2+ memo-warm while every other query is cold —
+            # min-of-trials must compare like with like across rounds
+            clear_sketch_memo()
             t0 = time.perf_counter()
             run(fn(spark, SF_DIR))
             trials.append(time.perf_counter() - t0)
         if max(trials) > 2 * min(trials):
             release_cache()
             spark.catalog.clearCache()
+            clear_sketch_memo()
             t0 = time.perf_counter()
             run(fn(spark, SF_DIR))
             trials.append(time.perf_counter() - t0)

@@ -404,16 +404,25 @@ def sequential_firstwins_pairs(pairs: DataFrame) -> DataFrame:
     pass would flag (``CHAIN_POLICIES`` note). Output rows' b_ids are
     the flagged docs; every other id survives.
 
-    Iterative peel over the pair DAG (a < b orients it, so it is
-    acyclic and each round decides at least the minimal ids): ids that
-    are nobody's b-side survive, their pairs flag their b_ids, pairs
-    whose a-side was flagged die (a flagged doc flags nobody), repeat.
+    Two phases. (1) Peel the pair DAG for the flagged ID set (a < b
+    orients it, so it is acyclic and each round decides at least the
+    minimal ids): ids that are nobody's b-side survive, their pairs
+    flag their b_ids, pairs touching a flagged id leave the frontier
+    (a flagged doc flags nobody; a flagged b is decided), repeat.
     Rounds = longest chain length; each round is two anti-joins over
     the (small, verified-pair) set, localCheckpoint-truncated so the
-    loop's plan does not nest.
+    loop's plan does not nest. (2) Attribute from the ORIGINAL pair
+    set: a pair belongs in the output iff its a_id survived (is not
+    flagged) — attribution must not come from the peel's own frontier,
+    because a pair whose b was flagged early leaves the frontier
+    before its a is proven a survivor (pairs {(1,2),(2,3),(3,4),(1,4)}:
+    (3,4) exits in round 1 via b=4, yet 3 survives in round 2 and the
+    sequential disposition — and the SQL oracle, and a one-doc-per-
+    batch stream — all emit (3,4)).
     """
-    undecided = pairs.localCheckpoint(eager=True)
-    kept: DataFrame | None = None
+    pairs = pairs.localCheckpoint(eager=True)
+    undecided = pairs
+    flagged: DataFrame | None = None
     while not undecided.isEmpty():
         b_side = undecided.select(F.col("b_id").alias("id")).distinct()
         survivors = (
@@ -421,25 +430,33 @@ def sequential_firstwins_pairs(pairs: DataFrame) -> DataFrame:
             .distinct()
             .join(b_side, "id", "left_anti")
         )
-        decided = undecided.join(
-            survivors.withColumnRenamed("id", "a_id"), "a_id", "left_semi"
+        newly = (
+            undecided.join(
+                survivors.withColumnRenamed("id", "a_id"), "a_id", "left_semi"
+            )
+            .select(F.col("b_id").alias("id"))
+            .distinct()
         )
-        kept = decided if kept is None else kept.unionByName(decided)
-        flagged = decided.select(F.col("b_id").alias("id")).distinct()
+        flagged = newly if flagged is None else flagged.unionByName(newly).distinct()
         undecided = (
             undecided
             # decided pairs leave the frontier
             .join(survivors.withColumnRenamed("id", "a_id"), "a_id", "left_anti")
             # a flagged doc can neither flag (a-side) nor be re-flagged
             # (b-side decided)
-            .join(flagged.withColumnRenamed("id", "a_id"), "a_id", "left_anti")
-            .join(flagged.withColumnRenamed("id", "b_id"), "b_id", "left_anti")
+            .join(newly.withColumnRenamed("id", "a_id"), "a_id", "left_anti")
+            .join(newly.withColumnRenamed("id", "b_id"), "b_id", "left_anti")
             .select(*pairs.columns)
             .localCheckpoint(eager=True)
         )
-    if kept is None:
+    if flagged is None:
         return pairs  # empty input: nothing to resolve
-    return kept.localCheckpoint(eager=True)
+    flagged = flagged.localCheckpoint(eager=True)
+    return (
+        pairs.join(flagged.withColumnRenamed("id", "b_id"), "b_id", "left_semi")
+        .join(flagged.withColumnRenamed("id", "a_id"), "a_id", "left_anti")
+        .select(*pairs.columns)
+    )
 
 
 #: How many lowest-sid members a dense bucket keeps as probe targets

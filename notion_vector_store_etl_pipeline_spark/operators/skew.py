@@ -29,16 +29,37 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def _content_salt(columns: list[str], salt_buckets: int) -> Column:
-    """Deterministic per-row salt: xxhash64 over every natural column.
+def _contains_map(dt: T.DataType) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _content_salt(df: DataFrame, salt_buckets: int) -> Column:
+    """Deterministic per-row salt: xxhash64 over every HASHABLE natural
+    column (MAP-typed columns — including maps nested in arrays or
+    structs — are excluded: `xxhash64` rejects them at analysis time,
+    and map key order is undefined anyway, the same reason Spark bans
+    maps in grouping/join keys).
 
     Retry-safe (same bytes → same bucket on recompute); no arithmetic
     overflow risk under ANSI mode (xxhash64 wraps internally, unlike a
     raw `hash + id` BIGINT addition).
     """
-    return F.pmod(F.xxhash64(*[F.col(c) for c in columns]), F.lit(salt_buckets))
+    cols = [f.name for f in df.schema.fields if not _contains_map(f.dataType)]
+    if not cols:
+        raise ValueError(
+            "no hashable (non-MAP) columns to derive a deterministic salt "
+            "from; project a hashable key or serialize the map first"
+        )
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_buckets))
 
 
 def salted_join(
@@ -53,7 +74,7 @@ def salted_join(
     # any deterministic spreader works for correctness here (the dim side
     # is replicated over every salt value) — content hash keeps the
     # scatter stable under task retry too, see module docstring
-    fact_salted = fact.withColumn("__salt_f", _content_salt(fact.columns, salt_buckets))
+    fact_salted = fact.withColumn("__salt_f", _content_salt(fact, salt_buckets))
     dim_replicated = dim.withColumn(
         "__salt_d",
         F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt_buckets - 1).cast("long"))),
@@ -73,6 +94,6 @@ def salted_count(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
     # deterministic content salt: phase-1 partitioning is (key, salt), so a
     # retry-recomputed map task must re-assign every row to the SAME salt or
     # the merge double-counts/loses rows (module docstring)
-    salted = df.withColumn("__salt", _content_salt(df.columns, salt_buckets))
+    salted = df.withColumn("__salt", _content_salt(df, salt_buckets))
     partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__partial"))
     return partial.groupBy(key).agg(F.sum("__partial").cast("bigint").alias("n_rows"))

@@ -21,13 +21,16 @@ Implementation notes:
   free, so the local-HTTP-server integration test
   (tests/test_transport_integration.py) runs even in sandboxes with no
   package installs.
-- Transports return ``(status, body)`` and NEVER raise on HTTP error
-  statuses — classification (retry vs fail-row) belongs to
-  ``fetch_with_retry``. Network-level failures (refused connection,
-  DNS, timeout) map to status 503: they are transient in exactly the
-  sense the retryable set models, and after the backoff schedule
-  exhausts, the row fails with that status instead of killing a 500k-
-  row task.
+- Transports return ``(status, body)`` and NEVER raise — not on HTTP
+  error statuses, not on malformed input. Classification (retry vs
+  fail-row) belongs to ``fetch_with_retry``. Network-level failures
+  (refused connection, DNS, timeout) map to status 503: transient in
+  exactly the sense the retryable set models, so the backoff schedule
+  runs and then the ROW fails with that status. Malformed URLs (empty,
+  relative, unknown scheme, embedded whitespace) map to status 400:
+  permanent, so the row fails FAST without burning the backoff — and
+  in both cases the exception can never escape into ``mapInPandas``
+  and kill a 500k-row task after Spark's own retries.
 - These are PLAIN FUNCTIONS/factories safe to close over in
   ``mapInPandas`` stages: build per-partition state (sessions) via
   ``transport_factory`` so nothing unpicklable crosses the driver ->
@@ -50,16 +53,29 @@ DEFAULT_TIMEOUT = 30.0  # reference REQUEST_TIMEOUT (`:49`)
 Transport = Callable[[str], Tuple[int, bytes]]
 
 
-def _urllib_get(url: str, timeout: float, headers: dict) -> Tuple[int, bytes]:
+def _urllib_request(
+    url: str,
+    timeout: float,
+    headers: dict,
+    data: bytes | None = None,
+    method: str = "GET",
+) -> Tuple[int, bytes]:
+    """Shared stdlib request core for GET and POST — one place for the
+    (status, body) / never-raise mapping."""
+    import http.client
     import urllib.error
     import urllib.request
 
-    req = urllib.request.Request(url, headers=headers)
     try:
+        req = urllib.request.Request(url, data=data, headers=headers, method=method)
         with urllib.request.urlopen(req, timeout=timeout) as resp:
             return resp.status, resp.read()
     except urllib.error.HTTPError as exc:  # non-2xx WITH a status
         return exc.code, b""
+    except (ValueError, http.client.InvalidURL, UnicodeError):
+        # malformed URL (empty, relative, unknown scheme, whitespace):
+        # permanent -> non-retryable, fail the row fast
+        return 400, b""
     except (urllib.error.URLError, OSError, TimeoutError):
         return 503, b""  # transport-level fault -> retryable
 
@@ -84,13 +100,17 @@ def http_transport_factory(
                 try:
                     resp = session.get(url, timeout=timeout)
                     return resp.status_code, resp.content
-                except _requests.RequestException:
+                except (_requests.exceptions.MissingSchema,
+                        _requests.exceptions.InvalidURL,
+                        _requests.exceptions.InvalidSchema):
+                    return 400, b""  # malformed -> permanent, fail fast
+                except (_requests.RequestException, ValueError):
                     return 503, b""
 
             return tx
 
         def tx(url: str) -> Tuple[int, bytes]:
-            return _urllib_get(url, timeout, hdrs)
+            return _urllib_request(url, timeout, hdrs)
 
         return tx
 
@@ -111,19 +131,13 @@ def http_post(
         try:
             resp = _requests.post(url, data=body, timeout=timeout, headers=hdrs)
             return resp.status_code, resp.content
-        except _requests.RequestException:
+        except (_requests.exceptions.MissingSchema,
+                _requests.exceptions.InvalidURL,
+                _requests.exceptions.InvalidSchema):
+            return 400, b""
+        except (_requests.RequestException, ValueError):
             return 503, b""
-    import urllib.error
-    import urllib.request
-
-    req = urllib.request.Request(url, data=body, headers=hdrs, method="POST")
-    try:
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
-            return resp.status, resp.read()
-    except urllib.error.HTTPError as exc:
-        return exc.code, b""
-    except (urllib.error.URLError, OSError, TimeoutError):
-        return 503, b""
+    return _urllib_request(url, timeout, hdrs, data=body, method="POST")
 
 
 def upload_store_jsonl(

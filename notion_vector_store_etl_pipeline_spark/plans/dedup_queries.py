@@ -284,15 +284,20 @@ def minhash_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_SHINGLES_CTE.replace("WITH words", "WITH RECURSIVE words", 1)
     + _MH_PAIRS_CTES
     + """
-    , ord AS (
+    , pairs_m AS MATERIALIZED (
+      -- materialize: DuckDB inlines plain CTEs, so the recursive walk
+      -- below would otherwise re-run the whole minhash pipeline once
+      -- per iteration
+      SELECT a_id, b_id, jaccard FROM mh_pairs
+    ), ord AS MATERIALIZED (
       SELECT id, row_number() OVER (ORDER BY id) AS rn
-      FROM (SELECT a_id AS id FROM mh_pairs UNION SELECT b_id FROM mh_pairs)
+      FROM (SELECT a_id AS id FROM pairs_m UNION SELECT b_id FROM pairs_m)
     ), walk(rn, survivors) AS (
       SELECT 0, CAST([] AS BIGINT[])
       UNION ALL
       SELECT w.rn + 1,
              CASE WHEN EXISTS (
-                 SELECT 1 FROM mh_pairs p
+                 SELECT 1 FROM pairs_m p
                  WHERE p.b_id = (SELECT id FROM ord WHERE rn = w.rn + 1)
                    AND list_contains(w.survivors, p.a_id))
                THEN w.survivors
@@ -303,7 +308,7 @@ def minhash_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT survivors FROM walk ORDER BY rn DESC LIMIT 1
     )
     SELECT p.a_id, p.b_id, p.jaccard
-    FROM mh_pairs p, final f
+    FROM pairs_m p, final f
     WHERE list_contains(f.survivors, p.a_id)
     """,
     doc="Greedy first-wins chain disposition over the verified near-dup "

@@ -995,26 +995,44 @@ def streaming_ingest_etl(
                 "batch against the current sidecar"
             )
         # stale/revive events: every doc (re)processed this batch
-        # supersedes its PRIOR versions' vectors. Prior vec_ids the new
-        # content does NOT regenerate -> stale (the reference's
-        # stale-vector deletion, SURVEY §2.2 K4); prior vec_ids it
-        # DOES regenerate (a content revert — deterministic chunk ids)
-        # -> revive, outranking their earlier stale event so the
-        # re-added physical copy is served (module docstring).
+        # supersedes its LATEST prior version's vectors. Latest-version
+        # vec_ids the new content does NOT regenerate -> stale (the
+        # reference's stale-vector deletion, SURVEY §2.2 K4); prior
+        # vec_ids from ANY version the new content DOES regenerate (a
+        # content revert — deterministic chunk ids) -> revive,
+        # outranking their earlier stale event so the re-added physical
+        # copy is served (module docstring).
+        #
+        # The stale diff is against the LATEST version only (r12, the
+        # hot-update endurance variant caught this): older versions'
+        # vecs already carry a stale event from the update that retired
+        # them, and their newest event stays stale unless THIS batch
+        # revives them — so re-staling the whole history each reprocess
+        # added nothing to liveness while growing per-update event
+        # volume linearly with the doc's update depth (80-update-share
+        # batches emitted ~4x the events the fold-cadence bound
+        # models). Revive detection still scans ALL versions: an
+        # A->B->A->B oscillation must revive B's vecs from two versions
+        # back.
         if prior is not None:
-            prior_exp = (
-                prior.join(todo.select("doc_id"), "doc_id", "left_semi")
+            prior_scoped = prior.join(todo.select("doc_id"), "doc_id", "left_semi")
+            latest_exp = (
+                prior_scoped.groupBy("doc_id")
+                .agg(F.max(F.struct("batch_id", "vec_ids"))["vec_ids"].alias("vec_ids"))
                 .select("doc_id", F.explode("vec_ids").alias("vec_id"))
                 .dropDuplicates()
             )
+            all_exp = prior_scoped.select(
+                "doc_id", F.explode("vec_ids").alias("vec_id")
+            ).dropDuplicates()
             link = chunks.select("doc_id", "vec_id")
             stale = (
-                prior_exp.join(link, ["doc_id", "vec_id"], "left_anti")
+                latest_exp.join(link, ["doc_id", "vec_id"], "left_anti")
                 .select("vec_id")
                 .dropDuplicates()
             )
             revive = (
-                prior_exp.join(link, ["doc_id", "vec_id"], "left_semi")
+                all_exp.join(link, ["doc_id", "vec_id"], "left_semi")
                 .select("vec_id")
                 .dropDuplicates()
             )

@@ -179,3 +179,18 @@ def test_chain_disposition_invariant_to_pagination(spark, tmp_path):
     one_flagged, one_clean = _run_stream(spark, tmp_path, "one", 10, "sequential")
     assert one_flagged == {(2, 1)}
     assert one_clean == {1, 3}
+
+
+def test_peel_late_survivor_pair_attribution(spark):
+    """The review-caught shape: pairs {(1,2),(2,3),(3,4),(1,4)}. Greedy
+    keeps {1,3}; 4 flags with BOTH surviving partners — (3,4) must be
+    emitted even though its b side was flagged (via (1,4)) a round
+    before 3 was proven a survivor. A frontier-based attribution
+    dropped it, diverging from the SQL oracle and a one-doc-per-batch
+    stream."""
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 3, 0.5), (3, 4, 0.5), (1, 4, 0.5)],
+        "a_id: long, b_id: long, jaccard: double",
+    )
+    got = sorted((r.a_id, r.b_id) for r in D.sequential_firstwins_pairs(pairs).collect())
+    assert got == [(1, 2), (1, 4), (3, 4)]

@@ -196,3 +196,24 @@ def test_cli_recovers_state_after_commit_crash(spark, tmp_path, capsys):
         "--state-path", state, "--output-dir", str(tmp_path / "c2"),
     )
     assert "processed=0" in line and "skipped=500" in line
+
+
+def test_cli_streaming_default_store_minted(spark, tmp_path, capsys):
+    """No --output-dir with --streaming: the CLI mints a deterministic
+    default store under the state path (the reference's lazy
+    ensure_vector_store, `:600-606`) instead of erroring — and a rerun
+    resolves the SAME store."""
+    import os
+
+    from notion_vector_store_etl_pipeline_spark.__main__ import main
+
+    state = str(tmp_path / "state")
+    rc = main([
+        "--data-dir", "/root/testdata/sf0.001",
+        "--state-path", state, "--streaming", "--page-size", "200",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    store = os.path.join(state, "vector-store")
+    assert f"using default store {store}" in out
+    assert os.path.isfile(os.path.join(store, "_manifest.json"))

@@ -292,3 +292,48 @@ def test_size_triggered_major_fold(spark, tmp_path):
     assert texts[-5] == _vtext("patience")
     assert len(rows) == len(texts)
     D.release_cache()
+
+
+def test_oscillating_doc_revives_from_older_version(
+    spark, tmp_path, pipeline_fixture
+):
+    """r12 stale-event slimming regression pin: the stale diff now runs
+    against the doc's LATEST prior version only (hot-update event
+    volume was growing with update depth), but revive detection must
+    still scan ALL versions — an A->B->A->B oscillation revives B's
+    vectors from TWO versions back. Latest-only revive detection would
+    leave vb dead and the doc served with nothing."""
+    from tests.test_ingest_pipeline import _run, _write_source
+    from tests.test_ingest_pipeline_r11 import _doc_vecs
+
+    inc, corpus_path, lsh_path, ivf_path = pipeline_fixture
+    src = str(tmp_path / "incoming.parquet")
+    _write_source(inc, src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    kw = dict(page_size=4, pages_per_batch=1)
+    _run(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, **kw)
+
+    clean1 = {r.doc_id for r in spark.read.parquet(f"{out}/clean").collect()}
+    x = sorted(clean1)[0]
+    row = inc.loc[inc.doc_id == x].iloc[0]
+    text_a, src_col = str(row.text), str(row.source)
+    text_b = (
+        "a second edition rewritten to discuss the hydraulics of "
+        "victorian canal boat lifts and their balanced caissons"
+    )
+    va = _doc_vecs(spark, text_a, src_col, int(x))
+    vb = _doc_vecs(spark, text_b, src_col, int(x))
+    assert va and vb and not (va & vb)
+
+    feed = inc
+    for text in (text_b, text_a, text_b):  # A -> B -> A -> B
+        feed = pd.concat(
+            [feed, pd.DataFrame({"doc_id": [x], "text": [text], "source": [src_col]})],
+            ignore_index=True,
+        )
+        _write_source(feed, src)
+        _run(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, **kw)
+
+    served = {v for v, _ in _served(spark, out, ivf_path)}
+    assert vb <= served, "final version B must be fully served"
+    assert not (va & served), "version A must be dead after the last flip"

@@ -133,9 +133,10 @@ def test_salt_assignment_is_content_deterministic(spark):
     salted_count's (key, salt) phase-1 shuffle (VERDICT r11 finding)."""
     from notion_vector_store_etl_pipeline_spark.operators.skew import _content_salt
 
-    df = spark.createDataFrame(
+    base = spark.createDataFrame(
         [(i % 3, f"payload-{i}") for i in range(200)], "k: long, v: string"
-    ).withColumn("__salt", _content_salt(["k", "v"], 16))
+    )
+    df = base.withColumn("__salt", _content_salt(base, 16))
     a = {(r["k"], r["v"]): r["__salt"] for r in df.collect()}
     b = {(r["k"], r["v"]): r["__salt"] for r in df.collect()}  # fresh action, no cache
     assert a == b
@@ -213,10 +214,35 @@ def test_salted_ops_survive_task_retry(tmp_path):
         capture_output=True,
         text=True,
         timeout=300,
-        cwd="/root/repo",
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "SALT_RETRY_OK" in proc.stdout
+
+
+def test_salted_ops_tolerate_map_columns(spark):
+    """xxhash64 rejects MAP-typed input at analysis time; the content
+    salt must skip such columns (including maps nested in structs)
+    instead of failing the whole operator — a regression risk vs the
+    old id-based salt, which was schema-agnostic."""
+    from notion_vector_store_etl_pipeline_spark.operators.skew import (
+        salted_count,
+        salted_join,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, {"a": i}, (i, {"b": "x"})) for i in range(60)],
+        "k: long, m: map<string,int>, s: struct<x: long, y: map<string,string>>",
+    )
+    got = {r.k: r.n_rows for r in salted_count(df, "k").collect()}
+    assert got == {0: 20, 1: 20, 2: 20}
+    dim = spark.createDataFrame([(0, "z")], "dk: long, name: string")
+    assert salted_join(df, dim, "k", "dk").count() == 20
+    # all-map payload: loud, actionable error instead of an opaque
+    # analysis exception
+    only_map = spark.createDataFrame([({"a": 1},)], "m: map<string,int>")
+    with pytest.raises(ValueError, match="hashable"):
+        salted_count(only_map, "m").collect()
 
 
 def test_bloom_sketch_memoized_per_build_side(spark, monkeypatch):

@@ -145,3 +145,28 @@ def test_http_post_roundtrip(http_server):
     assert status == 200
     status, _ = http_post("http://127.0.0.1:1/x", b"y", timeout=2)
     assert status == 503
+
+
+def test_malformed_urls_fail_row_not_task(spark):
+    """The never-raise contract at the transport layer: empty,
+    relative, unknown-scheme, and whitespace URLs must come back as a
+    failed ROW (4xx fast or 503 after backoff), never as an exception
+    escaping into mapInPandas — which would kill the whole task after
+    Spark's retries."""
+    rows = [
+        (1, ""),
+        (2, "/relative/path"),
+        (3, "notion://block/abc"),
+        (4, "https://exa mple.com/x"),
+    ]
+    df = spark.createDataFrame(rows, "block_id: long, url: string")
+    got = {
+        r.block_id: (r.status, r.payload)
+        for r in fetch_urls(
+            df,
+            transport_factory=http_transport_factory(timeout=2),
+            sleep=lambda s: None,
+        ).collect()
+    }
+    for bid, (status, payload) in got.items():
+        assert status in (400, 503) and payload is None, (bid, status)
