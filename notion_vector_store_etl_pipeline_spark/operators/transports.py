@@ -76,8 +76,26 @@ def _urllib_request(
         # malformed URL (empty, relative, unknown scheme, whitespace):
         # permanent -> non-retryable, fail the row fast
         return 400, b""
-    except (urllib.error.URLError, OSError, TimeoutError):
-        return 503, b""  # transport-level fault -> retryable
+    except (http.client.HTTPException, urllib.error.URLError, OSError, TimeoutError):
+        # garbage status line (BadStatusLine), truncated chunked body
+        # (IncompleteRead), refused/DNS/timeout: transient shapes ->
+        # retryable, never an escape into the task
+        return 503, b""
+
+
+def _requests_status(call) -> Tuple[int, bytes]:
+    """Shared requests-path (status, body) / never-raise mapping —
+    ONE place classifying malformed input (400, fail fast) vs
+    transport faults (503, retryable) for GET and POST alike."""
+    try:
+        resp = call()
+        return resp.status_code, resp.content
+    except (_requests.exceptions.MissingSchema,
+            _requests.exceptions.InvalidURL,
+            _requests.exceptions.InvalidSchema):
+        return 400, b""
+    except (_requests.RequestException, ValueError):
+        return 503, b""
 
 
 def http_transport_factory(
@@ -97,15 +115,7 @@ def http_transport_factory(
             session.headers.update(hdrs)
 
             def tx(url: str) -> Tuple[int, bytes]:
-                try:
-                    resp = session.get(url, timeout=timeout)
-                    return resp.status_code, resp.content
-                except (_requests.exceptions.MissingSchema,
-                        _requests.exceptions.InvalidURL,
-                        _requests.exceptions.InvalidSchema):
-                    return 400, b""  # malformed -> permanent, fail fast
-                except (_requests.RequestException, ValueError):
-                    return 503, b""
+                return _requests_status(lambda: session.get(url, timeout=timeout))
 
             return tx
 
@@ -128,15 +138,9 @@ def http_post(
     custom sinks."""
     hdrs = dict(headers or {})
     if _requests is not None:
-        try:
-            resp = _requests.post(url, data=body, timeout=timeout, headers=hdrs)
-            return resp.status_code, resp.content
-        except (_requests.exceptions.MissingSchema,
-                _requests.exceptions.InvalidURL,
-                _requests.exceptions.InvalidSchema):
-            return 400, b""
-        except (_requests.RequestException, ValueError):
-            return 503, b""
+        return _requests_status(
+            lambda: _requests.post(url, data=body, timeout=timeout, headers=hdrs)
+        )
     return _urllib_request(url, timeout, hdrs, data=body, method="POST")
 
 

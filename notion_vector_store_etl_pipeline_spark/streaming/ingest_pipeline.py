@@ -885,6 +885,17 @@ def streaming_ingest_etl(
             todo = batch.join(
                 latest, ["doc_id", "content_hash"], "left_anti"
             ).localCheckpoint(eager=True)
+            if todo.isEmpty():
+                # every doc in this batch was skipped (a verbatim
+                # re-feed): nothing to probe, chunk, or record. Writing
+                # the empty artifacts anyway is not just waste — the
+                # ann delta is a partitionBy write, and an empty
+                # partitionBy dir has NO part files, so a later read of
+                # the delta tree dies with UNABLE_TO_INFER_SCHEMA (r12
+                # review lifecycle pin). Replay-safe: the skip decision
+                # is a pure function of state below this batch, so a
+                # crash-replay skips identically.
+                return
         if update_index:
             # probe corpus ∪ committed stream state: anchor on the
             # dedup compaction manifest (folded index version + folded
@@ -1048,10 +1059,19 @@ def streaming_ingest_etl(
         # state LAST: a crash before this point replays the batch with
         # the doc not yet marked processed (rewrite, idempotent); after
         # it, the epoch commit is the only step left. Each row carries
-        # the doc's chunk-vector manifest (empty for skipped/flagged
-        # docs) — the stale computation's source on the NEXT update.
+        # the doc's chunk-vector manifest — the stale computation's
+        # source on the NEXT update. Rows are written for TODO docs
+        # only (processed or flagged — for those, an empty manifest
+        # means "nothing serving", which is true): a SKIPPED re-feed
+        # must NOT write a row, because its empty vec_ids would become
+        # the doc's latest state row and the next real update's
+        # latest-version stale diff would find nothing to stale —
+        # version-A vectors would be served beside version B forever
+        # (r12 review; the skip decision itself only needs the hash of
+        # the latest EXISTING row, which the prior processed/flagged
+        # row already carries).
         (
-            batch.select("doc_id", "content_hash")
+            todo.select("doc_id", "content_hash")
             .join(
                 chunks.groupBy("doc_id").agg(
                     F.collect_list("vec_id").alias("vec_ids")

@@ -402,7 +402,9 @@ def main() -> int:
             # the size trigger's whole claim: the cumulative sidecar
             # counter can never exceed threshold + one fold window
             ctr = dman.get("superseded_rows", 0)
-            ctr_bound = major_rows + K * n_upd
+            # reverts change content too, so they land in the clean
+            # window and count as supersessions exactly like updates
+            ctr_bound = major_rows + K * (n_upd + n_rev)
             if ctr > ctr_bound:
                 failures.append(
                     f"superseded_rows={ctr} exceeds size-trigger bound "

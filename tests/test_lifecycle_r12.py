@@ -337,3 +337,91 @@ def test_oscillating_doc_revives_from_older_version(
     served = {v for v, _ in _served(spark, out, ivf_path)}
     assert vb <= served, "final version B must be fully served"
     assert not (va & served), "version A must be dead after the last flip"
+
+
+def test_skipped_refeed_does_not_mask_latest_version(
+    spark, tmp_path, pipeline_fixture
+):
+    """r12 review catch: a SKIPPED re-feed used to write a state row
+    with EMPTY vec_ids, which became the doc's latest state row — the
+    next real update's latest-version stale diff then found nothing to
+    stale, and the old vectors were served beside the new ones forever.
+    Lifecycle: process A -> re-feed A verbatim (skip) -> update to B:
+    version-A vectors must be dead, the served view must hold exactly
+    version B."""
+    from tests.test_ingest_pipeline import _run, _write_source
+    from tests.test_ingest_pipeline_r11 import _doc_vecs
+
+    inc, corpus_path, lsh_path, ivf_path = pipeline_fixture
+    src = str(tmp_path / "incoming.parquet")
+    _write_source(inc, src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    kw = dict(page_size=4, pages_per_batch=1)
+    _run(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, **kw)
+
+    x = sorted(r.doc_id for r in spark.read.parquet(f"{out}/clean").collect())[0]
+    row = inc.loc[inc.doc_id == x].iloc[0]
+    text_a, src_col = str(row.text), str(row.source)
+    text_b = (
+        "a full rewrite about the etiquette of narrowboat mooring and "
+        "the unwritten rules of the towpath water queue"
+    )
+    va = _doc_vecs(spark, text_a, src_col, int(x))
+    vb = _doc_vecs(spark, text_b, src_col, int(x))
+    assert va and vb and not (va & vb)
+
+    # verbatim re-feed ALONE first: an all-skipped batch must write no
+    # artifacts at all (an empty partitionBy ann-delta dir would break
+    # later schema inference on the tree read)
+    feed = pd.concat(
+        [inc, pd.DataFrame({"doc_id": [x], "text": [text_a], "source": [src_col]})],
+        ignore_index=True,
+    )
+    _write_source(feed, src)
+    _run(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, **kw)
+    n_clean_x = (
+        spark.read.parquet(f"{out}/clean").filter(F.col("doc_id") == x).count()
+    )
+    assert n_clean_x == 1, "verbatim re-feed must be skipped"
+
+    # then a MIXED batch: the same re-feed lands beside a brand-new doc,
+    # so the batch is processed — the skipped doc must STILL get no
+    # state row (the todo-scoped write), or its empty manifest masks
+    # the real latest version
+    feed = pd.concat(
+        [
+            feed,
+            pd.DataFrame(
+                {
+                    "doc_id": [x, 10**7],
+                    "text": [
+                        text_a,
+                        "an entirely fresh document about the acoustics of "
+                        "empty grain silos and the birds that nest in them",
+                    ],
+                    "source": [src_col, "sy"],
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    _write_source(feed, src)
+    _run(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, **kw)
+    state_rows_x = (
+        spark.read.parquet(f"{out}/state").filter(F.col("doc_id") == x).count()
+    )
+    assert state_rows_x == 1, "skipped doc in a mixed batch must not re-row state"
+
+    # the real update: version A must stale
+    feed = pd.concat(
+        [feed, pd.DataFrame({"doc_id": [x], "text": [text_b], "source": [src_col]})],
+        ignore_index=True,
+    )
+    _write_source(feed, src)
+    _run(spark, src, corpus_path, lsh_path, ivf_path, out, ckpt, **kw)
+    served = {v for v, _ in _served(spark, out, ivf_path)}
+    assert vb <= served, "version B must be served"
+    assert not (va & served), (
+        "version-A vectors survived the update: the skipped re-feed's "
+        "state row masked the latest real manifest"
+    )
