@@ -58,16 +58,62 @@ _WORDS_COL = "__bloom_words"
 # sameSemantics before reuse (a hash collision must not serve a wrong
 # sketch). The memo holds one-row LocalRelations — plain Python data,
 # no executor storage, so operators.cache.release_cache() does not need
-# to know about it. Staleness caveat: semantics track the PLAN, not the
-# files under it — a caller that rewrites the build-side parquet between
-# probes must call clear_sketch_memo() (same contract as index_memo's
-# version tag).
+# to know about it.
+#
+# Staleness (ADVICE r12): semantics track the PLAN, not the files under
+# it — re-reading the same parquet path after a rewrite compares
+# semantically EQUAL, and a stale sketch served to the semi-filter
+# silently DROPS probe rows whose bits the rewrite added. Reuse is
+# therefore additionally gated on the relation's file-index SNAPSHOT
+# (sorted input files + per-file mtime/length via the Hadoop FS of each
+# path, the same filesystem abstraction the scan itself uses): a
+# rewrite changes part filenames (Spark writes fresh UUID part names)
+# or at minimum mtimes, so the snapshot differs and the sketch
+# rebuilds. Snapshot capture is driver-side metadata only (no scan);
+# when the file list exceeds _SNAPSHOT_STAT_CAP the per-file stat is
+# skipped and the name list alone gates reuse (rewrites still churn
+# names) — and a relation whose files cannot be enumerated at all
+# (views over non-file sources) falls back to never-reuse rather than
+# risk a stale sketch. clear_sketch_memo() remains the explicit
+# invalidation hook.
 _SKETCH_MEMO: dict[tuple, tuple] = {}
 _SKETCH_MEMO_MAX = 16
+_SNAPSHOT_STAT_CAP = 256
 
 
 def clear_sketch_memo() -> None:
     _SKETCH_MEMO.clear()
+
+
+def _input_snapshot(df: DataFrame) -> tuple | None:
+    """Fingerprint of the files under a plan: sorted (path, mtime, len)
+    tuples — None when the inputs cannot be enumerated (then the memo
+    must not be trusted). A LocalRelation (createDataFrame) has no
+    files; its snapshot is the empty tuple, and its CONTENT is already
+    pinned by the plan semantics, so reuse stays sound there."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return None
+    if not files:
+        return ()
+    if len(files) > _SNAPSHOT_STAT_CAP:
+        return tuple(files)
+    try:
+        sc = df.sparkSession.sparkContext
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        out = []
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            st = p.getFileSystem(hconf).getFileStatus(p)
+            out.append((f, st.getModificationTime(), st.getLen()))
+        return tuple(out)
+    except Exception:
+        # stat failed (permissions, races): names alone still catch
+        # part-name churn; an in-place same-name overwrite would need
+        # clear_sketch_memo(), as before
+        return tuple(files)
 
 
 def _positions(key: Column, m_bits: int, k: int) -> Column:
@@ -110,18 +156,23 @@ def bloom_words_row(build_keys: DataFrame, key: str, m_bits: int = 1 << 20, k: i
     except Exception:  # pragma: no cover - plan shapes without a hash
         sem = None
     memo_key = (sem, key, m_bits, k)
-    if sem is not None and memo_key in _SKETCH_MEMO:
-        prior_df, prior_session, words_row = _SKETCH_MEMO[memo_key]
-        if prior_session is spark and build_keys.sameSemantics(prior_df):
+    snapshot = _input_snapshot(build_keys)
+    if sem is not None and snapshot is not None and memo_key in _SKETCH_MEMO:
+        prior_df, prior_session, prior_snapshot, words_row = _SKETCH_MEMO[memo_key]
+        if (
+            prior_session is spark
+            and prior_snapshot == snapshot
+            and build_keys.sameSemantics(prior_df)
+        ):
             return words_row
     dense = [0] * ((m_bits + 63) // 64)
     for r in bloom_build(build_keys, key, m_bits, k).collect():
         dense[int(r["word_idx"])] = int(r["word"])
     words_row = spark.createDataFrame([(dense,)], f"{_WORDS_COL}: array<bigint>")
-    if sem is not None:
+    if sem is not None and snapshot is not None:
         while len(_SKETCH_MEMO) >= _SKETCH_MEMO_MAX:
             _SKETCH_MEMO.pop(next(iter(_SKETCH_MEMO)))
-        _SKETCH_MEMO[memo_key] = (build_keys, spark, words_row)
+        _SKETCH_MEMO[memo_key] = (build_keys, spark, snapshot, words_row)
     return words_row
 
 

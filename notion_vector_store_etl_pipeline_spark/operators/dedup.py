@@ -419,8 +419,33 @@ def sequential_firstwins_pairs(pairs: DataFrame) -> DataFrame:
     (3,4) exits in round 1 via b=4, yet 3 survives in round 2 and the
     sequential disposition — and the SQL oracle, and a one-doc-per-
     batch stream — all emit (3,4)).
+
+    Input contract, ENFORCED (ADVICE r12): every row must satisfy
+    ``a_id < b_id`` with both non-null. The peel's termination proof
+    rests on that orientation (acyclic ⇒ each round decides at least
+    the minimal undecided ids); a self-pair, a reversed pair forming a
+    cycle ((1,2)+(2,1)), or a null id would leave the frontier
+    unchanged every round and HANG the driver. The engine's pair
+    producers (minhash_neardup, cosine_selfjoin_pairs, the IVF blocked
+    family) all emit a_id < b_id by construction, but this is a public
+    operator — malformed input raises ``ValueError`` up front (one
+    cheap job over the just-checkpointed, pair-sized frame) instead of
+    looping forever.
     """
     pairs = pairs.localCheckpoint(eager=True)
+    bad = pairs.filter(
+        F.col("a_id").isNull()
+        | F.col("b_id").isNull()
+        | (F.col("a_id") >= F.col("b_id"))
+    )
+    if not bad.isEmpty():
+        sample = [(r["a_id"], r["b_id"]) for r in bad.limit(5).collect()]
+        raise ValueError(
+            "sequential_firstwins_pairs requires a_id < b_id (non-null) on "
+            f"every pair — the a<b orientation is what makes the peel's pair "
+            f"DAG acyclic and the loop terminate; offending pairs (first 5): "
+            f"{sample}"
+        )
     undecided = pairs
     flagged: DataFrame | None = None
     while not undecided.isEmpty():

@@ -69,6 +69,23 @@ def test_peel_multiple_winners(spark):
     assert got == [(1, 3), (2, 3)]
 
 
+def test_peel_rejects_malformed_pairs(spark):
+    """ADVICE r12: a self-pair or a reversed/cyclic pair leaves the
+    peel's frontier unchanged every round — must raise up front, not
+    hang the driver."""
+    for rows in (
+        [(2, 2, 0.5)],  # self-pair
+        [(1, 2, 0.5), (2, 1, 0.5)],  # reversed pair -> 2-cycle
+        [(3, 1, 0.5)],  # orientation violated
+        [(None, 2, 0.5)],  # null id vanishes from comparisons
+    ):
+        pairs = spark.createDataFrame(
+            rows, "a_id: long, b_id: long, jaccard: double"
+        )
+        with pytest.raises(ValueError, match="a_id < b_id"):
+            D.sequential_firstwins_pairs(pairs)
+
+
 def test_peel_long_chain(spark):
     # 1~2~3~4~5: alternating survive/flag — 1,3,5 kept
     pairs = spark.createDataFrame(

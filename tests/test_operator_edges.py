@@ -196,6 +196,15 @@ got_j = sorted(map(tuple, j.collect()))
 exp_j = sorted(map(tuple, fact.join(dim, fact.k == dim.dk)
                    .select("k", "v", "name").collect()))
 assert got_j == exp_j, (len(got_j), len(exp_j))
+
+# key-only frame: the degenerate path salts by the per-partition
+# ordinal (VERDICT r12 #4) — counts must still replay exactly under
+# injected task failure (whole-stage indeterminate rerun)
+dup = spark.createDataFrame([(7,)] * 2000 + [(1,)] * 10, "k: long").repartition(4)
+flaky_dup = dup.mapInPandas(flaky, dup.schema)
+got_d = {r.k: r.n_rows for r in salted_count(flaky_dup, "k").collect()}
+assert got_d == {7: 2000, 1: 10}, got_d
+
 assert len(os.listdir(marker_dir)) > 0  # failures actually happened
 print("SALT_RETRY_OK", len(got_j))
 spark.stop()
@@ -245,6 +254,64 @@ def test_salted_ops_tolerate_map_columns(spark):
         salted_count(only_map, "m").collect()
 
 
+def test_salted_count_spreads_identical_rows(spark):
+    """VERDICT r12 #4: byte-identical hot rows (a key-only frame — the
+    content salt degenerates to a pure function of the key) must still
+    spread over multiple salt buckets via the ordinal fallback, and the
+    counts must equal the plain groupBy."""
+    from notion_vector_store_etl_pipeline_spark.operators.skew import (
+        _count_salt,
+        salted_count,
+    )
+
+    n = 100_000
+    df = spark.createDataFrame([(7,)] * n + [(1,)] * 5, "k: long").repartition(8)
+    # >1 bucket utilized for the duplicate-row hot key
+    buckets = (
+        df.filter(F.col("k") == 7)
+        .withColumn("__salt", _count_salt(df, "k", 16))
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert buckets > 1, f"identical rows collapsed into {buckets} salt bucket"
+    got = {r.k: r.n_rows for r in salted_count(df, "k").collect()}
+    assert got == {7: n, 1: 5}
+    # payload-bearing frames keep the retry-stable content salt
+    from notion_vector_store_etl_pipeline_spark.operators.skew import (
+        _degenerate_payload,
+    )
+
+    with_payload = spark.createDataFrame([(7, "a"), (7, "b")], "k: long, v: string")
+    assert not _degenerate_payload(with_payload, ["k"])
+    assert _degenerate_payload(df, ["k"])
+
+
+def test_salted_join_warns_on_degenerate_fact_payload(spark):
+    """ADVICE r12: a fact side whose only hashable columns are the key
+    loses all skew spread under the content salt — the caller must get
+    a signal (warning), while the join stays correct."""
+    import warnings as _warnings
+
+    from notion_vector_store_etl_pipeline_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1,)] * 50 + [(2,)] * 3, "k: long")
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "dk: long, name: string")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        out = salted_join(fact, dim, "k", "dk")
+        assert any("no hashable non-key payload" in str(w.message) for w in caught)
+    got = {(r.k, r.name) for r in out.collect()}
+    assert got == {(1, "x"), (2, "y")}
+    assert out.count() == 53
+    # payload-bearing fact: no warning
+    fact2 = spark.createDataFrame([(1, 10), (2, 20)], "k: long, v: long")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        salted_join(fact2, dim, "k", "dk")
+        assert not any("non-key payload" in str(w.message) for w in caught)
+
+
 def test_bloom_sketch_memoized_per_build_side(spark, monkeypatch):
     """Second probe against the same build side must reuse the memoized
     dense words row instead of re-running the build-side scan + driver
@@ -281,4 +348,34 @@ def test_bloom_sketch_memoized_per_build_side(spark, monkeypatch):
     bloom.clear_sketch_memo()
     bloom.bloom_words_row(build, "bk")
     assert builds["n"] == 4
+    bloom.clear_sketch_memo()
+
+
+def test_bloom_memo_invalidates_on_file_rewrite(spark, tmp_path):
+    """ADVICE r12: re-reading the same parquet PATH after a rewrite is
+    semantically equal to the old plan, so a plan-keyed memo would
+    serve the stale sketch — and the semi-filter would silently DROP
+    probe rows that now match. Reuse must be gated on the file-index
+    snapshot: the rewrite rebuilds the sketch with no explicit
+    clear_sketch_memo() call."""
+    from notion_vector_store_etl_pipeline_spark.operators import bloom
+
+    bloom.clear_sketch_memo()
+    path = str(tmp_path / "build_keys")
+    spark.createDataFrame([(1,), (2,)], "bk: long").write.mode("overwrite").parquet(path)
+    probe = spark.createDataFrame([(1, "a"), (9, "z")], "k: long, v: string")
+
+    build = spark.read.parquet(path)
+    first = sorted(
+        r.k for r in bloom.bloom_prejoin_semi(probe, build, "k", "bk").collect()
+    )
+    assert first == [1]
+
+    # rewrite the SAME path with a different key set; same plan shape
+    spark.createDataFrame([(9,)], "bk: long").write.mode("overwrite").parquet(path)
+    build2 = spark.read.parquet(path)
+    second = sorted(
+        r.k for r in bloom.bloom_prejoin_semi(probe, build2, "k", "bk").collect()
+    )
+    assert second == [9], "stale memoized sketch served after file rewrite"
     bloom.clear_sketch_memo()

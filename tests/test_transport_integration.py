@@ -60,9 +60,17 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        if self.path.startswith("/upload_slow"):
+            # every part is slow: a sequential uploader pays
+            # n_parts * delay, the thread pool pays ~delay
+            import time as _time
+
+            _time.sleep(0.5)
         with _Handler.lock:
             _Handler.uploads.append(body)
-        self.send_response(200)
+        # /upload201: a standards-compliant bulk-import endpoint that
+        # ACCEPTS with 201 — must count as ok (ADVICE r12)
+        self.send_response(201 if self.path.startswith("/upload201") else 200)
         self.send_header("Content-Length", "2")
         self.end_headers()
         self.wfile.write(b"ok")
@@ -138,6 +146,58 @@ def test_store_upload_pushes_committed_parts_only(spark, http_server, tmp_path):
     ]
     assert sorted(r["chunk_id"] for r in uploaded_rows) == [1, 2, 3]
     assert not any(r.get("chunk_id") == 99 for r in uploaded_rows)
+
+
+def test_store_upload_accepts_any_2xx(spark, http_server, tmp_path):
+    """A bulk-import endpoint answering 201 Created is a SUCCESSFUL
+    part upload (ADVICE r12: only 200 counting as ok mislabeled
+    standards-compliant imports as failed)."""
+    from notion_vector_store_etl_pipeline_spark.sources.vectorstore import (
+        register_vectorstore_sink,
+    )
+
+    register_vectorstore_sink(spark)
+    store = str(tmp_path / "store201")
+    spark.createDataFrame([(1, "alpha")], "chunk_id: long, text: string").write.format(
+        "vectorstore"
+    ).option("path", store).mode("append").save()
+    results = upload_store_jsonl(store, f"{http_server}/upload201", timeout=10)
+    assert results and all(r["ok"] and r["status"] == 201 for r in results)
+
+
+def test_store_upload_parts_drain_concurrently(spark, http_server, tmp_path):
+    """VERDICT r12 #3: a multi-part store with slow parts must NOT
+    serialize — 6 parts at 0.5 s server latency each drain in ~one
+    latency through the bounded pool (sequential would be >= 3 s)."""
+    import time
+
+    from notion_vector_store_etl_pipeline_spark.sources.vectorstore import (
+        register_vectorstore_sink,
+    )
+
+    register_vectorstore_sink(spark)
+    store = str(tmp_path / "store_slow")
+    df = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(12)], "chunk_id: long, text: string"
+    ).repartition(6)
+    df.write.format("vectorstore").option("path", store).mode("append").save()
+
+    t0 = time.perf_counter()
+    results = upload_store_jsonl(
+        store, f"{http_server}/upload_slow", timeout=10, max_workers=6
+    )
+    elapsed = time.perf_counter() - t0
+    assert len(results) >= 6 and all(r["ok"] for r in results)
+    # 6 parts x 0.5 s sequential = 3 s minimum; concurrent ~0.5 s.
+    # 2.0 s leaves generous headroom without admitting serialization.
+    assert elapsed < 2.0, f"upload serialized: {elapsed:.2f}s for {len(results)} parts"
+    uploaded_rows = [
+        json.loads(line)
+        for body in _Handler.uploads
+        for line in body.decode().splitlines()
+        if line
+    ]
+    assert sorted(r["chunk_id"] for r in uploaded_rows) == list(range(12))
 
 
 def test_http_post_roundtrip(http_server):
