@@ -24,6 +24,75 @@ from notion_vector_store_etl_pipeline_spark.plans import load_registry
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# ---------------------------------------------------------------------
+# Contention guard (VERDICT r12 #1): rounds 10-12 needed PROSE
+# disclosures to explain 1.3-2x swings on untouched code from neighbor
+# load. Make it mechanical: per trial, measure the CPU consumed by
+# processes OUTSIDE this bench's own process tree while the trial ran
+# (via /proc/stat total-busy minus our tree's utime+stime deltas). A
+# trial whose external load exceeds EXT_CORES_MAX average cores is
+# CONTENDED; contended first trials earn extra trials, and a query whose
+# reported min comes from contended trials only is flagged in the JSON.
+# loadavg alone can't attribute — the bench itself saturates the box —
+# so loadavg is recorded for context, external-cores is the gate.
+# Caveat: a tree process that EXITS between samples drops its jiffies
+# from the tree delta, overcounting "external" — conservative in the
+# right direction (never hides contention), and the long-lived
+# JVM/pyspark-daemon processes dominate a bench trial anyway.
+
+EXT_CORES_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_EXT_CORES_MAX", "2.0"))
+_HZ = os.sysconf("SC_CLK_TCK")
+
+
+def _busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    user, nice, system, idle, iowait, irq, softirq, steal = (
+        int(x) for x in parts[:8]
+    )
+    return user + nice + system + irq + softirq + steal
+
+
+def _tree_jiffies() -> int:
+    """utime+stime of this process and every live descendant (the JVM
+    and the pyspark worker daemons), by one /proc walk."""
+    procs: dict[int, tuple[int, int]] = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat") as f:
+                raw = f.read()
+        except OSError:
+            continue
+        # fields after the (possibly space-containing) comm
+        rest = raw.rsplit(")", 1)[1].split()
+        ppid, utime, stime = int(rest[1]), int(rest[11]), int(rest[12])
+        procs[int(entry)] = (ppid, utime + stime)
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack = 0, [os.getpid()]
+    while stack:
+        pid = stack.pop()
+        if pid in procs:
+            total += procs[pid][1]
+            stack.extend(kids.get(pid, ()))
+    return total
+
+
+def _timed_trial(fn) -> tuple[float, float, float]:
+    """Run one trial; returns (elapsed_sec, ext_cores, loadavg1) where
+    ext_cores is the average non-tree CPU cores busy during the trial."""
+    load1 = os.getloadavg()[0]
+    busy0, tree0 = _busy_jiffies(), _tree_jiffies()
+    t0 = time.perf_counter()
+    fn()
+    elapsed = time.perf_counter() - t0
+    busy1, tree1 = _busy_jiffies(), _tree_jiffies()
+    ext = max(0, (busy1 - busy0) - (tree1 - tree0)) / _HZ / max(elapsed, 1e-9)
+    return elapsed, ext, load1
+
 # Headline set: the heavy/representative operators per SURVEY.md §2.
 HEADLINE = [
     "tpch_q1_pricing_summary",
@@ -177,6 +246,7 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    meta: dict[str, dict] = {}
     for name in names:
         fn = _flagship_query if name == "flagship_pipeline" else registry[name].fn
         # min over trials: single-trial numbers on this host swing
@@ -203,25 +273,37 @@ def main() -> None:
             release_cache()
             spark.catalog.clearCache()
             run(fn(spark, SF_DIR))
-        trials = []
-        for _ in range(n_trials):
+
+        def one_trial():
             release_cache()
             spark.catalog.clearCache()
             # the Bloom sketch memo (operators/bloom.py) would otherwise
             # make trial 2+ memo-warm while every other query is cold —
             # min-of-trials must compare like with like across rounds
             clear_sketch_memo()
-            t0 = time.perf_counter()
-            run(fn(spark, SF_DIR))
-            trials.append(time.perf_counter() - t0)
-        if max(trials) > 2 * min(trials):
-            release_cache()
-            spark.catalog.clearCache()
-            clear_sketch_memo()
-            t0 = time.perf_counter()
-            run(fn(spark, SF_DIR))
-            trials.append(time.perf_counter() - t0)
-        timings[name] = round(min(trials), 3)
+            return _timed_trial(lambda: run(fn(spark, SF_DIR)))
+
+        # (elapsed, ext_cores, loadavg1) per trial
+        trials = [one_trial() for _ in range(n_trials)]
+        # disagreeing trials (>2x) = the host was noisy: one more look
+        if max(t[0] for t in trials) > 2 * min(t[0] for t in trials):
+            trials.append(one_trial())
+        # contention guard (module comment): if every trial so far ran
+        # under external load, spend up to 2 extra trials hunting for a
+        # quiet one — the min should come from uncontended trials
+        extra = 0
+        while all(t[1] > EXT_CORES_MAX for t in trials) and extra < 2:
+            trials.append(one_trial())
+            extra += 1
+        quiet = [t for t in trials if t[1] <= EXT_CORES_MAX]
+        pick = min(quiet or trials, key=lambda t: t[0])
+        timings[name] = round(pick[0], 3)
+        meta[name] = {
+            "loadavg": round(pick[2], 2),
+            "ext_cores": round(pick[1], 2),
+            "contended": not quiet,
+            "trials": len(trials),
+        }
         # also drop residue before the next query's first trial
         release_cache()
         spark.catalog.clearCache()
@@ -234,7 +316,14 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
+    # rich line first: per-query {loadavg, ext_cores, contended, trials}
+    # so the 2x gate is auditable mechanically instead of via prose
+    # (VERDICT r12 #1); then the COMPACT contract line LAST, so a
+    # bounded stdout tail always ends in one parseable JSON object
+    # (VERDICT r12 #8 — the r11/r12 tails truncated the first query's
+    # key and needed manual reconstruction).
+    print(json.dumps({**out, "meta": meta, "ext_cores_max": EXT_CORES_MAX}))
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

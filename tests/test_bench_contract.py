@@ -39,8 +39,20 @@ def _run_bench(extra_env: dict[str, str]) -> dict:
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-    assert len(lines) == 1, proc.stdout[-2000:]
-    return json.loads(lines[0])
+    # r13 contract: rich (contention-audit) line first, COMPACT
+    # contract line LAST — a bounded stdout tail must always end in
+    # one parseable JSON object (VERDICT r12 #1/#8)
+    assert len(lines) == 2, proc.stdout[-2000:]
+    # the LAST line of stdout overall must be the compact contract
+    assert proc.stdout.splitlines()[-1] == lines[-1]
+    rich = json.loads(lines[0])
+    assert set(rich["meta"]) == set(rich["queries"])
+    for m in rich["meta"].values():
+        assert {"loadavg", "ext_cores", "contended", "trials"} <= set(m)
+        assert isinstance(m["contended"], bool)
+    compact = json.loads(lines[-1])
+    assert compact["queries"] == rich["queries"]
+    return compact
 
 
 def _check_contract(out: dict, min_queries: int) -> None:
