@@ -58,67 +58,70 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # vintage first, then r4), recomputed each round from the
 # CORRECTNESS_r0*.json files.
 _PRIORITY = (
-    # (a) new/changed in round 12 (3): the sequential chain-disposition
-    # registration (new operator, VERDICT r11 #2), the deterministic
-    # content-salt rewrite of the skew spreader (VERDICT r11 #1), and
-    # the session-memoized Bloom sketch (VERDICT r11 #8).
+    # (a) new/changed in round 13 (4): the embedding-wing sequential
+    # chain-disposition registration (new operator, VERDICT r12 #6),
+    # plus the three queries whose operator code changed this round —
+    # the peel's input-validation guard (ADVICE r12), the
+    # duplicate-row-spreading count salt (VERDICT r12 #4), and the
+    # file-snapshot-gated Bloom sketch memo (ADVICE r12).
+    "neardup_chain_sequential_cosine",
     "dedup_chain_sequential",
     "join_salted_skew",
     "bloom_prejoin_filter",
     # (b) oldest proof rows first (COVERAGE.md staleness manifest,
-    # recomputed by scripts/coverage_manifest.py at the start of r12):
-    # the 24 round-8-vintage names — after this window every proof is
-    # r9+ and the max staleness stays within the 4-round budget.
-    "regex_extract_id",
-    "regexp_extract_all_numbers",
-    "repetition_profile",
-    "safe_filename",
-    "scd2_intervals",
-    "sequence_packing",
-    "session_window_native",
-    "similarity_selfjoin",
-    "split_train_val_test",
-    "timeseries_gapfill",
-    "title_coalesce",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_values",
-    "tpch_q12_priority_case_agg",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_avg",
-    "tpch_q19_or_predicates",
-    "train_export_shuffle",
-    "traversal_step",
-    "uuid_normalize",
-    "winnowing_fingerprint",
-    "zorder_layout",
-    # (c) round-9-vintage alphabetical fill to exactly 50 (the driver's
-    # sample size, pinned in tests/test_fixture_canary.py); the
-    # remainder of the r9 vintage leads the round-13 rotation.
-    "agg_percentiles",
-    "agg_stats_corr",
-    "agg_status_counts",
-    "agg_string_concat",
-    "cogroup_conversion_stats",
-    "curation_funnel",
-    "date_arithmetic",
-    "dedup_exact_hash",
-    "doc_fingerprint",
-    "every_nth_row",
-    "filter_isin_notnull",
-    "from_json_schema_read",
-    "graph_pagerank",
-    "graph_reachability",
-    "histogram_width_bucket",
-    "join_asof_latest",
-    "join_range_theta",
-    "json_extract_props",
-    "knn_ivf_incremental",
-    "knn_ivf_stored_index",
-    "label_centroids",
-    "lang_id_heuristic",
-    "minhash_probe_stored_index",
+    # recomputed by scripts/coverage_manifest.py at the start of r13):
+    # the 23 remaining round-9-vintage names — after this window every
+    # proof is r10+ and the max staleness stays within the 4-round
+    # budget.
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "neardup_components",
+    "pii_mask",
+    "pivot_counts",
+    "profile_columns",
+    "quality_score",
+    "tpch_q20_part_promotion",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "window_first_last",
+    "window_ntile_cume",
+    "window_range_frame",
+    "window_running_total",
+    "window_sliding_counts",
+    # (c) round-10-vintage alphabetical fill to exactly 50 (the
+    # driver's sample size, pinned in tests/test_fixture_canary.py);
+    # the remainder of the r10 vintage leads the round-14 rotation.
+    "agg_approx_distinct",
+    "agg_distinct_counts",
+    "agg_group_sum",
+    "agg_rollup",
+    "anti_join_unchanged",
+    "chunk_explode",
+    "chunk_explode_udtf",
+    "chunk_explode_words",
+    "chunk_ids",
+    "classifier_score_linear",
+    "contamination_ngram_overlap",
+    "dedup_first_wins",
+    "domain_blocklist_filter",
+    "dq_expectations",
+    "embedding_norms",
+    "embedding_quantize_int8",
+    "graph_reachability_sql",
+    "hash_sha2",
+    "heavy_hitters_topk",
+    "hll_sketch_union",
+    "join_broadcast_dim",
+    "join_inner_equi",
+    "knn_ivf_approx",
 )
 
 _MODULES = (

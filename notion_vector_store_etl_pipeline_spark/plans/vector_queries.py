@@ -659,6 +659,64 @@ def neardup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "neardup_chain_sequential_cosine",
+    oracle=f"""
+    WITH RECURSIVE pairs_m AS MATERIALIZED (
+      SELECT q.vec_id AS a_id, c.vec_id AS b_id, {_COS_SQL} AS score
+      FROM embeddings q JOIN embeddings c ON q.vec_id < c.vec_id
+      WHERE {_COS_SQL} >= 0.35
+    ), ord AS MATERIALIZED (
+      SELECT id, row_number() OVER (ORDER BY id) AS rn
+      FROM (SELECT a_id AS id FROM pairs_m UNION SELECT b_id FROM pairs_m)
+    ), walk(rn, survivors) AS (
+      SELECT 0, CAST([] AS BIGINT[])
+      UNION ALL
+      SELECT w.rn + 1,
+             CASE WHEN EXISTS (
+                 SELECT 1 FROM pairs_m p
+                 WHERE p.b_id = (SELECT id FROM ord WHERE rn = w.rn + 1)
+                   AND list_contains(w.survivors, p.a_id))
+               THEN w.survivors
+               ELSE list_append(w.survivors, (SELECT id FROM ord WHERE rn = w.rn + 1))
+             END
+      FROM walk w WHERE w.rn < (SELECT count(*) FROM ord)
+    ), final AS (
+      SELECT survivors FROM walk ORDER BY rn DESC LIMIT 1
+    )
+    SELECT p.a_id, p.b_id, p.score
+    FROM pairs_m p, final f
+    WHERE list_contains(f.survivors, p.a_id)
+    """,
+    doc="Greedy first-wins chain disposition over the verified COSINE "
+    "near-dup pairs — the embedding-wing registration of the shared "
+    "chain_policy='sequential' contract (VERDICT r12 #6), completing "
+    "the text/vector symmetry: dedup_chain_sequential resolves MinHash "
+    "pair chains; this resolves exact-cosine pair chains with the SAME "
+    "operators.dedup.sequential_firstwins_pairs peel, so the embedding "
+    "ingest-dedup stream (streaming.ann_stream.probe_vector_batch) and "
+    "this one-pass batch twin produce the identical flagged/clean "
+    "disposition wherever pagination splits a chain "
+    "(tests/test_chain_policy_embedding.py). The sf0.01 fixtures "
+    "contain real cosine chains at 0.35 (271 conservative vs 205 "
+    "sequential pairs), so this check discriminates the policies. "
+    "Oracle: the exact pair CTE + the linear recursive survivor walk "
+    "in id order, same as the text twin.",
+)
+def neardup_chain_sequential_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from notion_vector_store_etl_pipeline_spark.operators.dedup import (
+        sequential_firstwins_pairs,
+    )
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        cosine_selfjoin_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
+    pairs = cosine_selfjoin_pairs(vecs, 0.35, id_col="vec_id", emb_col="emb")
+    return sequential_firstwins_pairs(pairs)
+
+
 _SEMDEDUP_THR = 0.35
 
 

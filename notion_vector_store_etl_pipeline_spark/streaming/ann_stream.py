@@ -187,6 +187,144 @@ def compact_ann_stream_state(
     return manifest
 
 
+def probe_vector_batch(
+    batch: DataFrame,
+    corpus_vectors: DataFrame,
+    cent_ids,
+    cent_mat,
+    threshold: float,
+    probes: int = 2,
+    intra_batch: bool = True,
+    chain_policy: str = "sequential",
+    id_col: str = "vec_id",
+    emb_col: str = "emb",
+) -> tuple[DataFrame, DataFrame]:
+    """One embedding-side ingest-dedup step — the cosine twin of the
+    text wing's :func:`streaming.dedup_stream.probe_batch`, sharing the
+    SAME ``chain_policy`` contract (``operators.dedup.CHAIN_POLICIES``,
+    VERDICT r12 #6): probe ``batch`` (``id_col``, ``emb_col``) against
+    the standing ``corpus_vectors`` through shared IVF lists, then
+    resolve intra-batch chains. Returns ``(flagged, clean)``: flagged
+    is (batch_id, corpus_id, score) with score = exact cosine; clean is
+    the batch rows with no flagged pair.
+
+    The pagination-invariance argument is identical to the text side: a
+    planted chain A~B~C (A~B and B~C verify, A~C does not) must resolve
+    the same whether it arrives one vector per micro-batch (B flags
+    against the already-ingested A; C then probes a corpus whose only
+    B is gone, so C stays clean) or all in one batch — which is exactly
+    what ``chain_policy="sequential"`` computes via
+    :func:`operators.dedup.sequential_firstwins_pairs` over the
+    verified intra-batch cosine pairs. "conservative" flags the higher
+    id of every verified pair (stricter removal, disposition depends
+    on batch boundaries). Pinned in tests/test_chain_policy_embedding.py.
+
+    Scale shape: the corpus side is NEVER rescanned wholesale — only
+    members of lists the batch actually probes participate (broadcast
+    semi on the batch's probed list set; over a stored list_id-
+    partitioned tree that is partition pruning), and the verify is the
+    bounded bipartite kernel (:func:`operators.similarity
+    ._bipartite_list_probe`, hot lists block-split). ``corpus_vectors``
+    may arrive pre-assigned (a ``list_id`` column — the stored-index
+    path, zero corpus-side assignment work) or bare (assigned here
+    top-1, the fresh path). A corpus id also present in the batch is an
+    UPDATE (re-embed), not a duplicate: batch wins, same-id pairs are
+    excluded — mirroring the text probe's universe rule.
+    """
+    from notion_vector_store_etl_pipeline_spark.operators.cache import (
+        release_tracked_except,
+        tracked_snapshot,
+    )
+    from notion_vector_store_etl_pipeline_spark.operators.dedup import (
+        CHAIN_POLICIES,
+        sequential_firstwins_pairs,
+    )
+    from notion_vector_store_etl_pipeline_spark.operators.similarity import (
+        _bipartite_list_probe,
+        cosine_selfjoin_pairs,
+        nearest_lists,
+    )
+
+    if chain_policy not in CHAIN_POLICIES:
+        raise ValueError(
+            f"chain_policy must be one of {CHAIN_POLICIES}, got {chain_policy!r}"
+        )
+    local_persists: list[DataFrame] = []
+    tracked_before = tracked_snapshot()
+
+    def _persist(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        local_persists.append(df)
+        return df
+
+    batch0 = batch  # original columns: clean is returned in this shape
+    batch = batch.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb"))
+    # assign the batch once and pin it: it feeds the probed-list semi
+    # filter, the union's batch branch, and the kernel's block-count
+    # join (micro-batch-sized frame, same contract as the text probe)
+    batch_asg = _persist(
+        nearest_lists(batch, cent_ids, cent_mat, probes, id_col="vec_id", emb_col="emb")
+        .select("vec_id", "emb", F.lit(True).alias("_is_batch"), "list_id")
+    )
+    corpus = corpus_vectors
+    if "list_id" not in corpus.columns:
+        corpus = nearest_lists(
+            corpus, cent_ids, cent_mat, 1, id_col=id_col, emb_col=emb_col
+        )
+    corpus_side = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(emb_col).alias("emb"),
+            F.lit(False).alias("_is_batch"),
+            "list_id",
+        )
+        # same-id exclusion: a re-embedded id collides with its own old
+        # entry — that is an update passing through, not a near-dup
+        .join(batch.select("vec_id"), "vec_id", "left_anti")
+        # only lists the batch probes are read (pruned scan when the
+        # corpus is a stored list_id-partitioned tree)
+        .join(F.broadcast(batch_asg.select("list_id").distinct()), "list_id", "left_semi")
+        .select("vec_id", "emb", "_is_batch", "list_id")
+    )
+    flagged = _bipartite_list_probe(
+        corpus_side.unionByName(batch_asg.select(*corpus_side.columns)),
+        threshold,
+        "vec_id",
+        "emb",
+    ).localCheckpoint(eager=True)
+
+    if intra_batch:
+        survivors = _persist(
+            batch.join(
+                flagged.select(F.col("batch_id").alias("vec_id")), "vec_id", "left_anti"
+            )
+        )
+        # micro-batch-sized: fixed small block count, no auto-sizing
+        # count() job per batch
+        intra_pairs = cosine_selfjoin_pairs(
+            survivors, threshold, id_col="vec_id", emb_col="emb", n_blocks=8
+        )
+        if chain_policy == "sequential":
+            intra_pairs = sequential_firstwins_pairs(intra_pairs)
+        intra = intra_pairs.select(
+            F.col("b_id").alias("batch_id"), F.col("a_id").alias("corpus_id"), "score"
+        )
+        flagged = flagged.unionByName(intra).localCheckpoint(eager=True)
+
+    for df in local_persists:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    release_tracked_except(tracked_before)
+    clean = batch0.join(
+        flagged.select(F.col("batch_id").alias(id_col)).dropDuplicates(),
+        id_col,
+        "left_anti",
+    )
+    return flagged, clean
+
+
 def streaming_vector_ingest(
     spark: SparkSession,
     source_path: str,
@@ -200,6 +338,9 @@ def streaming_vector_ingest(
     retain_versions: int | None = None,
     rebuild_every: int | None = None,
     rebuild_sample_mod: int | None = None,
+    dedup_threshold: float | None = None,
+    dedup_probes: int = 2,
+    chain_policy: str = "sequential",
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> StreamingQuery:
@@ -218,7 +359,18 @@ def streaming_vector_ingest(
     :func:`compact_ann_stream_state`) — the periodic drift correction;
     batches after a rebuild assign against the REFRESHED sidecar, so
     an ingest stream whose distribution shifted stops crowding into
-    the old centroids' lists."""
+    the old centroids' lists.
+
+    ``dedup_threshold`` (VERDICT r12 #6) turns the loop into the
+    embedding-side INGEST-DEDUP stream — the IVF twin of
+    :func:`streaming.dedup_stream.streaming_dedup_ingest`: each batch
+    probes the committed state via :func:`probe_vector_batch` before
+    ingesting, flagged near-dup pairs land in ``flagged/ingest_batch=N``
+    (replay-idempotent overwrite), and only clean survivors enter the
+    delta tree. ``chain_policy`` (shared with the text wing,
+    ``operators.dedup.CHAIN_POLICIES``) governs intra-batch chains,
+    making the flagged/clean disposition invariant to where pagination
+    splits a chain under the default "sequential"."""
     from notion_vector_store_etl_pipeline_spark.functions import vectors as V
 
     register_paginated_source(spark)
@@ -257,6 +409,42 @@ def streaming_vector_ingest(
         vecs = batch.select(
             F.col(id_col).alias("vec_id"), V.as_double(emb_col).alias("emb")
         )
+        if dedup_threshold is not None:
+            # ingest-dedup (VERDICT r12 #6): probe the arrivals against
+            # the committed state (base ∪ delta tail STRICTLY below this
+            # batch — a replay probes the identical corpus, and a batch
+            # never sees its own artifacts), flag near-dups, ingest only
+            # the clean survivors. Chain disposition across batch
+            # boundaries is governed by the shared chain_policy — the
+            # same pagination-invariance contract as the text wing.
+            state_vecs, s_ids, s_mat = load_stream_ann_state(
+                spark, out_dir, index_path, before_batch=batch_id
+            )
+            flagged, clean = probe_vector_batch(
+                vecs,
+                state_vecs.select("vec_id", "emb", "list_id"),
+                s_ids,
+                s_mat,
+                dedup_threshold,
+                probes=dedup_probes,
+                chain_policy=chain_policy,
+            )
+            # ingest_batch-keyed overwrite => replay-idempotent ledger
+            # (ingest_batch, not batch_id: the pair schema's batch_id
+            # column must not collide with the partition dir key — same
+            # naming as the text wing's ledger)
+            flagged.write.mode("overwrite").parquet(
+                f"{out_dir}/flagged/ingest_batch={batch_id}"
+            )
+            vecs = clean
+            # a fully-flagged batch ingests nothing: skip the delta
+            # write entirely (a partitionBy write of an EMPTY frame
+            # leaves a dir with no parquet files, which would fail the
+            # next batch's state read). Replay-safe: the probe is
+            # deterministic over the committed state, so a replayed
+            # batch makes the same skip decision.
+            if vecs.isEmpty():
+                return
         delta = quantize_and_assign(
             vecs, c_ids, c_mat, topn=1, id_col="vec_id", emb_col="emb"
         )
