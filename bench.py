@@ -41,16 +41,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # JVM/pyspark-daemon processes dominate a bench trial anyway.
 
 EXT_CORES_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_EXT_CORES_MAX", "2.0"))
+IO_CORES_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_IO_CORES_MAX", "2.0"))
 _HZ = os.sysconf("SC_CLK_TCK")
 
 
-def _busy_jiffies() -> int:
+def _busy_jiffies() -> tuple[int, int]:
+    """(busy, iowait) jiffies. busy includes steal, so hypervisor-level
+    CPU theft surfaces as external load; iowait is tracked separately —
+    a run where queries slow 2x while external CPU stays ~0 and loadavg
+    rises is STORAGE contention (tasks in D-state count in loadavg but
+    burn no CPU), which the iowait delta makes visible."""
     with open("/proc/stat") as f:
         parts = f.readline().split()[1:]
     user, nice, system, idle, iowait, irq, softirq, steal = (
         int(x) for x in parts[:8]
     )
-    return user + nice + system + irq + softirq + steal
+    return user + nice + system + irq + softirq + steal, iowait
 
 
 def _tree_jiffies() -> int:
@@ -81,17 +87,21 @@ def _tree_jiffies() -> int:
     return total
 
 
-def _timed_trial(fn) -> tuple[float, float, float]:
-    """Run one trial; returns (elapsed_sec, ext_cores, loadavg1) where
-    ext_cores is the average non-tree CPU cores busy during the trial."""
+def _timed_trial(fn) -> tuple[float, float, float, float]:
+    """Run one trial; returns (elapsed_sec, ext_cores, io_cores,
+    loadavg1): ext_cores is the average non-tree CPU cores busy during
+    the trial, io_cores the average cores' worth of iowait (storage
+    pressure — ours or a neighbor's on shared disks)."""
     load1 = os.getloadavg()[0]
-    busy0, tree0 = _busy_jiffies(), _tree_jiffies()
+    (busy0, io0), tree0 = _busy_jiffies(), _tree_jiffies()
     t0 = time.perf_counter()
     fn()
     elapsed = time.perf_counter() - t0
-    busy1, tree1 = _busy_jiffies(), _tree_jiffies()
-    ext = max(0, (busy1 - busy0) - (tree1 - tree0)) / _HZ / max(elapsed, 1e-9)
-    return elapsed, ext, load1
+    (busy1, io1), tree1 = _busy_jiffies(), _tree_jiffies()
+    denom = _HZ * max(elapsed, 1e-9)
+    ext = max(0, (busy1 - busy0) - (tree1 - tree0)) / denom
+    io = max(0, io1 - io0) / denom
+    return elapsed, ext, io, load1
 
 # Headline set: the heavy/representative operators per SURVEY.md §2.
 HEADLINE = [
@@ -283,24 +293,30 @@ def main() -> None:
             clear_sketch_memo()
             return _timed_trial(lambda: run(fn(spark, SF_DIR)))
 
-        # (elapsed, ext_cores, loadavg1) per trial
+        # (elapsed, ext_cores, io_cores, loadavg1) per trial
         trials = [one_trial() for _ in range(n_trials)]
         # disagreeing trials (>2x) = the host was noisy: one more look
         if max(t[0] for t in trials) > 2 * min(t[0] for t in trials):
             trials.append(one_trial())
+
+        def _contended(t):
+            return t[1] > EXT_CORES_MAX or t[2] > IO_CORES_MAX
+
         # contention guard (module comment): if every trial so far ran
-        # under external load, spend up to 2 extra trials hunting for a
-        # quiet one — the min should come from uncontended trials
+        # under external CPU or storage pressure, spend up to 2 extra
+        # trials hunting for a quiet one — the min should come from
+        # uncontended trials
         extra = 0
-        while all(t[1] > EXT_CORES_MAX for t in trials) and extra < 2:
+        while all(_contended(t) for t in trials) and extra < 2:
             trials.append(one_trial())
             extra += 1
-        quiet = [t for t in trials if t[1] <= EXT_CORES_MAX]
+        quiet = [t for t in trials if not _contended(t)]
         pick = min(quiet or trials, key=lambda t: t[0])
         timings[name] = round(pick[0], 3)
         meta[name] = {
-            "loadavg": round(pick[2], 2),
+            "loadavg": round(pick[3], 2),
             "ext_cores": round(pick[1], 2),
+            "io_cores": round(pick[2], 2),
             "contended": not quiet,
             "trials": len(trials),
         }
@@ -322,7 +338,16 @@ def main() -> None:
     # bounded stdout tail always ends in one parseable JSON object
     # (VERDICT r12 #8 — the r11/r12 tails truncated the first query's
     # key and needed manual reconstruction).
-    print(json.dumps({**out, "meta": meta, "ext_cores_max": EXT_CORES_MAX}))
+    print(
+        json.dumps(
+            {
+                **out,
+                "meta": meta,
+                "ext_cores_max": EXT_CORES_MAX,
+                "io_cores_max": IO_CORES_MAX,
+            }
+        )
+    )
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 

@@ -48,7 +48,7 @@ def _run_bench(extra_env: dict[str, str]) -> dict:
     rich = json.loads(lines[0])
     assert set(rich["meta"]) == set(rich["queries"])
     for m in rich["meta"].values():
-        assert {"loadavg", "ext_cores", "contended", "trials"} <= set(m)
+        assert {"loadavg", "ext_cores", "io_cores", "contended", "trials"} <= set(m)
         assert isinstance(m["contended"], bool)
     compact = json.loads(lines[-1])
     assert compact["queries"] == rich["queries"]
