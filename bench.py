@@ -209,6 +209,13 @@ HEADLINE = [
     # Not a registry entry (it is the driver's entry() contract, not an
     # oracle-checked operator); bench.py resolves it specially.
     "flagship_pipeline",
+    # round 13 additions: the two chain-disposition registrations (the
+    # text peel over minhash pairs, and its embedding-wing cosine twin,
+    # VERDICT r12 #6) — the peel's pair-sized fixed overhead should
+    # stay flat across rounds, and a regression there would otherwise
+    # only show on the FULL page
+    "dedup_chain_sequential",
+    "neardup_chain_sequential_cosine",
 ]
 
 
