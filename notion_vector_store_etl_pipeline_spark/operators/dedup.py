@@ -397,9 +397,7 @@ def minhash_neardup(
 CHAIN_POLICIES = ("sequential", "conservative")
 
 
-def sequential_firstwins_pairs(
-    pairs: DataFrame, broadcast_rows: int = 500_000
-) -> DataFrame:
+def sequential_firstwins_pairs(pairs: DataFrame) -> DataFrame:
     """Resolve verified near-dup ``pairs`` (a_id < b_id, + carry
     columns) to the subset whose a_id SURVIVES greedy first-wins-by-id
     elimination — exactly the pairs a sequential one-doc-at-a-time
@@ -441,8 +439,8 @@ def sequential_firstwins_pairs(
     survivors/newly was tried and came out 40% SLOWER at the sf1
     clone-clique decade (13.1 s vs 9.2 s for 0.43M pairs): the extra
     materialization barriers cost more than the shuffles AQE was
-    already eliding. ``broadcast_rows`` is kept for API stability but
-    the loop intentionally does not force join strategies.
+    already eliding. The loop intentionally does not force join
+    strategies.
     """
     pairs = pairs.localCheckpoint(eager=True)
     bad = pairs.filter(
