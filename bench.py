@@ -339,12 +339,16 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # rich line first: per-query {loadavg, ext_cores, contended, trials}
-    # so the 2x gate is auditable mechanically instead of via prose
-    # (VERDICT r12 #1); then the COMPACT contract line LAST, so a
-    # bounded stdout tail always ends in one parseable JSON object
-    # (VERDICT r12 #8 — the r11/r12 tails truncated the first query's
-    # key and needed manual reconstruction).
+    # Stream separation (VERDICT r12 #1/#8): STDOUT carries exactly ONE
+    # compact contract line — a recorder that keeps only a bounded tail
+    # of stdout (the r11/r12 tails truncated the first query's key and
+    # needed manual reconstruction) can json.loads it directly. The
+    # RICH audit line — per-query {loadavg, ext_cores, io_cores,
+    # contended, trials}, making the 2x gate mechanically auditable
+    # instead of prose-disclosed — goes to STDERR, where the evidence
+    # pages (BENCH_FULL_r*.md) collect it.
+    import sys
+
     print(
         json.dumps(
             {
@@ -353,7 +357,8 @@ def main() -> None:
                 "ext_cores_max": EXT_CORES_MAX,
                 "io_cores_max": IO_CORES_MAX,
             }
-        )
+        ),
+        file=sys.stderr,
     )
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()

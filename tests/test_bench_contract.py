@@ -38,19 +38,21 @@ def _run_bench(extra_env: dict[str, str]) -> dict:
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
+    # r13 contract: STDOUT is exactly ONE compact JSON line, so a
+    # recorder keeping only a bounded stdout tail can json.loads it
+    # directly; the rich contention-audit line goes to STDERR
+    # (VERDICT r12 #1/#8)
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-    # r13 contract: rich (contention-audit) line first, COMPACT
-    # contract line LAST — a bounded stdout tail must always end in
-    # one parseable JSON object (VERDICT r12 #1/#8)
-    assert len(lines) == 2, proc.stdout[-2000:]
-    # the LAST line of stdout overall must be the compact contract
-    assert proc.stdout.splitlines()[-1] == lines[-1]
-    rich = json.loads(lines[0])
+    assert len(lines) == 1, proc.stdout[-2000:]
+    assert proc.stdout.splitlines()[-1] == lines[0]
+    compact = json.loads(lines[0])
+    rich_lines = [l for l in proc.stderr.splitlines() if l.startswith('{"metric"')]
+    assert len(rich_lines) == 1, proc.stderr[-2000:]
+    rich = json.loads(rich_lines[0])
     assert set(rich["meta"]) == set(rich["queries"])
     for m in rich["meta"].values():
         assert {"loadavg", "ext_cores", "io_cores", "contended", "trials"} <= set(m)
         assert isinstance(m["contended"], bool)
-    compact = json.loads(lines[-1])
     assert compact["queries"] == rich["queries"]
     return compact
 
@@ -100,6 +102,20 @@ def test_headline_set_pinned():
         "json_extract_props",
     ):
         assert sentinel in bench.HEADLINE
+
+
+def test_contention_probes_sane():
+    """The /proc-based contention probes must return sane values — a
+    kernel /proc format drift should fail HERE, loudly, not silently
+    mis-flag every bench entry."""
+    import bench
+
+    busy, iow = bench._busy_jiffies()
+    assert busy > 0 and iow >= 0
+    tree = bench._tree_jiffies()
+    assert tree > 0  # at least this very process has burned CPU
+    elapsed, ext, io_c, load1 = bench._timed_trial(lambda: sum(range(10**6)))
+    assert elapsed > 0 and ext >= 0 and io_c >= 0 and load1 >= 0
 
 
 @pytest.mark.slow
