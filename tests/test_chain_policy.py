@@ -69,6 +69,47 @@ def test_peel_multiple_winners(spark):
     assert got == [(1, 3), (2, 3)]
 
 
+def test_peel_matches_greedy_reference_on_random_dags(spark):
+    """Property pin for the peel (hypothesis over random pair DAGs):
+    the distributed first-wins peel must equal the trivially-correct
+    sequential reference — process ids ascending, keep a doc iff it
+    has no verified pair with an already-KEPT lower id; output = the
+    input pairs whose a_id was kept. Random DAGs cover diamonds,
+    multi-winner fan-ins, disjoint chains, and re-converging paths the
+    hand-written examples can't enumerate."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    raw_pairs = st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)), min_size=1, max_size=16
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(raw=raw_pairs)
+    def run(raw):
+        pairs = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+        if not pairs:
+            return
+        # pure-python sequential reference
+        kept: set[int] = set()
+        for d in sorted({x for p in pairs for x in p}):
+            if any(a in kept for (a, b) in pairs if b == d):
+                continue  # flagged
+            kept.add(d)
+        expected = {(a, b) for (a, b) in pairs if a in kept}
+        df = spark.createDataFrame(
+            [(a, b, 0.5) for a, b in pairs], "a_id: long, b_id: long, jaccard: double"
+        )
+        got = {(r.a_id, r.b_id) for r in D.sequential_firstwins_pairs(df).collect()}
+        assert got == expected, (sorted(pairs), sorted(got), sorted(expected))
+
+    run()
+
+
 def test_peel_rejects_malformed_pairs(spark):
     """ADVICE r12: a self-pair or a reversed/cyclic pair leaves the
     peel's frontier unchanged every round — must raise up front, not
