@@ -394,6 +394,20 @@ def minhash_neardup(
 #: boundaries. "conservative": every verified pair flags its higher id —
 #: b AND c are dropped; stricter removal, and on a stream it makes chain
 #: disposition depend on how pagination splits the chain.
+#:
+#: Both policies govern BOTH wings identically (VERDICT r12 #6): the
+#: text probes (probe_batch, streaming_dedup_ingest, the one-pass
+#: twins) and the embedding probes (streaming.ann_stream
+#: .probe_vector_batch / streaming_vector_ingest dedup mode, and the
+#: neardup_chain_sequential_cosine batch twin) share this knob. The
+#: third disposition in the engine — connected-components survivor
+#: selection (neardup_components / neardup_cluster_survivors /
+#: minhash_neardup_components) — is deliberately NOT a chain_policy
+#: value: transitive-closure collapse (a~b~c drops b AND c even with
+#: no a~c pair) answers a different question ("one representative per
+#: cluster", the batch re-dedup of a standing corpus) and is only
+#: computable with the whole pair set present, so it has no
+#: pagination-invariant streaming twin by construction.
 CHAIN_POLICIES = ("sequential", "conservative")
 
 
