@@ -58,13 +58,15 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # vintage first, then r4), recomputed each round from the
 # CORRECTNESS_r0*.json files.
 _PRIORITY = (
-    # (a) new/changed in round 13 (4): the embedding-wing sequential
-    # chain-disposition registration (new operator, VERDICT r12 #6),
-    # plus the three queries whose operator code changed this round —
-    # the peel's input-validation guard (ADVICE r12), the
-    # duplicate-row-spreading count salt (VERDICT r12 #4), and the
-    # file-snapshot-gated Bloom sketch memo (ADVICE r12).
+    # (a) new/changed in round 13 (5): the embedding-wing sequential
+    # chain-disposition registration and the composed ingest-dedup
+    # probe kernel (new operators, VERDICT r12 #6), plus the three
+    # queries whose operator code changed this round — the peel's
+    # input-validation guard (ADVICE r12), the duplicate-row-spreading
+    # count salt (VERDICT r12 #4), and the file-snapshot-gated Bloom
+    # sketch memo (ADVICE r12).
     "neardup_chain_sequential_cosine",
+    "neardup_probe_chain_cosine",
     "dedup_chain_sequential",
     "join_salted_skew",
     "bloom_prejoin_filter",
@@ -121,7 +123,6 @@ _PRIORITY = (
     "hll_sketch_union",
     "join_broadcast_dim",
     "join_inner_equi",
-    "knn_ivf_approx",
 )
 
 _MODULES = (

@@ -1115,6 +1115,126 @@ def neardup_probe_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "neardup_probe_chain_cosine",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % 97 = 0
+    ),
+    asg AS (
+      SELECT vec_id, cid AS list_id, rn FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.emb, c.cemb)
+                         / (sqrt(list_dot_product(e.emb, e.emb))
+                            * sqrt(list_dot_product(c.cemb, c.cemb))), 6) DESC,
+                          c.cid) AS rn
+        FROM e CROSS JOIN cent c
+      ) WHERE rn <= {_IVF_BLOCK_PROBES}
+    ),
+    -- corpus side carries its single stored (top-1) assignment; the
+    -- probing batch multi-probes — the engine's probe_vector_batch
+    -- assigns a bare corpus top-1 and the batch `probes` deep
+    cand AS (
+      SELECT DISTINCT b.vec_id AS batch_id, a.vec_id AS corpus_id
+      FROM asg a JOIN asg b ON a.list_id = b.list_id
+      WHERE a.vec_id % 10 <> 0 AND a.rn = 1 AND b.vec_id % 10 = 0
+    ),
+    corpus_flags AS (
+      SELECT c.batch_id, c.corpus_id,
+             round(list_dot_product(ea.emb, eb.emb)
+               / (sqrt(list_dot_product(ea.emb, ea.emb))
+                  * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS score
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.batch_id
+      JOIN e eb ON eb.vec_id = c.corpus_id
+      WHERE round(list_dot_product(ea.emb, eb.emb)
+              / (sqrt(list_dot_product(ea.emb, ea.emb))
+                 * sqrt(list_dot_product(eb.emb, eb.emb))), 6) >= {_SEMDEDUP_THR}
+    ),
+    survivors0 AS (
+      SELECT vec_id FROM e
+      WHERE vec_id % 10 = 0
+        AND vec_id NOT IN (SELECT batch_id FROM corpus_flags)
+    ),
+    -- intra-batch stage: EXACT all-pairs among the corpus survivors
+    -- (the engine's intra stage is cosine_selfjoin_pairs, not
+    -- list-limited), then the greedy first-wins walk in id order
+    pairs_m AS MATERIALIZED (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_dot_product(ea.emb, eb.emb)
+               / (sqrt(list_dot_product(ea.emb, ea.emb))
+                  * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS score
+      FROM survivors0 a JOIN survivors0 b ON a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE round(list_dot_product(ea.emb, eb.emb)
+              / (sqrt(list_dot_product(ea.emb, ea.emb))
+                 * sqrt(list_dot_product(eb.emb, eb.emb))), 6) >= {_SEMDEDUP_THR}
+    ),
+    ord AS MATERIALIZED (
+      SELECT id, row_number() OVER (ORDER BY id) AS rn
+      FROM (SELECT a_id AS id FROM pairs_m UNION SELECT b_id FROM pairs_m)
+    ),
+    walk(rn, survivors) AS (
+      SELECT 0, CAST([] AS BIGINT[])
+      UNION ALL
+      SELECT w.rn + 1,
+             CASE WHEN EXISTS (
+                 SELECT 1 FROM pairs_m p
+                 WHERE p.b_id = (SELECT id FROM ord WHERE rn = w.rn + 1)
+                   AND list_contains(w.survivors, p.a_id))
+               THEN w.survivors
+               ELSE list_append(w.survivors, (SELECT id FROM ord WHERE rn = w.rn + 1))
+             END
+      FROM walk w WHERE w.rn < (SELECT count(*) FROM ord)
+    ),
+    final AS (SELECT survivors FROM walk ORDER BY rn DESC LIMIT 1)
+    SELECT batch_id, corpus_id, score FROM corpus_flags
+    UNION ALL
+    SELECT p.b_id AS batch_id, p.a_id AS corpus_id, p.score
+    FROM pairs_m p, final f
+    WHERE list_contains(f.survivors, p.a_id)
+    """,
+    doc="The round-13 ingest-dedup kernel (streaming.ann_stream"
+    ".probe_vector_batch) registered as an oracle-checked one-pass "
+    "query: a batch of arriving vectors (vec_id % 10 = 0) probes the "
+    "standing corpus through shared IVF lists (corpus pre-assigned "
+    "top-1, batch multi-probes — the stored-index economics), exact "
+    "cosine verify flags batch-vs-corpus pairs, and the corpus "
+    "survivors' intra-batch chains resolve under the SHARED "
+    "chain_policy='sequential' (the same greedy first-wins walk the "
+    "text wing registers). Output = the full flagged ledger the "
+    "streaming dedup mode writes per batch: (batch_id, corpus_id, "
+    "score), where intra pairs list the surviving lower id as "
+    "corpus_id. The oracle replays assignment, collision, both verify "
+    "stages, and the recursive survivor walk.",
+)
+def neardup_probe_chain_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from notion_vector_store_etl_pipeline_spark.streaming.ann_stream import (
+        probe_vector_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", V.as_double("embedding").alias("emb"))
+    batch = vecs.filter(F.col("vec_id") % 10 == 0)
+    corpus = vecs.filter(F.col("vec_id") % 10 != 0)
+    c_ids, c_mat = _ivf_centroids(spark, sf_dir)
+    flagged, _clean = probe_vector_batch(
+        batch,
+        corpus,
+        c_ids,
+        c_mat,
+        _SEMDEDUP_THR,
+        probes=_IVF_BLOCK_PROBES,
+    )
+    return flagged
+
+
 _LSH_BITS = 4
 _LSH_BANDS = 8
 
