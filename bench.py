@@ -69,11 +69,14 @@ def _tree_jiffies() -> int:
         try:
             with open(f"/proc/{entry}/stat") as f:
                 raw = f.read()
-        except OSError:
+            # fields after the (possibly space-containing) comm — a
+            # process exiting between open and read can yield an
+            # empty/truncated string; treat that like the open failing
+            # rather than letting IndexError kill the sweep (ADVICE r13)
+            rest = raw.rsplit(")", 1)[1].split()
+            ppid, utime, stime = int(rest[1]), int(rest[11]), int(rest[12])
+        except (OSError, IndexError, ValueError):
             continue
-        # fields after the (possibly space-containing) comm
-        rest = raw.rsplit(")", 1)[1].split()
-        ppid, utime, stime = int(rest[1]), int(rest[11]), int(rest[12])
         procs[int(entry)] = (ppid, utime + stime)
     kids: dict[int, list[int]] = {}
     for pid, (ppid, _) in procs.items():

@@ -70,12 +70,13 @@ _WORDS_COL = "__bloom_words"
 # rewrite changes part filenames (Spark writes fresh UUID part names)
 # or at minimum mtimes, so the snapshot differs and the sketch
 # rebuilds. Snapshot capture is driver-side metadata only (no scan);
-# when the file list exceeds _SNAPSHOT_STAT_CAP the per-file stat is
-# skipped and the name list alone gates reuse (rewrites still churn
-# names) — and a relation whose files cannot be enumerated at all
-# (views over non-file sources) falls back to never-reuse rather than
-# risk a stale sketch. clear_sketch_memo() remains the explicit
-# invalidation hook.
+# when the file list exceeds _SNAPSHOT_STAT_CAP the memo is DISABLED
+# for that build side (rebuild every call) rather than fingerprinting
+# names without stats (VERDICT r13 #8) — and a relation whose files
+# cannot be enumerated at all, or that reports no files without being
+# a LocalRelation (JDBC/DSv2 also report none, ADVICE r13), falls back
+# to never-reuse rather than risk a stale sketch. clear_sketch_memo()
+# remains the explicit invalidation hook.
 _SKETCH_MEMO: dict[tuple, tuple] = {}
 _SKETCH_MEMO_MAX = 16
 _SNAPSHOT_STAT_CAP = 256
@@ -85,20 +86,52 @@ def clear_sketch_memo() -> None:
     _SKETCH_MEMO.clear()
 
 
+def _is_local_only_plan(df: DataFrame) -> bool:
+    """True iff every leaf of the analyzed plan is a LocalRelation /
+    OneRowRelation / LogicalRDD — relations whose CONTENT is pinned at
+    plan-construction time (classic pyspark's ``createDataFrame``
+    lowers to a parallelized-collection RDD behind a LogicalRDD, whose
+    partitions bake in the driver-side data), so sameSemantics alone
+    makes reuse sound. Anything else with an empty ``inputFiles()``
+    (JDBC relations, DSv2 relations, catalog tables over non-file
+    sources) can change content without changing semantics and must
+    NOT take the reuse path (ADVICE r13). Caveat: a LogicalRDD
+    wrapping a hand-built re-scanning RDD (sc.textFile().toDF()) is
+    outside this guarantee — that caller owns clear_sketch_memo(),
+    like the in-place-overwrite case."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        it = leaves.iterator()
+        while it.hasNext():
+            name = it.next().getClass().getSimpleName()
+            if name not in ("LocalRelation", "OneRowRelation", "LogicalRDD"):
+                return False
+        return True
+    except Exception:
+        return False
+
+
 def _input_snapshot(df: DataFrame) -> tuple | None:
     """Fingerprint of the files under a plan: sorted (path, mtime, len)
     tuples — None when the inputs cannot be enumerated (then the memo
     must not be trusted). A LocalRelation (createDataFrame) has no
     files; its snapshot is the empty tuple, and its CONTENT is already
-    pinned by the plan semantics, so reuse stays sound there."""
+    pinned by the plan semantics, so reuse stays sound there — but an
+    empty file list is only accepted as LocalRelation proof after an
+    actual plan-leaf check: non-file relations (JDBC, DSv2) also
+    return no files, and their content is NOT semantics-pinned
+    (ADVICE r13). Listings beyond _SNAPSHOT_STAT_CAP disable the memo
+    outright (None) rather than fingerprinting names without stats —
+    an in-place same-name overwrite on a >cap relation would otherwise
+    serve a stale sketch (VERDICT r13 #8)."""
     try:
         files = sorted(df.inputFiles())
     except Exception:
         return None
     if not files:
-        return ()
+        return () if _is_local_only_plan(df) else None
     if len(files) > _SNAPSHOT_STAT_CAP:
-        return tuple(files)
+        return None
     try:
         sc = df.sparkSession.sparkContext
         jvm = sc._jvm

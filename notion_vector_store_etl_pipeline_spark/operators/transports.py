@@ -180,6 +180,14 @@ def upload_store_jsonl(
     worker exceptions impossible on the HTTP path, and a part file
     missing from disk despite being manifest-listed raises loudly —
     that is store corruption, not a transport fault.
+
+    Memory bound (ADVICE r13): each in-flight thread holds its whole
+    part body in memory (the retry policy re-POSTs the same bytes, so
+    the body must outlive one attempt), so peak driver heap is
+    ``max_workers x largest-part-size``. Size ``max_workers`` down —
+    or the sink's ``maxRecordsPerFile`` up — when parts are large;
+    the default 8 workers assume the sink's task-sized (tens of MB)
+    parts.
     """
     from concurrent.futures import ThreadPoolExecutor
 

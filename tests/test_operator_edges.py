@@ -379,3 +379,51 @@ def test_bloom_memo_invalidates_on_file_rewrite(spark, tmp_path):
     )
     assert second == [9], "stale memoized sketch served after file rewrite"
     bloom.clear_sketch_memo()
+
+
+def test_bloom_memo_disabled_beyond_stat_cap(spark, tmp_path, monkeypatch):
+    """VERDICT r13 #8: a build side whose file listing exceeds
+    _SNAPSHOT_STAT_CAP must DISABLE the memo (rebuild every call), not
+    gate reuse on names alone — an in-place same-name overwrite on a
+    >cap relation would otherwise serve a stale sketch."""
+    from notion_vector_store_etl_pipeline_spark.operators import bloom
+
+    bloom.clear_sketch_memo()
+    monkeypatch.setattr(bloom, "_SNAPSHOT_STAT_CAP", 2)
+    path = str(tmp_path / "many_parts")
+    spark.createDataFrame([(i,) for i in range(8)], "bk: long").repartition(
+        4
+    ).write.mode("overwrite").parquet(path)
+    build = spark.read.parquet(path)
+    assert len(build.inputFiles()) > 2  # actually beyond the cap
+    assert bloom._input_snapshot(build) is None
+
+    builds = {"n": 0}
+    real_build = bloom.bloom_build
+
+    def counting_build(*a, **kw):
+        builds["n"] += 1
+        return real_build(*a, **kw)
+
+    monkeypatch.setattr(bloom, "bloom_build", counting_build)
+    bloom.bloom_words_row(build, "bk")
+    bloom.bloom_words_row(build, "bk")
+    assert builds["n"] == 2, "memo reused beyond the stat cap"
+    bloom.clear_sketch_memo()
+
+
+def test_bloom_memo_requires_local_relation_for_fileless_plans(spark):
+    """ADVICE r13: an empty inputFiles() list is NOT proof of a
+    LocalRelation — non-file relations (JDBC, DSv2, Range) also report
+    no files, and their content is not pinned by plan semantics. Only
+    an actual LocalRelation-leaved plan takes the reuse path."""
+    from notion_vector_store_etl_pipeline_spark.operators import bloom
+
+    local = spark.createDataFrame([(1,), (2,)], "bk: long")
+    assert local.inputFiles() == []
+    assert bloom._input_snapshot(local) == ()
+
+    # Range: fileless but not a LocalRelation -> never-reuse (None)
+    rng = spark.range(3).withColumnRenamed("id", "bk")
+    assert rng.inputFiles() == []
+    assert bloom._input_snapshot(rng) is None

@@ -30,6 +30,8 @@ class _Handler(BaseHTTPRequestHandler):
     flaky_hits: dict[str, int] = {}
     uploads: list[bytes] = []
     lock = threading.Lock()
+    in_flight = 0
+    in_flight_high = 0
 
     def log_message(self, *a):  # silence stderr
         pass
@@ -62,10 +64,20 @@ class _Handler(BaseHTTPRequestHandler):
         body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
         if self.path.startswith("/upload_slow"):
             # every part is slow: a sequential uploader pays
-            # n_parts * delay, the thread pool pays ~delay
+            # n_parts * delay, the thread pool pays ~delay. The
+            # in-flight high-water mark is the load-bearing evidence of
+            # overlap (ADVICE r13: wall-clock alone flakes on loaded
+            # hosts)
             import time as _time
 
+            with _Handler.lock:
+                _Handler.in_flight += 1
+                _Handler.in_flight_high = max(
+                    _Handler.in_flight_high, _Handler.in_flight
+                )
             _time.sleep(0.5)
+            with _Handler.lock:
+                _Handler.in_flight -= 1
         with _Handler.lock:
             _Handler.uploads.append(body)
         # /upload201: a standards-compliant bulk-import endpoint that
@@ -80,6 +92,8 @@ class _Handler(BaseHTTPRequestHandler):
 def http_server():
     _Handler.flaky_hits = {}
     _Handler.uploads = []
+    _Handler.in_flight = 0
+    _Handler.in_flight_high = 0
     server = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -188,9 +202,14 @@ def test_store_upload_parts_drain_concurrently(spark, http_server, tmp_path):
     )
     elapsed = time.perf_counter() - t0
     assert len(results) >= 6 and all(r["ok"] for r in results)
-    # 6 parts x 0.5 s sequential = 3 s minimum; concurrent ~0.5 s.
-    # 2.0 s leaves generous headroom without admitting serialization.
-    assert elapsed < 2.0, f"upload serialized: {elapsed:.2f}s for {len(results)} parts"
+    # The primary assertion is OBSERVED overlap — the server-side
+    # in-flight high-water mark — which a loaded CI host cannot flake
+    # (ADVICE r13); the wall-clock bound stays only as a loose sanity
+    # check strictly below the 6 x 0.5 s sequential floor.
+    assert _Handler.in_flight_high >= 3, (
+        f"no request overlap observed (high-water {_Handler.in_flight_high})"
+    )
+    assert elapsed < 2.9, f"upload serialized: {elapsed:.2f}s for {len(results)} parts"
     uploaded_rows = [
         json.loads(line)
         for body in _Handler.uploads
