@@ -79,6 +79,8 @@ the revert/reclaim lifecycle in tests/test_ingest_pipeline_r11.py.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -115,6 +117,40 @@ from notion_vector_store_etl_pipeline_spark.streaming.dedup_stream import (
 from notion_vector_store_etl_pipeline_spark.streaming.pipeline import chunk_stage
 
 EMBED_DIM = 8
+
+# ---------------------------------------------------------------------------
+# Opt-in per-stage profiler for the composed stream's foreachBatch body
+# (VERDICT r13 #1: attribute the per-batch FIXED overhead to manifest /
+# state re-reads vs kernel floor vs scheduling before optimizing it).
+# When enabled, _process appends (batch_id, stage, seconds) rows; the
+# hook costs two perf_counter() calls per stage when off.
+_PROFILE: list | None = None
+
+
+def enable_stage_profile() -> list:
+    """Turn on stage timing; returns the live list the stream appends
+    (batch_id, stage, seconds) tuples to."""
+    global _PROFILE
+    _PROFILE = []
+    return _PROFILE
+
+
+def disable_stage_profile() -> None:
+    global _PROFILE
+    _PROFILE = None
+
+
+_PROFILE_BID = -1  # batch currently inside _process, for nested marks
+
+
+def _mark(batch_id: int, name: str, t0: float) -> float:
+    """Record the stage ``name`` as having run from ``t0`` to now;
+    returns now (the next stage's t0). No-op-cheap when profiling is
+    off."""
+    now = time.perf_counter()
+    if _PROFILE is not None:
+        _PROFILE.append((batch_id, name, now - t0))
+    return now
 
 
 def embedded_chunks(clean_docs: DataFrame, max_len: int = 400) -> DataFrame:
@@ -167,6 +203,7 @@ def ingest_stage(
     ``return_clean_buckets`` appends the clean docs' melted LSH
     buckets as a fifth element — the stream's index-delta rows,
     reusing the probe's own signature pass (probe_batch docstring)."""
+    _t = time.perf_counter()
     probed = probe_batch(
         todo.select("doc_id", "text"),
         corpus_docs,
@@ -179,6 +216,7 @@ def ingest_stage(
         chain_policy=chain_policy,
     )
     flagged, clean = probed[0], probed[1]
+    _t = _mark(_PROFILE_BID, "kernel:probe", _t)
     # probe_batch consumes only (doc_id, text); rejoin for the chunk
     # stage's source column. localCheckpoint (ingest-batch-sized, the
     # same contract probe_batch itself uses): clean_full feeds the
@@ -190,8 +228,11 @@ def ingest_stage(
         .select("doc_id", "text", "source")
         .localCheckpoint(eager=True)
     )
+    _t = _mark(_PROFILE_BID, "kernel:clean_pin", _t)
     _, c_ids, c_mat = load_ivf_index(spark, ivf_index_path)
+    _t = _mark(_PROFILE_BID, "kernel:ivf_load", _t)
     chunks = embedded_chunks(clean_full, max_len).localCheckpoint(eager=True)
+    _t = _mark(_PROFILE_BID, "kernel:chunk_embed", _t)
     assigned = quantize_and_assign(
         chunks.select("vec_id", "emb"), c_ids, c_mat, topn=1, id_col="vec_id", emb_col="emb"
     )
@@ -796,6 +837,9 @@ def streaming_ingest_etl(
         # cadence of idle pages). Folds cover COMMITTED batches only
         # (everything before this one); replays hit the watermark and
         # no-op.
+        global _PROFILE_BID
+        _PROFILE_BID = batch_id
+        _t = time.perf_counter()
         at_boundary = lambda every: every and batch_id > 0 and batch_id % every == 0  # noqa: E731
         if at_boundary(compact_state_every):
             compact_ingest_state(
@@ -844,6 +888,7 @@ def streaming_ingest_etl(
                 ),
                 rebuild_sample_mod=rebuild_sample_mod,
             )
+        _t = _mark(batch_id, "folds", _t)
         if batch.isEmpty():
             return
         # pin the micro-batch once: it feeds the skip join AND the
@@ -852,6 +897,7 @@ def streaming_ingest_etl(
         batch = batch.withColumn(
             "content_hash", F.sha2(F.col("text"), 256)
         ).localCheckpoint(eager=True)
+        _t = _mark(batch_id, "pin_batch", _t)
         prior = read_ingest_state(spark, out_dir, batch_id)
         todo = batch
         if prior is not None:
@@ -896,6 +942,7 @@ def streaming_ingest_etl(
                 # is a pure function of state below this batch, so a
                 # crash-replay skips identically.
                 return
+        _t = _mark(batch_id, "skip", _t)
         if update_index:
             # probe corpus ∪ committed stream state: anchor on the
             # dedup compaction manifest (folded index version + folded
@@ -949,6 +996,7 @@ def streaming_ingest_etl(
         # per batch for)
         ann_man = read_compaction_manifest(f"{out_dir}/ann", spark)
         ivf_anchor = ann_man["index_path"] if ann_man else ivf_index_path
+        _t = _mark(batch_id, "anchor_load", _t)
         # intra_batch rides update_index: intra-stream dedup that
         # caught a pair split ACROSS batches but let the same pair
         # through when a page boundary happened to put both docs in
@@ -969,6 +1017,7 @@ def streaming_ingest_etl(
             chain_policy=chain_policy,
         )
         flagged, clean, chunks, assigned = staged[:4]
+        _t = _mark(batch_id, "kernel", _t)
         # batch_id-keyed overwrites => replay-idempotent, same
         # discipline as both wings
         flagged.write.mode("overwrite").parquet(
@@ -985,6 +1034,7 @@ def streaming_ingest_etl(
             staged[4].write.mode("overwrite").parquet(
                 f"{out_dir}/index_delta/batch_id={batch_id}"
             )
+        _t = _mark(batch_id, "write_outputs", _t)
         assigned.repartition("list_id").write.mode("overwrite").partitionBy(
             "list_id"
         ).parquet(f"{out_dir}/ann/delta/batch_id={batch_id}/vectors")
@@ -1005,6 +1055,7 @@ def streaming_ingest_etl(
                 "external rebuild) — restart the stream to replay this "
                 "batch against the current sidecar"
             )
+        _t = _mark(batch_id, "write_ann", _t)
         # stale/revive events: every doc (re)processed this batch
         # supersedes its LATEST prior version's vectors. Latest-version
         # vec_ids the new content does NOT regenerate -> stale (the
@@ -1056,6 +1107,7 @@ def streaming_ingest_etl(
         revive.write.mode("overwrite").parquet(
             f"{out_dir}/revive/batch_id={batch_id}"
         )
+        _t = _mark(batch_id, "events", _t)
         # state LAST: a crash before this point replays the batch with
         # the doc not yet marked processed (rewrite, idempotent); after
         # it, the epoch commit is the only step left. Each row carries
@@ -1086,6 +1138,7 @@ def streaming_ingest_etl(
             .write.mode("overwrite")
             .parquet(f"{out_dir}/state/batch_id={batch_id}")
         )
+        _mark(batch_id, "write_state", _t)
 
     docs = (
         spark.readStream.format("paginated")
