@@ -102,3 +102,46 @@ def release_cache() -> None:
             _PERSISTED.pop().unpersist()
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Version-keyed DataFrame memo (VERDICT r13 #1).
+#
+# ``spark.read.parquet(root)`` is EAGER on the driver — file listing +
+# schema inference happen at DataFrame construction, before any job.
+# A streaming foreachBatch loop that re-constructs its anchored state
+# reads (folded index version, corpus versions, folded skip state)
+# every micro-batch pays that listing ~6x per batch even when the
+# compaction watermark has not moved (measured: ~1.5 s of the ~12 s
+# fixed per-batch overhead, scripts/profile_stream_batch.py).
+#
+# Soundness contract: callers key each entry on the inputs' VERSION —
+# the compaction-manifest version whose trees are write-once by the
+# stream's own exactly-once discipline. A fold/vacuum/major-rewrite
+# publishes a NEW version and bumps the key; between folds nothing
+# mutates the covered trees. Out-of-band mutation of committed state
+# is outside the model (it breaks the stream with or without this
+# memo); ``clear_df_memo()`` is the explicit hook for such callers.
+# Keys embed the Spark application id, so sequential sessions (test
+# suites) can never serve a dead session's plan.
+_DF_MEMO: dict[tuple, "DataFrame"] = {}
+_DF_MEMO_MAX = 64
+
+
+def clear_df_memo() -> None:
+    _DF_MEMO.clear()
+
+
+def memo_df(spark, key: tuple, build):
+    """Return the memoized DataFrame for ``key`` (scoped to ``spark``'s
+    application), constructing it via ``build()`` on a miss. ``key``
+    must capture every mutable input — by contract a (path(s), version)
+    tuple where the version bumps whenever any covered tree changes."""
+    k = (spark.sparkContext.applicationId,) + key
+    df = _DF_MEMO.get(k)
+    if df is None:
+        df = build()
+        if len(_DF_MEMO) >= _DF_MEMO_MAX:
+            _DF_MEMO.pop(next(iter(_DF_MEMO)))
+        _DF_MEMO[k] = df
+    return df

@@ -93,9 +93,11 @@ from notion_vector_store_etl_pipeline_spark.operators.dedup import (
 from notion_vector_store_etl_pipeline_spark.operators.similarity import (
     compact_ivf_index,
     load_ivf_index,
+    load_ivf_sidecar,
     quantize_and_assign,
     rebuild_ivf_index,
 )
+from notion_vector_store_etl_pipeline_spark.operators.cache import memo_df
 from notion_vector_store_etl_pipeline_spark.operators.statefs import (
     read_json,
     state_fs,
@@ -229,7 +231,10 @@ def ingest_stage(
         .localCheckpoint(eager=True)
     )
     _t = _mark(_PROFILE_BID, "kernel:clean_pin", _t)
-    _, c_ids, c_mat = load_ivf_index(spark, ivf_index_path)
+    # sidecar only — the vectors scan would be discarded, and its
+    # eager listing cost ~1 s/batch (VERDICT r13 #1); the memo behind
+    # load_ivf_sidecar makes repeat anchors free
+    c_ids, c_mat = load_ivf_sidecar(spark, ivf_index_path)
     _t = _mark(_PROFILE_BID, "kernel:ivf_load", _t)
     chunks = embedded_chunks(clean_full, max_len).localCheckpoint(eager=True)
     _t = _mark(_PROFILE_BID, "kernel:chunk_embed", _t)
@@ -478,7 +483,15 @@ def _read_tree(
         )
     parts = []
     if man and man["version"] > 0 and fs.is_dir(f"{out_dir}/{tree}_versions"):
-        ver = spark.read.parquet(f"{out_dir}/{tree}_versions")
+        # memoized per manifest version (operators.cache.memo_df): the
+        # folded tree is write-once below the watermark, and the eager
+        # listing + schema inference of spark.read.parquet would
+        # otherwise re-run every micro-batch (VERDICT r13 #1)
+        ver = memo_df(
+            spark,
+            ("tree_versions", out_dir, tree, man["version"]),
+            lambda: spark.read.parquet(f"{out_dir}/{tree}_versions"),
+        )
         missing = [c for c in cols if c not in ver.columns]
         if missing:
             # fail with the actual story, not UNRESOLVED_COLUMN: a
@@ -1035,8 +1048,12 @@ def streaming_ingest_etl(
                 f"{out_dir}/index_delta/batch_id={batch_id}"
             )
         _t = _mark(batch_id, "write_outputs", _t)
-        assigned.repartition("list_id").write.mode("overwrite").partitionBy(
-            "list_id"
+        # plain sorted files, not partitionBy(list_id) — the micro-batch
+        # delta small-files fix; see ann_stream's delta write for the
+        # full rationale (row-group stats replace partition pruning on
+        # the tail; the fold restores the partitioned layout)
+        assigned.repartition("list_id").sortWithinPartitions("list_id").write.mode(
+            "overwrite"
         ).parquet(f"{out_dir}/ann/delta/batch_id={batch_id}/vectors")
         # writer-side anchor re-validation (ADVICE r10, mirroring
         # ann_stream): an OUT-OF-BAND rebuild publishing between the
