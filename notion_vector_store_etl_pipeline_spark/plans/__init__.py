@@ -58,71 +58,72 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
 # vintage first, then r4), recomputed each round from the
 # CORRECTNESS_r0*.json files.
 _PRIORITY = (
-    # (a) new/changed in round 13 (5): the embedding-wing sequential
-    # chain-disposition registration and the composed ingest-dedup
-    # probe kernel (new operators, VERDICT r12 #6), plus the three
-    # queries whose operator code changed this round — the peel's
-    # input-validation guard (ADVICE r12), the duplicate-row-spreading
-    # count salt (VERDICT r12 #4), and the file-snapshot-gated Bloom
-    # sketch memo (ADVICE r12).
+    # (a) changed in round 14 (9): the chain family re-proves because
+    # sequential_firstwins_pairs gained the empty-input short-circuit;
+    # the minhash family because the signature base-hash projection and
+    # the single-window dense-bucket candidate pass changed the operator
+    # (VERDICT r13 weak #1); knn_ivf_stored_index / knn_ivf_incremental
+    # because load_ivf_index now routes through the snapshot-gated
+    # centroid memo (the rest of the IVF family is r10-vintage and sits
+    # in window (b) anyway).
+    "dedup_chain_sequential",
     "neardup_chain_sequential_cosine",
     "neardup_probe_chain_cosine",
-    "dedup_chain_sequential",
-    "join_salted_skew",
-    "bloom_prejoin_filter",
+    "minhash_lsh_neardup",
+    "minhash_neardup_components",
+    "minhash_incremental_probe",
+    "minhash_probe_stored_index",
+    "knn_ivf_stored_index",
+    "knn_ivf_incremental",
     # (b) oldest proof rows first (COVERAGE.md staleness manifest,
-    # recomputed by scripts/coverage_manifest.py at the start of r13):
-    # the 23 remaining round-9-vintage names — after this window every
-    # proof is r10+ and the max staleness stays within the 4-round
+    # recomputed by scripts/coverage_manifest.py at the start of r14):
+    # the entire remaining round-10 vintage (26 names) — after this
+    # window the oldest proof is r11 (age 3), inside the 4-round
     # budget.
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "neardup_components",
-    "pii_mask",
-    "pivot_counts",
-    "profile_columns",
-    "quality_score",
-    "tpch_q20_part_promotion",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "window_first_last",
-    "window_ntile_cume",
-    "window_range_frame",
-    "window_running_total",
-    "window_sliding_counts",
-    # (c) round-10-vintage alphabetical fill to exactly 50 (the
+    "knn_ivf_approx",
+    "knn_ivf_quantized",
+    "knn_ivf_rebuilt",
+    "knn_lsh_cosine",
+    "left_join_state",
+    "limit_pages",
+    "neardup_components_ivf_blocked",
+    "neardup_pairs_ivf_blocked",
+    "neardup_pairs_ivf_stored",
+    "neardup_probe_ivf_blocked",
+    "neardup_probe_ivf_stored",
+    "sample_deterministic",
+    "semdedup_cluster_prune",
+    "sort_nulls_ordering",
+    "state_merge_upsert",
+    "stratified_sample_per_group",
+    "text_token_stats",
+    "tfidf_top_terms",
+    "time_rollup_multi",
+    "token_count_bpe",
+    "tpch_q1_pricing_summary",
+    "unpivot_metrics",
+    "variant_extract_props",
+    "window_lag_lead",
+    "window_session_gap",
+    "window_tumbling_counts",
+    # (c) round-11-vintage alphabetical fill to exactly 50 (the
     # driver's sample size, pinned in tests/test_fixture_canary.py);
-    # the remainder of the r10 vintage leads the round-14 rotation.
-    "agg_approx_distinct",
-    "agg_distinct_counts",
-    "agg_group_sum",
-    "agg_rollup",
-    "anti_join_unchanged",
-    "chunk_explode",
-    "chunk_explode_udtf",
-    "chunk_explode_words",
-    "chunk_ids",
-    "classifier_score_linear",
-    "contamination_ngram_overlap",
-    "dedup_first_wins",
-    "domain_blocklist_filter",
-    "dq_expectations",
-    "embedding_norms",
-    "embedding_quantize_int8",
-    "graph_reachability_sql",
-    "hash_sha2",
-    "heavy_hitters_topk",
-    "hll_sketch_union",
-    "join_broadcast_dim",
-    "join_inner_equi",
+    # the remainder of the r11 vintage leads the round-15 rotation.
+    "agg_cube",
+    "agg_grouping_sets",
+    "array_hof_ops",
+    "dedup_embedding_cosine",
+    "group_normalize_pandas",
+    "hybrid_rrf_search",
+    "incremental_changed",
+    "interval_merge_islands",
+    "join_full_outer_coalesce",
+    "kmeans_assign",
+    "kmeans_update",
+    "knn_filtered",
+    "knn_topk",
+    "lateral_top_item",
+    "levenshtein_neardup_titles",
 )
 
 _MODULES = (
