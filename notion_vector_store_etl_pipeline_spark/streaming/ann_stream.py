@@ -10,8 +10,12 @@ assigned, per batch inside ``foreachBatch``, against the stored IVF
 base index's OWN centroid sidecar (:func:`operators.similarity
 .append_ivf_delta`'s kernel — one Arrow pass over the NEW vectors
 only; the base is never recomputed, never rescanned) and written as a
-``batch_id``-keyed delta tree, itself ``list_id``-partitioned so a
-consumer's probe prunes partitions on every tree. With
+``batch_id``-keyed delta of plain ``list_id``-SORTED files (one-ish
+file per micro-batch — a partitionBy tree would write one near-empty
+file per distinct list per batch, the small-files explosion at stream
+age; consumers' literal ``isin`` list filters skip on row-group stats
+instead, and the fold restores the partitioned layout for the
+standing index). With
 ``compact_every=K``, every K-th batch folds committed deltas into the
 next index version (:func:`operators.similarity.compact_ivf_index`)
 and publishes an atomic manifest; consumers anchor on the manifest and
@@ -352,7 +356,7 @@ def streaming_vector_ingest(
     (offsets = cursor, resume owned by the checkpoint). ``index_path``:
     the stored IVF base index whose centroid sidecar defines every
     assignment. Outputs under ``out_dir``: ``delta/batch_id=N`` (the
-    arriving vectors' codes+norms+assignment, list_id-partitioned) and,
+    arriving vectors' codes+norms+assignment, list_id-sorted) and,
     with ``compact_every``, ``index_versions/v<k>`` + the manifest.
     ``retain_versions=N`` vacuums superseded index versions after each
     compaction. ``rebuild_every=R`` upgrades every R-th compaction

@@ -24,8 +24,10 @@ operator:
    :func:`functions.vectors.hash_embedding` (the model stand-in; the
    engine's contract is the plumbing) and is assigned against the
    stored IVF index's OWN centroid sidecar, landing as a
-   ``list_id``-partitioned ``batch_id``-keyed delta under
-   ``<out>/ann`` — the exact layout ``streaming.ann_stream`` owns, so
+   ``batch_id``-keyed ``list_id``-sorted delta under
+   ``<out>/ann`` — the exact layout ``streaming.ann_stream`` owns
+   (plain sorted files per micro-batch; the fold restores the
+   partitioned layout), so
    ``load_stream_ann_state(spark, f"{out}/ann", ivf_index_path, ...)``
    probes the pipeline's output directly and
    ``compact_ann_stream_state`` (including
@@ -812,7 +814,7 @@ def streaming_ingest_etl(
     ``revive/batch_id=N`` (the ordered supersede/re-add events —
     module docstring), ``index_delta/batch_id=N`` (the clean docs'
     LSH buckets when ``update_index`` — intra-stream dedup), and
-    ``ann/delta/batch_id=N/vectors`` (list_id-partitioned).
+    ``ann/delta/batch_id=N/vectors`` (plain list_id-sorted files).
 
     Compaction knobs, each an independent cadence over its own
     manifest: ``compact_state_every=K`` folds the skip-state and
