@@ -427,3 +427,68 @@ def test_bloom_memo_requires_local_relation_for_fileless_plans(spark):
     rng = spark.range(3).withColumnRenamed("id", "bk")
     assert rng.inputFiles() == []
     assert bloom._input_snapshot(rng) is None
+
+
+def test_ivf_sidecar_memo_invalidates_on_rewrite(spark, tmp_path):
+    """The centroid-sidecar memo (VERDICT r13 #1) follows the bloom
+    sketch memo's discipline: reuse is gated on the sidecar dir's file
+    snapshot, so rewriting an index at the SAME path re-reads the
+    centroids — no clear_centroid_memo() call needed — while an
+    unchanged path is served from the memo (one collect total)."""
+    import numpy as np
+
+    from notion_vector_store_etl_pipeline_spark.operators import similarity as S
+
+    S.clear_centroid_memo()
+    path = str(tmp_path / "ivf")
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id: long, emb: array<double>"
+    )
+    c1 = (np.array([0], dtype=np.int64), np.array([[1.0, 0.0]]))
+    S.write_ivf_index(
+        spark, S.quantize_and_assign(vecs, *c1, topn=1, emb_col="emb"), *c1, path
+    )
+    ids_a, mat_a = S.load_ivf_sidecar(spark, path)
+    ids_b, mat_b = S.load_ivf_sidecar(spark, path)
+    assert mat_b is mat_a, "unchanged sidecar should hit the memo"
+    assert list(mat_a[0]) == [1.0, 0.0]
+
+    # rewrite the SAME path with different centroids -> fresh read
+    c2 = (np.array([0], dtype=np.int64), np.array([[0.0, 1.0]]))
+    S.write_ivf_index(
+        spark, S.quantize_and_assign(vecs, *c2, topn=1, emb_col="emb"), *c2, path
+    )
+    ids_c, mat_c = S.load_ivf_sidecar(spark, path)
+    assert list(mat_c[0]) == [0.0, 1.0], "stale memoized sidecar after rewrite"
+    S.clear_centroid_memo()
+
+
+def test_memo_df_version_key_contract(spark, tmp_path):
+    """operators.cache.memo_df: same key -> the SAME DataFrame object
+    (no re-listing); a bumped version component -> a fresh build that
+    sees the new files. The version key is the invalidation contract —
+    callers bump it exactly when the covered trees can change."""
+    from notion_vector_store_etl_pipeline_spark.operators import cache as C
+
+    C.clear_df_memo()
+    path = str(tmp_path / "tree")
+    spark.createDataFrame([(1,)], "x: long").write.mode("append").parquet(path)
+    builds = {"n": 0}
+
+    def build():
+        builds["n"] += 1
+        return spark.read.parquet(path)
+
+    a = C.memo_df(spark, ("t", path, 1), build)
+    b = C.memo_df(spark, ("t", path, 1), build)
+    assert a is b and builds["n"] == 1
+    assert a.count() == 1
+
+    # new files land; the version-1 plan deliberately does NOT see
+    # them (its listing snapshot is the point) ...
+    spark.createDataFrame([(2,)], "x: long").write.mode("append").parquet(path)
+    assert a.count() == 1
+    # ... and the version-2 key rebuilds against the current listing
+    c = C.memo_df(spark, ("t", path, 2), build)
+    assert builds["n"] == 2 and c.count() == 2
+    C.clear_df_memo()
