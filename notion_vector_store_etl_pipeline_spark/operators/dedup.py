@@ -137,7 +137,13 @@ def jaccard_pairs(
         # runtime stats and falls back to shuffle join at scale.
         sh = sh.join(freq.select("shingle"), "shingle")
     # sh feeds three consumers (sizes + both join sides) — compute the
-    # shingle HOF explosion once, not three times
+    # shingle HOF explosion once, not three times. LAZY deliberately:
+    # unlike jaccard_pairs_prefix (where the racing branches sat above
+    # a common un-shuffled subtree), every consumer here is downstream
+    # of sh's own shuffle lineage, so the first stage populates the
+    # cache before the others scan it; the eager variant was A/B'd in
+    # r14 and measured ~15% slower (the extra materialization pass
+    # buys nothing — OPTIMIZATION_r14.md).
     sh = _persist(sh)
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -275,7 +281,10 @@ def minhash_lsh_candidates(
     window pass, not an extra wide exchange."""
     melted = melted_signature_buckets(signatures, bands, rows_per_band, checkable)
     if dense_bucket_cap is None:
-        melted = _persist(melted)  # both sides of the bucket self-join
+        # both sides of the bucket self-join; eager so the two scan
+        # stages can't race the cache populate and re-run the
+        # signature pipeline (see jaccard_pairs)
+        melted = _persist(melted, eager=True)
         x = melted.select(F.col("sid").alias("a_id"), "band", "bucket")
         y = melted.select(F.col("sid").alias("b_id"), "band", "bucket")
         return (
@@ -296,7 +305,11 @@ def minhash_lsh_candidates(
         melted.withColumn("_bsize", F.count(F.lit(1)).over(w_all))
         .withColumn("_rep", F.min("sid").over(w_all))
         .withColumn("_next", F.lead("sid").over(w_ord))
-    )  # both sides of the sparse self-join + the dense star/chain
+        ,
+        eager=True,
+    )  # 4 consumers (sparse self-join both sides + dense star/chain)
+    # under one action — eager so the branches can't race the cache
+    # populate and re-run signatures+window per branch (see jaccard_pairs)
     sparse = m.filter(F.col("_bsize") <= dense_bucket_cap)
     x = sparse.select(F.col("sid").alias("a_id"), "band", "bucket")
     y = sparse.select(F.col("sid").alias("b_id"), "band", "bucket")
@@ -340,8 +353,11 @@ def jaccard_verify_pairs(
     sets_df = _persist(
         base.select(
             F.col(id_col).alias("sid"), word_shingles(F.col(text_col), k).alias("sh")
-        )
-    )  # consumed by both join sides
+        ),
+        eager=True,
+    )  # consumed by both join sides of one action — eager so the two
+    # scan stages can't race the cache populate and re-shingle the
+    # candidate docs per branch (see jaccard_pairs)
     a = sets_df.select(F.col("sid").alias("a_id"), F.col("sh").alias("sh_a"))
     b = sets_df.select(F.col("sid").alias("b_id"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -376,9 +392,10 @@ def minhash_neardup(
     blowup (see :func:`minhash_lsh_candidates`); ``None`` disables."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, checkable=checkable)
-    # persisted: verification reads candidates twice (the candidate-id
-    # semi-join and the pair join) — without this the whole signature +
-    # bucket-join pipeline would recompute
+    # persisted: verification reads candidates three times (both sides
+    # of the candidate-id union and the pair join) — without this the
+    # whole signature + bucket-join pipeline would recompute; eager so
+    # those branches can't race the cache populate (see jaccard_pairs)
     candidates = _persist(
         minhash_lsh_candidates(
             sigs,
@@ -386,7 +403,8 @@ def minhash_neardup(
             rows_per_band,
             checkable=checkable,
             dense_bucket_cap=dense_bucket_cap,
-        )
+        ),
+        eager=True,
     )
     return jaccard_verify_pairs(
         df, candidates, text_col, id_col, threshold=threshold
@@ -812,8 +830,11 @@ def minhash_probe_neardup(
         checkable,
     )
     cand = minhash_probe_candidates(mb, mc)
+    # eager for the same three-consumer reason as minhash_neardup's
+    # candidate persist (both sides of the candidate-id union + the
+    # pair join race a lazy cache)
     verified = jaccard_verify_pairs(
-        df, _persist(cand), text_col, id_col, k=3, threshold=threshold
+        df, _persist(cand, eager=True), text_col, id_col, k=3, threshold=threshold
     )
     return verified.select(
         F.col("a_id").alias("batch_id"),

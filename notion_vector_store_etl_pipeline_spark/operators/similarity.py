@@ -33,6 +33,18 @@ from pyspark.sql.types import (
     StructType,
 )
 
+def _persist_eager(df: DataFrame) -> DataFrame:
+    """Tracked eager persist (operators.cache): for kernel outputs read
+    by two consumers of one downstream action — lazy persist would let
+    the consumers race the cache populate and re-run the Arrow kernel
+    per branch (the jaccard_pairs_prefix lesson, dedup.py)."""
+    from notion_vector_store_etl_pipeline_spark.operators.cache import (
+        persist_tracked,
+    )
+
+    return persist_tracked(df, eager=True)
+
+
 _PAIR_SCHEMA = StructType(
     [
         StructField("query_id", LongType()),
@@ -926,9 +938,25 @@ def ivf_blocked_pairs(
     lands in exactly one block pair). Normal lists have one block and
     keep the one-GEMM fast path; the only added cost is a per-list
     count (an L-row aggregate, broadcast back).
+
+    The assignment is persisted EAGERLY before handing it to the pair
+    stage: its two consumers there (the per-list block-count aggregate
+    and the replicated pair branch) would otherwise each evaluate the
+    mapInPandas kernel — column pruning cannot reach through the
+    opaque Python stage, so the "count lists" branch would pay the
+    full corpus GEMM + Arrow transfer a second time (r14 measure:
+    two ArrowEvalPython-feeding scans in the formatted plan; guide
+    §1.2 "don't compute things twice" / §4.1 opaque-stage pruning).
+    Eager, because both consumers sit under ONE action and would race
+    a lazy cache. The stored-index path (`blocked_pairs_from_assigned`
+    over a ``write_ivf_index`` tree) deliberately does NOT persist —
+    there the count branch reads only the list_id partition column,
+    which is strictly cheaper than materializing the vectors.
     """
-    assigned = nearest_lists(
-        vecs, cent_ids, cent_mat, probes, id_col=id_col, emb_col=emb_col
+    assigned = _persist_eager(
+        nearest_lists(
+            vecs, cent_ids, cent_mat, probes, id_col=id_col, emb_col=emb_col
+        )
     )
     return blocked_pairs_from_assigned(assigned, threshold, id_col, emb_col)
 
@@ -1054,8 +1082,15 @@ def ivf_blocked_probe(
         F.col(emb_col),
         batch_pred.cast("boolean").alias("_is_batch"),
     )
-    assigned = nearest_lists(
-        tagged, cent_ids, cent_mat, probes, id_col=id_col, emb_col=emb_col
+    # eager persist for the same two-consumers reason as
+    # ivf_blocked_pairs: the probe kernel's corpus-side count aggregate
+    # and the replicated join branch would otherwise each run the
+    # assignment GEMM over the full input (mapInPandas is opaque to
+    # column pruning)
+    assigned = _persist_eager(
+        nearest_lists(
+            tagged, cent_ids, cent_mat, probes, id_col=id_col, emb_col=emb_col
+        )
     )
     return _bipartite_list_probe(assigned, threshold, id_col, emb_col)
 

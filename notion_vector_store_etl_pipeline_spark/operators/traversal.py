@@ -120,15 +120,19 @@ def connected_components(
     )
     und = _persist(und.repartition("src"))
     labels = _persist(nodes.select("node", F.col("node").alias("label")))
-    n_nodes = labels.count()
+    # one job primes the cache AND seeds the convergence invariant: the
+    # row count (broadcast decision) and the label sum (see _propagate)
+    n_nodes, label_sum = labels.agg(
+        F.count(F.lit(1)), F.sum(F.col("label").cast("decimal(38,0)"))
+    ).first()
 
     try:
-        return _propagate(und, labels, n_nodes, max_iters, broadcast_rows)
+        return _propagate(und, labels, n_nodes, label_sum, max_iters, broadcast_rows)
     finally:
         und.unpersist()
 
 
-def _propagate(und, labels, n_nodes, max_iters, broadcast_rows) -> DataFrame:
+def _propagate(und, labels, n_nodes, label_sum, max_iters, broadcast_rows) -> DataFrame:
     for _ in range(max_iters):
         lab = F.broadcast(labels) if n_nodes <= broadcast_rows else labels
         prop = und.join(lab, und.dst == lab.node).select(
@@ -150,16 +154,22 @@ def _propagate(und, labels, n_nodes, max_iters, broadcast_rows) -> DataFrame:
         # doubles per iteration and planning itself OOMs long before the
         # data does
         new_labels = new_labels.localCheckpoint(eager=True)
-        # converged when no node's label shrank this round
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # Convergence = the label SUM stopped shrinking. Per-node labels
+        # are non-increasing across rounds (min-aggregate includes the
+        # node's own label; path halving replaces a label by that
+        # label's label, itself a min over a superset), so sum equality
+        # ⟺ no node changed. This replaces the old per-round equi-join
+        # of old vs new labels (a shuffle of BOTH corpus-sized label
+        # tables at scale) with a 1-row aggregate over the frame the
+        # checkpoint just materialized (guide §2.4: remove shuffles
+        # outright). decimal(38,0): exact, no 64-bit overflow for any
+        # realistic node-id domain.
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     return labels.select("node", F.col("label").alias("component_id"))

@@ -78,25 +78,28 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = F.col("sid") % 97 == 0
     bench = sh.filter(is_bench).select("shingle").distinct()
     corpus = sh.filter(~is_bench)
-    totals = corpus.groupBy("sid").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        corpus.join(F.broadcast(bench), "shingle")
-        .groupBy("sid")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    # ONE corpus pass (r14): totals and hits used to be two separate
+    # consumers of the un-persisted shingle explosion — the Python
+    # shingle UDF ran over the full corpus twice and the two aggregates
+    # joined back on sid. A left-outer broadcast join against the
+    # DISTINCT benchmark grams (at most one match per corpus row, so
+    # row multiplicity is preserved) lets one groupBy(sid) produce both
+    # counts: count(*) = n_grams, count(_hit) = matching grams. Guide
+    # §2.3 (aggregate before you shuffle) + §4.1 (opaque UDF stages are
+    # not deduplicated by the optimizer): one UDF pass and one shuffle
+    # replace two passes, two shuffles, and a join.
+    marked = corpus.join(
+        F.broadcast(bench.withColumn("_hit", F.lit(1))), "shingle", "left_outer"
     )
-    return (
-        totals.join(hits, "sid", "left_outer")
-        .select(
-            F.col("sid").alias("doc_id"),
-            "n_grams",
-            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-            F.round(
-                F.coalesce("n_hit", F.lit(0)) / F.col("n_grams"), 6
-            ).alias("overlap_frac"),
-            (F.coalesce("n_hit", F.lit(0)) * 2 >= F.col("n_grams")).alias(
-                "contaminated"
-            ),
-        )
+    return marked.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("n_hit"),
+    ).select(
+        F.col("sid").alias("doc_id"),
+        "n_grams",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("overlap_frac"),
+        (F.col("n_hit") * 2 >= F.col("n_grams")).alias("contaminated"),
     )
 
 

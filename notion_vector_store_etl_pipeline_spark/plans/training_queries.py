@@ -54,6 +54,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
     ).filter(F.col("term") != "")
+    # tf feeds two consumers (the df aggregate and the scoring join),
+    # but NO persist: both branches shuffle on the same (doc_id, term)
+    # key, so ReuseExchange dedups the tokenize + tf exchange already —
+    # an explicit eager persist was A/B'd in r14 and measured 2.5x
+    # SLOWER (0.69 -> 1.74 s at sf0.1): it added a materialization pass
+    # for work the planner was not repeating (OPTIMIZATION_r14.md).
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (

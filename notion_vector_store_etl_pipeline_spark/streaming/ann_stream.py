@@ -272,7 +272,8 @@ def probe_vector_batch(
         .select("vec_id", "emb", F.lit(True).alias("_is_batch"), "list_id")
     )
     corpus = corpus_vectors
-    if "list_id" not in corpus.columns:
+    fresh_assign = "list_id" not in corpus.columns
+    if fresh_assign:
         corpus = nearest_lists(
             corpus, cent_ids, cent_mat, 1, id_col=id_col, emb_col=emb_col
         )
@@ -291,6 +292,18 @@ def probe_vector_batch(
         .join(F.broadcast(batch_asg.select("list_id").distinct()), "list_id", "left_semi")
         .select("vec_id", "emb", "_is_batch", "list_id")
     )
+    if fresh_assign:
+        # Fresh-assigned corpus (the one-pass batch twin, never the
+        # stream's stored-tree path): the probe kernel's block-count
+        # aggregate and its replicated join branch are two consumers of
+        # one action, and mapInPandas is opaque to column pruning — so
+        # un-persisted, the corpus assignment GEMM runs twice (r14;
+        # guide §1.2). Eager so the branches can't race the cache.
+        # The stored path stays un-persisted on purpose: there the
+        # count branch reads only the list_id partition column, which
+        # is cheaper than materializing the vectors.
+        corpus_side = _persist(corpus_side)
+        corpus_side.count()
     flagged = _bipartite_list_probe(
         corpus_side.unionByName(batch_asg.select(*corpus_side.columns)),
         threshold,
