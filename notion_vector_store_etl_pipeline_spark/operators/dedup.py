@@ -255,6 +255,7 @@ def minhash_lsh_candidates(
     rows_per_band: int = 4,
     checkable: bool = False,
     dense_bucket_cap: int | None = None,
+    eager_persists: bool = True,
 ) -> DataFrame:
     """Band the signature and bucket-join in ONE pass: melt each row to
     (sid, band, bucket) via posexplode of the per-band bucket hashes,
@@ -281,10 +282,11 @@ def minhash_lsh_candidates(
     window pass, not an extra wide exchange."""
     melted = melted_signature_buckets(signatures, bands, rows_per_band, checkable)
     if dense_bucket_cap is None:
-        # both sides of the bucket self-join; eager so the two scan
-        # stages can't race the cache populate and re-run the
-        # signature pipeline (see jaccard_pairs)
-        melted = _persist(melted, eager=True)
+        # both sides of the bucket self-join; eager (corpus scale) so
+        # the two scan stages can't race the cache populate and re-run
+        # the signature pipeline — lazy from micro-batch callers (see
+        # jaccard_verify_pairs docstring)
+        melted = _persist(melted, eager=eager_persists)
         x = melted.select(F.col("sid").alias("a_id"), "band", "bucket")
         y = melted.select(F.col("sid").alias("b_id"), "band", "bucket")
         return (
@@ -306,10 +308,11 @@ def minhash_lsh_candidates(
         .withColumn("_rep", F.min("sid").over(w_all))
         .withColumn("_next", F.lead("sid").over(w_ord))
         ,
-        eager=True,
+        eager=eager_persists,
     )  # 4 consumers (sparse self-join both sides + dense star/chain)
-    # under one action — eager so the branches can't race the cache
-    # populate and re-run signatures+window per branch (see jaccard_pairs)
+    # under one action — eager at corpus scale so the branches can't
+    # race the cache populate and re-run signatures+window per branch;
+    # lazy from micro-batch callers (see jaccard_verify_pairs docstring)
     sparse = m.filter(F.col("_bsize") <= dense_bucket_cap)
     x = sparse.select(F.col("sid").alias("a_id"), "band", "bucket")
     y = sparse.select(F.col("sid").alias("b_id"), "band", "bucket")
@@ -338,10 +341,18 @@ def jaccard_verify_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.2,
+    eager_persists: bool = True,
 ) -> DataFrame:
     """Exact Jaccard computed ONLY for the given candidate pairs: join
     each side to its (distinct) shingle array, then set math per pair —
-    O(candidates · shingles), never all-pairs."""
+    O(candidates · shingles), never all-pairs.
+
+    ``eager_persists``: materialize the multi-consumer shingle table
+    up front so concurrent scan stages can't race the cache populate
+    and re-shingle per branch — right for corpus-scale inputs (the
+    registered batch queries; r14 A/B: minhash family -6..-16%).
+    Streaming probes pass False: on micro-batch-sized frames the
+    racing recompute is cheaper than the extra count job per batch."""
     # shingle only the docs that appear in a candidate pair — a semi-join
     # keeps the (Python) shingle UDF off the rest of the corpus; at LSH
     # candidate rates of <<1% this is the difference between re-scanning
@@ -354,10 +365,8 @@ def jaccard_verify_pairs(
         base.select(
             F.col(id_col).alias("sid"), word_shingles(F.col(text_col), k).alias("sh")
         ),
-        eager=True,
-    )  # consumed by both join sides of one action — eager so the two
-    # scan stages can't race the cache populate and re-shingle the
-    # candidate docs per branch (see jaccard_pairs)
+        eager=eager_persists,
+    )  # consumed by both join sides of one action (see docstring)
     a = sets_df.select(F.col("sid").alias("a_id"), F.col("sh").alias("sh_a"))
     b = sets_df.select(F.col("sid").alias("b_id"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -380,6 +389,7 @@ def minhash_neardup(
     bands: int = 8,
     checkable: bool = False,
     dense_bucket_cap: int | None = DENSE_BUCKET_CAP,
+    eager_persists: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — the 100 TB near-dup
     path: candidate generation AND verification are candidate-local,
@@ -394,8 +404,9 @@ def minhash_neardup(
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, checkable=checkable)
     # persisted: verification reads candidates three times (both sides
     # of the candidate-id union and the pair join) — without this the
-    # whole signature + bucket-join pipeline would recompute; eager so
-    # those branches can't race the cache populate (see jaccard_pairs)
+    # whole signature + bucket-join pipeline would recompute; eager at
+    # corpus scale so those branches can't race the cache populate,
+    # lazy from micro-batch callers (see jaccard_verify_pairs)
     candidates = _persist(
         minhash_lsh_candidates(
             sigs,
@@ -403,11 +414,17 @@ def minhash_neardup(
             rows_per_band,
             checkable=checkable,
             dense_bucket_cap=dense_bucket_cap,
+            eager_persists=eager_persists,
         ),
-        eager=True,
+        eager=eager_persists,
     )
     return jaccard_verify_pairs(
-        df, candidates, text_col, id_col, threshold=threshold
+        df,
+        candidates,
+        text_col,
+        id_col,
+        threshold=threshold,
+        eager_persists=eager_persists,
     )
 
 
@@ -518,7 +535,12 @@ def sequential_firstwins_pairs(pairs: DataFrame) -> DataFrame:
             .select(F.col("b_id").alias("id"))
             .distinct()
         )
-        flagged = newly if flagged is None else flagged.unionByName(newly).distinct()
+        # plain union, no per-round distinct (r14): rounds flag DISJOINT
+        # id sets (a flagged b's pairs leave the frontier, so it can
+        # never be re-flagged), and the only consumers below are
+        # semi/anti joins — set semantics either way. The old
+        # `.distinct()` paid one wide exchange per chain level.
+        flagged = newly if flagged is None else flagged.unionByName(newly)
         undecided = (
             undecided
             # decided pairs leave the frontier
@@ -786,6 +808,7 @@ def minhash_probe_neardup(
     checkable: bool = False,
     dense_bucket_cap: int | None = DENSE_BUCKET_CAP,
     corpus_index: DataFrame | None = None,
+    eager_persists: bool = True,
 ) -> DataFrame:
     """INCREMENTAL near-dup: probe a batch of new docs against the
     existing corpus's LSH buckets — the join a 100 TB pipeline runs per
@@ -830,11 +853,18 @@ def minhash_probe_neardup(
         checkable,
     )
     cand = minhash_probe_candidates(mb, mc)
-    # eager for the same three-consumer reason as minhash_neardup's
-    # candidate persist (both sides of the candidate-id union + the
-    # pair join race a lazy cache)
+    # eager (by default) for the same three-consumer reason as
+    # minhash_neardup's candidate persist (both sides of the
+    # candidate-id union + the pair join race a lazy cache); lazy from
+    # micro-batch callers (see jaccard_verify_pairs docstring)
     verified = jaccard_verify_pairs(
-        df, _persist(cand, eager=True), text_col, id_col, k=3, threshold=threshold
+        df,
+        _persist(cand, eager=eager_persists),
+        text_col,
+        id_col,
+        k=3,
+        threshold=threshold,
+        eager_persists=eager_persists,
     )
     return verified.select(
         F.col("a_id").alias("batch_id"),

@@ -118,21 +118,35 @@ def connected_components(
     und = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    from pyspark.sql.types import NumericType
+
     und = _persist(und.repartition("src"))
     labels = _persist(nodes.select("node", F.col("node").alias("label")))
-    # one job primes the cache AND seeds the convergence invariant: the
-    # row count (broadcast decision) and the label sum (see _propagate)
-    n_nodes, label_sum = labels.agg(
-        F.count(F.lit(1)), F.sum(F.col("label").cast("decimal(38,0)"))
-    ).first()
+    # Numeric node ids (every engine caller: doc_id/vec_id longs) get
+    # the cheap sum-based convergence check in _propagate; non-numeric
+    # ids fall back to the old join check (a string label cast to
+    # decimal is NULL, which would break the sum invariant silently).
+    numeric = isinstance(labels.schema["label"].dataType, NumericType)
+    if numeric:
+        # one job primes the cache AND seeds the convergence invariant:
+        # row count (broadcast decision) + label sum (see _propagate)
+        n_nodes, label_sum = labels.agg(
+            F.count(F.lit(1)), F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()
+    else:
+        n_nodes, label_sum = labels.count(), None
 
     try:
-        return _propagate(und, labels, n_nodes, label_sum, max_iters, broadcast_rows)
+        return _propagate(
+            und, labels, n_nodes, label_sum, numeric, max_iters, broadcast_rows
+        )
     finally:
         und.unpersist()
 
 
-def _propagate(und, labels, n_nodes, label_sum, max_iters, broadcast_rows) -> DataFrame:
+def _propagate(
+    und, labels, n_nodes, label_sum, numeric, max_iters, broadcast_rows
+) -> DataFrame:
     for _ in range(max_iters):
         lab = F.broadcast(labels) if n_nodes <= broadcast_rows else labels
         prop = und.join(lab, und.dst == lab.node).select(
@@ -154,22 +168,33 @@ def _propagate(und, labels, n_nodes, label_sum, max_iters, broadcast_rows) -> Da
         # doubles per iteration and planning itself OOMs long before the
         # data does
         new_labels = new_labels.localCheckpoint(eager=True)
-        # Convergence = the label SUM stopped shrinking. Per-node labels
-        # are non-increasing across rounds (min-aggregate includes the
-        # node's own label; path halving replaces a label by that
-        # label's label, itself a min over a superset), so sum equality
-        # ⟺ no node changed. This replaces the old per-round equi-join
-        # of old vs new labels (a shuffle of BOTH corpus-sized label
-        # tables at scale) with a 1-row aggregate over the frame the
-        # checkpoint just materialized (guide §2.4: remove shuffles
-        # outright). decimal(38,0): exact, no 64-bit overflow for any
-        # realistic node-id domain.
-        new_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).first()[0]
+        # Convergence, numeric ids: the label SUM stopped shrinking.
+        # Per-node labels are non-increasing across rounds (min-
+        # aggregate includes the node's own label; path halving
+        # replaces a label by that label's label, itself a min over a
+        # superset), so sum equality ⟺ no node changed. This replaces
+        # the old per-round equi-join of old vs new labels (a shuffle
+        # of BOTH corpus-sized label tables at scale) with a 1-row
+        # aggregate over the frame the checkpoint just materialized
+        # (guide §2.4: remove shuffles outright). decimal(38,0):
+        # exact, no 64-bit overflow for any realistic node-id domain.
+        # Non-numeric ids keep the join-based check.
+        if numeric:
+            new_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).first()[0]
+            changed = int(new_sum != label_sum)
+            label_sum = new_sum
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
         labels.unpersist()
         labels = new_labels
-        if new_sum == label_sum:
+        if changed == 0:
             break
-        label_sum = new_sum
     return labels.select("node", F.col("label").alias("component_id"))

@@ -75,6 +75,16 @@ _PRIORITY = (
     "minhash_probe_stored_index",
     "knn_ivf_stored_index",
     "knn_ivf_incremental",
+    # (a') changed in the r14 OPTIMIZATION pass (3 more): the
+    # connected-components convergence check moved to the label-sum
+    # aggregate (neardup_components + its survivors rollup — the other
+    # components consumers are already in-window), and
+    # contamination_ngram_overlap's totals+hits fused into one pass.
+    # The knn_ivf_*/neardup_*_ivf_* queries the same pass touched are
+    # already in windows (a)/(b) below.
+    "neardup_components",
+    "neardup_cluster_survivors",
+    "contamination_ngram_overlap",
     # (b) oldest proof rows first (COVERAGE.md staleness manifest,
     # recomputed by scripts/coverage_manifest.py at the start of r14):
     # the entire remaining round-10 vintage (26 names) — after this
@@ -121,9 +131,10 @@ _PRIORITY = (
     "kmeans_assign",
     "kmeans_update",
     "knn_filtered",
-    "knn_topk",
-    "lateral_top_item",
-    "levenshtein_neardup_titles",
+    # (trimmed to keep the window at exactly 50 after the three (a')
+    # additions: knn_topk / lateral_top_item / levenshtein_neardup_titles
+    # move to the round-15 rotation head with the rest of the r11
+    # vintage)
 )
 
 _MODULES = (

@@ -258,7 +258,13 @@ def probe_batch(
             batch.select("doc_id"), "doc_id", "left_anti"
         )
     )
-    flagged = jaccard_verify_pairs(universe, cand, threshold=threshold).select(
+    # eager_persists=False: per-batch frames are tiny, so the extra
+    # eager count jobs cost more than the cache race they prevent
+    # (r14 profiler A/B: +~1.2 s/batch steady p50 with eager; see
+    # operators.dedup.jaccard_verify_pairs)
+    flagged = jaccard_verify_pairs(
+        universe, cand, threshold=threshold, eager_persists=False
+    ).select(
         F.col("a_id").alias("batch_id"), F.col("b_id").alias("corpus_id"), "jaccard"
     )
     if intra_batch:
@@ -286,6 +292,7 @@ def probe_batch(
             num_hashes=num_hashes,
             bands=bands,
             checkable=checkable,
+            eager_persists=False,  # micro-batch frames: see above
         )
         if chain_policy == "sequential":
             # resolve chains to the stream-equivalent greedy disposition

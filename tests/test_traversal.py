@@ -45,3 +45,50 @@ def test_expand_frontier_single_step(spark):
     edges = _edges(spark, [("a", "b"), ("a", "c"), ("b", "d")])
     out = {r.node for r in expand_frontier(_seeds(spark, ["a"]), edges).collect()}
     assert out == {"b", "c"}
+
+
+# --- connected_components convergence (r14: sum-based check for
+# numeric ids, join-based fallback otherwise) -------------------------
+
+from notion_vector_store_etl_pipeline_spark.operators.traversal import (  # noqa: E402
+    connected_components,
+)
+
+
+def _components(spark, edge_pairs, node_ids, schema="src: long, dst: long"):
+    edges = spark.createDataFrame(edge_pairs, schema)
+    node_t = schema.split(":", 1)[1].split(",")[0].strip()
+    nodes = spark.createDataFrame([(n,) for n in node_ids], f"node: {node_t}")
+    return {
+        r.node: r.component_id
+        for r in connected_components(edges, nodes).collect()
+    }
+
+
+def test_components_long_chain_numeric_sum_check(spark):
+    # a 12-node path exercises several pointer-jumping rounds, so the
+    # sum-based convergence check must fire only at the true fixpoint —
+    # stopping a round early would leave mid-chain labels > min
+    chain = [(i, i + 1) for i in range(11)]
+    out = _components(spark, chain, list(range(13)))  # node 12 isolated
+    assert out == {**{i: 0 for i in range(12)}, 12: 12}
+
+
+def test_components_two_clusters_and_isolates(spark):
+    out = _components(
+        spark, [(1, 2), (2, 3), (10, 11)], [1, 2, 3, 10, 11, 99]
+    )
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_components_string_ids_fallback_join_check(spark):
+    # non-numeric node ids take the join-based convergence check (a
+    # string label cast to decimal would be NULL and break the sum
+    # invariant); components still resolve to the lexicographic min
+    out = _components(
+        spark,
+        [("a", "b"), ("b", "c"), ("x", "y")],
+        ["a", "b", "c", "x", "y", "z"],
+        schema="src: string, dst: string",
+    )
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
