@@ -45,18 +45,23 @@ IO_CORES_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_IO_CORES_MAX", "2.0"))
 _HZ = os.sysconf("SC_CLK_TCK")
 
 
-def _busy_jiffies() -> tuple[int, int]:
-    """(busy, iowait) jiffies. busy includes steal, so hypervisor-level
-    CPU theft surfaces as external load; iowait is tracked separately —
-    a run where queries slow 2x while external CPU stays ~0 and loadavg
-    rises is STORAGE contention (tasks in D-state count in loadavg but
-    burn no CPU), which the iowait delta makes visible."""
+def _busy_jiffies() -> tuple[int, int, int]:
+    """(busy, iowait, steal) jiffies. busy includes steal, so
+    hypervisor-level CPU theft surfaces as external load; iowait is
+    tracked separately — a run where queries slow 2x while external CPU
+    stays ~0 and loadavg rises is STORAGE contention (tasks in D-state
+    count in loadavg but burn no CPU), which the iowait delta makes
+    visible. steal is ALSO returned on its own (VERDICT r14 #6): the
+    r14 analysis found identical code swinging 5-45 s while ext_cores
+    stayed low, i.e. contention the guard cannot attribute; emitting
+    the raw steal delta per trial lets cross-round comparisons at least
+    see the hypervisor component."""
     with open("/proc/stat") as f:
         parts = f.readline().split()[1:]
     user, nice, system, idle, iowait, irq, softirq, steal = (
         int(x) for x in parts[:8]
     )
-    return user + nice + system + irq + softirq + steal, iowait
+    return user + nice + system + irq + softirq + steal, iowait, steal
 
 
 def _tree_jiffies() -> int:
@@ -90,21 +95,40 @@ def _tree_jiffies() -> int:
     return total
 
 
-def _timed_trial(fn) -> tuple[float, float, float, float]:
+def _timed_trial(fn) -> tuple[float, float, float, float, float]:
     """Run one trial; returns (elapsed_sec, ext_cores, io_cores,
-    loadavg1): ext_cores is the average non-tree CPU cores busy during
-    the trial, io_cores the average cores' worth of iowait (storage
-    pressure — ours or a neighbor's on shared disks)."""
+    loadavg1, steal_cores): ext_cores is the average non-tree CPU cores
+    busy during the trial, io_cores the average cores' worth of iowait
+    (storage pressure — ours or a neighbor's on shared disks), and
+    steal_cores the average cores' worth of hypervisor steal."""
     load1 = os.getloadavg()[0]
-    (busy0, io0), tree0 = _busy_jiffies(), _tree_jiffies()
+    (busy0, io0, st0), tree0 = _busy_jiffies(), _tree_jiffies()
     t0 = time.perf_counter()
     fn()
     elapsed = time.perf_counter() - t0
-    (busy1, io1), tree1 = _busy_jiffies(), _tree_jiffies()
+    (busy1, io1, st1), tree1 = _busy_jiffies(), _tree_jiffies()
     denom = _HZ * max(elapsed, 1e-9)
     ext = max(0, (busy1 - busy0) - (tree1 - tree0)) / denom
     io = max(0, io1 - io0) / denom
-    return elapsed, ext, io, load1
+    steal = max(0, st1 - st0) / denom
+    return elapsed, ext, io, load1, steal
+
+
+def _cpu_canary() -> float:
+    """Fixed-work single-thread spin (VERDICT r14 #6), ~0.1 s on a
+    quiet core: effective CPU slowdowns /proc cannot attribute (steal
+    accounted to idle, frequency scaling, SMT pressure) show up as a
+    proportionally slower canary. Run UNTIMED before each query's
+    trials; the per-query value lands in the stderr audit line and a
+    min/max summary in the stdout contract line, so cross-round
+    comparisons can normalize for host speed."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(1_500_000):
+        x = (x * 1103515245 + i) & 0x7FFFFFFF
+    if x < 0:  # unreachable; keeps the loop from being optimized away
+        raise AssertionError
+    return round(time.perf_counter() - t0, 4)
 
 # Headline set: the heavy/representative operators per SURVEY.md §2.
 HEADLINE = [
@@ -303,7 +327,8 @@ def main() -> None:
             clear_sketch_memo()
             return _timed_trial(lambda: run(fn(spark, SF_DIR)))
 
-        # (elapsed, ext_cores, io_cores, loadavg1) per trial
+        canary = _cpu_canary()
+        # (elapsed, ext_cores, io_cores, loadavg1, steal_cores) per trial
         trials = [one_trial() for _ in range(n_trials)]
         # disagreeing trials (>2x) = the host was noisy: one more look
         if max(t[0] for t in trials) > 2 * min(t[0] for t in trials):
@@ -327,6 +352,8 @@ def main() -> None:
             "loadavg": round(pick[3], 2),
             "ext_cores": round(pick[1], 2),
             "io_cores": round(pick[2], 2),
+            "steal_cores": round(pick[4], 2),
+            "canary_sec": canary,
             "contended": not quiet,
             "trials": len(trials),
         }
@@ -335,12 +362,26 @@ def main() -> None:
         spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    canaries = [m["canary_sec"] for m in meta.values()]
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # additions-only host-speed summary (VERDICT r14 #6): per-query
+        # canary_sec/steal_cores live in the stderr audit line; this
+        # compact min/max keeps the stdout contract line short enough
+        # for bounded-tail recorders while still flagging a run taken
+        # in a slow window (canary min far above the ~0.1 s quiet-box
+        # value, or spread >> 1).
+        "host": {
+            "canary_sec_min": min(canaries) if canaries else None,
+            "canary_sec_max": max(canaries) if canaries else None,
+            "steal_cores_max": max(
+                (m["steal_cores"] for m in meta.values()), default=None
+            ),
+        },
     }
     # Stream separation (VERDICT r12 #1/#8): STDOUT carries exactly ONE
     # compact contract line — a recorder that keeps only a bounded tail

@@ -33,16 +33,24 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from notion_vector_store_etl_pipeline_spark.operators.cache import (
+    persist_tracked as _persist_tracked,
+)
+
+
 def _persist_eager(df: DataFrame) -> DataFrame:
     """Tracked eager persist (operators.cache): for kernel outputs read
     by two consumers of one downstream action — lazy persist would let
     the consumers race the cache populate and re-run the Arrow kernel
-    per branch (the jaccard_pairs_prefix lesson, dedup.py)."""
-    from notion_vector_store_etl_pipeline_spark.operators.cache import (
-        persist_tracked,
-    )
+    per branch (the jaccard_pairs_prefix lesson, dedup.py).
 
-    return persist_tracked(df, eager=True)
+    Cache lifetime: the entry stays tracked until the session calls
+    ``release_cache()`` (or ``spark.catalog.clearCache()``). Callers
+    that invoke the IVF blocked operators repeatedly in one session
+    (ad-hoc scripts, notebooks) should release between calls or the
+    corpus-sized assignments accumulate for the session lifetime
+    (ADVICE r14)."""
+    return _persist_tracked(df, eager=True)
 
 
 _PAIR_SCHEMA = StructType(
@@ -952,6 +960,11 @@ def ivf_blocked_pairs(
     over a ``write_ivf_index`` tree) deliberately does NOT persist —
     there the count branch reads only the list_id partition column,
     which is strictly cheaper than materializing the vectors.
+
+    The persisted assignment is TRACKED (operators.cache): sessions
+    calling this operator repeatedly must ``release_cache()`` between
+    calls (bench.py and the parity sweep do) or the corpus-sized cached
+    assignments accumulate for the session lifetime (ADVICE r14).
     """
     assigned = _persist_eager(
         nearest_lists(
@@ -1074,6 +1087,11 @@ def ivf_blocked_probe(
     as in :func:`ivf_blocked_pairs`. Intra-batch duplicates are out of
     scope by design (same charter as the text probe: the stream wing
     owns intra-batch).
+
+    The eagerly persisted assignment is TRACKED (operators.cache):
+    sessions calling this operator repeatedly must ``release_cache()``
+    between calls or the cached corpus-sized assignments accumulate
+    for the session lifetime (ADVICE r14).
     """
     from pyspark.sql import functions as F
 

@@ -56,6 +56,16 @@ def bfs_reachability(
     # union of file scans can cache with very few partitions), and if a
     # level falls back to a shuffle join, edges are already on the key.
     edges = _persist(edges.repartition("src"))
+    # Distinct source nodes, for leaf pruning of BIG frontiers (guide
+    # §2.3/§3.2: shrink the shuffled side before the shuffle): a
+    # frontier node with no out-edge contributes nothing to the expand
+    # join, and deep-frontier levels are routinely leaf-heavy (the last
+    # BFS level over a hierarchy is ALL leaves — profiled at sf0.1 as
+    # the single most expensive level, shuffling 1.5M rows to produce 0).
+    # Lazily persisted: never materialized unless a frontier outgrows
+    # broadcast_rows; the semi-join shares the expand join's key, so its
+    # exchange is reused rather than added.
+    srcs = _persist(edges.select(F.col("src").alias("node")).dropDuplicates())
     frontier = _persist(seeds.select("node").dropDuplicates())
     frontier_n = frontier.count()
     levels = [frontier.withColumn("depth", F.lit(0))]
@@ -63,7 +73,10 @@ def bfs_reachability(
     visited_n = frontier_n
 
     for depth in range(1, max_depth + 1):
-        f = F.broadcast(frontier) if frontier_n <= broadcast_rows else frontier
+        if frontier_n <= broadcast_rows:
+            f = F.broadcast(frontier)
+        else:
+            f = frontier.join(srcs, "node", "left_semi")
         v = F.broadcast(visited) if visited_n <= broadcast_rows else visited
         frontier = (
             f.join(edges, f.node == edges.src)
@@ -118,21 +131,30 @@ def connected_components(
     und = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import DecimalType, IntegralType
 
     und = _persist(und.repartition("src"))
     labels = _persist(nodes.select("node", F.col("node").alias("label")))
-    # Numeric node ids (every engine caller: doc_id/vec_id longs) get
-    # the cheap sum-based convergence check in _propagate; non-numeric
-    # ids fall back to the old join check (a string label cast to
-    # decimal is NULL, which would break the sum invariant silently).
-    numeric = isinstance(labels.schema["label"].dataType, NumericType)
+    # INTEGRAL node ids (every engine caller: doc_id/vec_id longs) get
+    # the cheap sum-based convergence check in _propagate; everything
+    # else falls back to the join check. Scale-0 decimals are integral
+    # too; fractional types (Double/Float, decimal with scale > 0) are
+    # deliberately EXCLUDED (ADVICE r14): cast('decimal(38,0)') rounds,
+    # so distinct fractional labels can collapse to equal sums and the
+    # loop would declare convergence while labels are still changing.
+    # Strings cast to NULL, same failure mode.
+    dt = labels.schema["label"].dataType
+    numeric = isinstance(dt, IntegralType) or (
+        isinstance(dt, DecimalType) and dt.scale == 0
+    )
     if numeric:
         # one job primes the cache AND seeds the convergence invariant:
-        # row count (broadcast decision) + label sum (see _propagate)
+        # row count (broadcast decision) + label sum (see _propagate).
+        # collect(), not first(): first() is executeTake, which probed
+        # the 1-row aggregate with 2-3 incremental jobs (profiled r15).
         n_nodes, label_sum = labels.agg(
             F.count(F.lit(1)), F.sum(F.col("label").cast("decimal(38,0)"))
-        ).first()
+        ).collect()[0]
     else:
         n_nodes, label_sum = labels.count(), None
 
@@ -152,14 +174,50 @@ def _propagate(
         prop = und.join(lab, und.dst == lab.node).select(
             F.col("src").alias("node"), "label"
         )
-        new_labels = (
+        agg = (
             labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
         )
+        # The path-halving self-join below consumes `agg` on two
+        # DIFFERENT keys (a.label vs b.node), so its two exchanges are
+        # not canonically equal and exchange reuse cannot fire — without
+        # a cache each side re-runs the whole propagation join+aggregate
+        # (profiled r15: two ~equal heavy jobs per round). Persist and
+        # materialize it ONCE; both exchanges then read the cache
+        # (guide §5: cache a frame with >1 consumer when recompute is
+        # the expensive path). The materializing action doubles as the
+        # convergence check for integral ids: sum(agg) is computed in
+        # the SAME job.
+        agg = agg.persist()
+        # Convergence, integral ids: the PRE-halving label sum stopped
+        # shrinking. Labels are non-increasing (the min-aggregate
+        # includes the node's own label; halving substitutes a label's
+        # label, itself ≤), so sum(agg_k) is non-increasing and
+        # sum(agg_{k+1}) == sum(agg_k) forces agg_{k+1} == labels_k ==
+        # agg_k pointwise: propagation changed nothing, labels are
+        # constant across every edge, hence equal to the component min,
+        # and halving is the identity — the previous round's labels ARE
+        # the fixpoint, so the final halving join is skipped too.
+        # decimal(38,0): exact, no 64-bit overflow for any realistic
+        # node-id domain. Non-integral ids keep the join-based check.
+        if numeric:
+            new_sum = agg.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            # Overflow hardening (ADVICE r14): a decimal(38,0) overflow
+            # makes F.sum return NULL on both sides and None == None
+            # would silently declare convergence — treat a None sum as
+            # "changed" so overflow degrades to extra rounds, never to
+            # early exit. Exception: an EMPTY node set also sums to
+            # NULL, and there n_nodes==0 proves the (empty) fixpoint.
+            if new_sum == label_sum and (new_sum is not None or n_nodes == 0):
+                agg.unpersist()
+                break
+            label_sum = new_sum
         # pointer jumping (path halving): follow node -> label -> label's
         # label in the same round, so convergence is O(log diameter)
         # rounds instead of O(diameter) — the difference between 4 and 40
         # shuffles on a long near-dup chain
-        a, b = new_labels.alias("a"), new_labels.alias("b")
+        a, b = agg.alias("a"), agg.alias("b")
         new_labels = a.join(b, F.col("a.label") == F.col("b.node")).select(
             F.col("a.node").alias("node"), F.col("b.label").alias("label")
         )
@@ -168,24 +226,7 @@ def _propagate(
         # doubles per iteration and planning itself OOMs long before the
         # data does
         new_labels = new_labels.localCheckpoint(eager=True)
-        # Convergence, numeric ids: the label SUM stopped shrinking.
-        # Per-node labels are non-increasing across rounds (min-
-        # aggregate includes the node's own label; path halving
-        # replaces a label by that label's label, itself a min over a
-        # superset), so sum equality ⟺ no node changed. This replaces
-        # the old per-round equi-join of old vs new labels (a shuffle
-        # of BOTH corpus-sized label tables at scale) with a 1-row
-        # aggregate over the frame the checkpoint just materialized
-        # (guide §2.4: remove shuffles outright). decimal(38,0):
-        # exact, no 64-bit overflow for any realistic node-id domain.
-        # Non-numeric ids keep the join-based check.
-        if numeric:
-            new_sum = new_labels.agg(
-                F.sum(F.col("label").cast("decimal(38,0)"))
-            ).first()[0]
-            changed = int(new_sum != label_sum)
-            label_sum = new_sum
-        else:
+        if not numeric:
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")
@@ -193,6 +234,9 @@ def _propagate(
                 .limit(1)
                 .count()
             )
+        else:
+            changed = 1
+        agg.unpersist()
         labels.unpersist()
         labels = new_labels
         if changed == 0:

@@ -228,9 +228,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges_deg = _persist(edges.join(deg, "src").select("src", "dst", "outdeg"))
-    n = nodes.count()  # scalar loop parameter (drives the literal below);
-    # also eagerly populates the nodes cache
-    edges_deg.count()
+    # ONE action materializes BOTH loop-invariant caches: the two agg
+    # subtrees are independent, so their stages run concurrently and
+    # back-fill each other's stragglers (guide §2.6) — sequential
+    # count() + count() paid two jobs and serialized the two
+    # materializations (r15). n is the scalar loop parameter below.
+    n = (
+        nodes.agg(F.count(F.lit(1)).alias("c"))
+        .unionAll(edges_deg.agg(F.count(F.lit(1)).alias("c")))
+        .collect()[0]["c"]
+    )
 
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
     for _ in range(_PR_ITERS):

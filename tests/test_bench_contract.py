@@ -51,9 +51,24 @@ def _run_bench(extra_env: dict[str, str]) -> dict:
     rich = json.loads(rich_lines[0])
     assert set(rich["meta"]) == set(rich["queries"])
     for m in rich["meta"].values():
-        assert {"loadavg", "ext_cores", "io_cores", "contended", "trials"} <= set(m)
+        assert {
+            "loadavg",
+            "ext_cores",
+            "io_cores",
+            "steal_cores",
+            "canary_sec",
+            "contended",
+            "trials",
+        } <= set(m)
         assert isinstance(m["contended"], bool)
+        assert m["canary_sec"] > 0
     assert compact["queries"] == rich["queries"]
+    # host-speed summary (r15, additions-only): lets the judge normalize
+    # cross-round comparisons for hypervisor-level slowdowns
+    assert {"canary_sec_min", "canary_sec_max", "steal_cores_max"} <= set(
+        compact["host"]
+    )
+    assert 0 < compact["host"]["canary_sec_min"] <= compact["host"]["canary_sec_max"]
     return compact
 
 
@@ -110,12 +125,16 @@ def test_contention_probes_sane():
     mis-flag every bench entry."""
     import bench
 
-    busy, iow = bench._busy_jiffies()
-    assert busy > 0 and iow >= 0
+    busy, iow, steal = bench._busy_jiffies()
+    assert busy > 0 and iow >= 0 and steal >= 0
     tree = bench._tree_jiffies()
     assert tree > 0  # at least this very process has burned CPU
-    elapsed, ext, io_c, load1 = bench._timed_trial(lambda: sum(range(10**6)))
-    assert elapsed > 0 and ext >= 0 and io_c >= 0 and load1 >= 0
+    elapsed, ext, io_c, load1, steal_c = bench._timed_trial(
+        lambda: sum(range(10**6))
+    )
+    assert elapsed > 0 and ext >= 0 and io_c >= 0 and load1 >= 0 and steal_c >= 0
+    canary = bench._cpu_canary()
+    assert 0 < canary < 30  # fixed work; finite even on a contended box
 
 
 @pytest.mark.slow

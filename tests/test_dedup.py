@@ -540,3 +540,32 @@ def test_word_shingles_hof_short_docs_empty_not_crash(spark):
     # so the two variants now agree on every row including NULLs
     for doc_id in (1, 2, 3, 4):
         assert hof[doc_id] == udf[doc_id], doc_id
+
+
+def test_jaccard_pairs_stop_shingle_cap_single_window(spark):
+    """The r15 single-window stop-shingle cap must keep the old
+    groupBy+join-back semantics: a shingle in more than
+    max_shingle_freq docs leaves EVERY doc's set before Jaccard (the
+    denominator shrinks too)."""
+    docs = spark.createDataFrame(
+        [(1, "common alpha"), (2, "common alpha"), (3, "common beta")],
+        "doc_id: long, text: string",
+    )
+    # k=1: shingles are words. 'common' occurs in 3 docs > cap 2 -> it
+    # is dropped from all three sets; docs 1/2 reduce to {alpha}
+    # (jaccard 1.0), doc 3 to {beta} (no partner).
+    out = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in D.jaccard_pairs(
+            docs, k=1, threshold=0.5, max_shingle_freq=2
+        ).collect()
+    }
+    assert out == {(1, 2): 1.0}
+    # cap high enough to keep 'common': all three docs pair up
+    out_uncapped = {
+        (r.a_id, r.b_id)
+        for r in D.jaccard_pairs(
+            docs, k=1, threshold=0.3, max_shingle_freq=3
+        ).collect()
+    }
+    assert out_uncapped == {(1, 2), (1, 3), (2, 3)}

@@ -9,6 +9,7 @@ and reprocesses changed docs.
 
 from __future__ import annotations
 
+import pytest
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -161,6 +162,7 @@ def test_streaming_composed_etl_matches_batch_twin(spark, tmp_path):
     assert {v for v, *_ in s_chunks} == {v for v, _ in s_assigned}
 
 
+@pytest.mark.slow
 def test_streaming_composed_etl_restart_and_skip(spark, tmp_path):
     """Source grows and the stream restarts on the same checkpoint:
     an unchanged re-sent doc is SKIPPED (no duplicate chunks/vectors),
@@ -239,6 +241,7 @@ def test_streaming_composed_etl_restart_and_skip(spark, tmp_path):
     )
     assert per_vec and all(r["count"] == 1 for r in per_vec)
 
+@pytest.mark.slow
 def test_streaming_composed_etl_state_compaction(spark, tmp_path):
     """compact_state_every folds the skip manifest into state_versions
     behind a watermark: outputs are byte-identical to the uncompacted
@@ -297,6 +300,7 @@ def test_streaming_composed_etl_state_compaction(spark, tmp_path):
     assert resend_batches <= 1
 
 
+@pytest.mark.slow
 def test_changed_doc_old_vectors_go_stale(spark, tmp_path):
     """r10 review finding: re-ingesting a changed document must retire
     its previous version's vectors from the SERVED ANN view (the

@@ -71,6 +71,7 @@ def pipeline_fixture(spark, tmp_path_factory):
     return inc, corpus_path, lsh_path, ivf_path
 
 
+@pytest.mark.slow
 def test_cross_batch_neardup_flagged_and_twin_matches(
     spark, tmp_path, pipeline_fixture
 ):
@@ -204,6 +205,7 @@ def test_vec_ids_are_per_document(spark):
     assert not (set(per_doc[1]) & set(per_doc[2]))
 
 
+@pytest.mark.slow
 def test_cross_batch_neardup_survives_fold_and_prune(
     spark, tmp_path, pipeline_fixture
 ):
@@ -290,6 +292,7 @@ def _revert_lifecycle(spark, tmp_path, pipeline_fixture):
     return out, ckpt, ivf_path, va, vb, x
 
 
+@pytest.mark.slow
 def test_revert_doc_served_with_original_vectors(spark, tmp_path, pipeline_fixture):
     """ADVICE r10: before this round the revert matched its OLD state
     row in the additive ever-seen set, got skipped, and the doc was
@@ -323,6 +326,7 @@ def test_revert_doc_served_with_original_vectors(spark, tmp_path, pipeline_fixtu
     assert index.count() == index.select("vec_id").distinct().count()
 
 
+@pytest.mark.slow
 def test_pipeline_ann_compaction_reclaims_stale(spark, tmp_path, pipeline_fixture):
     """VERDICT r10 #2, pinned with TWO folds so the watermark does
     real work (a single fold through the final batch would leave a

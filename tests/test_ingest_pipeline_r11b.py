@@ -64,6 +64,7 @@ def pipeline_fixture(spark, tmp_path_factory):
     return inc, corpus_path, lsh_path, ivf_path
 
 
+@pytest.mark.slow
 def test_vacuum_consumed_events_bounded_history(
     spark, tmp_path, pipeline_fixture
 ):
@@ -138,6 +139,7 @@ def test_vacuum_consumed_events_bounded_history(
     assert _served(spark, out, ivf_path) == served_before
 
 
+@pytest.mark.slow
 def test_vacuum_knob_wired_in_stream(spark, tmp_path, pipeline_fixture):
     """The streaming knob drives the same machinery, pinned against a
     TWIN run with the knob OFF (same feed, same cadences) so the pin is
@@ -234,6 +236,7 @@ def test_vacuum_knob_wired_in_stream(spark, tmp_path, pipeline_fixture):
         assert vb <= served and not (va & served)
 
 
+@pytest.mark.slow
 def test_flagship_fold_window_update_not_flagged_against_retired_text(
     spark, tmp_path, pipeline_fixture
 ):
@@ -544,6 +547,7 @@ def test_major_fold_rewrites_corpus_rebuilds_index_and_vacuums(
         fold(4, major=True, checkable=True)
 
 
+@pytest.mark.slow
 def test_major_fold_stream_knob_matches_uncompacted_twin(spark, tmp_path):
     """compact_major_every wired into the wing: a stream with minor +
     major folds (incl. an update crossing them) produces byte-identical

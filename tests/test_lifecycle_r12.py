@@ -52,6 +52,7 @@ def pipeline_fixture(spark, tmp_path_factory):
     return inc, corpus_path, lsh_path, ivf_path
 
 
+@pytest.mark.slow
 def test_fully_consumed_window_writes_no_event_version(
     spark, tmp_path, pipeline_fixture
 ):
@@ -246,6 +247,7 @@ def test_presignature_assume_signature_override(spark, tmp_path):
     D.release_cache()
 
 
+@pytest.mark.slow
 def test_size_triggered_major_fold(spark, tmp_path):
     """VERDICT r11 #5: the superseded sidecar grows with distinct
     updated docs between majors; a batch-count cadence cannot see a
@@ -294,6 +296,7 @@ def test_size_triggered_major_fold(spark, tmp_path):
     D.release_cache()
 
 
+@pytest.mark.slow
 def test_oscillating_doc_revives_from_older_version(
     spark, tmp_path, pipeline_fixture
 ):
@@ -339,6 +342,7 @@ def test_oscillating_doc_revives_from_older_version(
     assert not (va & served), "version A must be dead after the last flip"
 
 
+@pytest.mark.slow
 def test_skipped_refeed_does_not_mask_latest_version(
     spark, tmp_path, pipeline_fixture
 ):

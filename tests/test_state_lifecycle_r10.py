@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from notion_vector_store_etl_pipeline_spark.operators import dedup as D
@@ -69,6 +70,7 @@ def _read_outputs(spark, out):
     return flagged, clean
 
 
+@pytest.mark.slow
 def test_stream_state_on_hadoop_uri_matches_posix(spark, tmp_path):
     """The VERDICT r9 top item, end to end: the SAME compacting,
     delta-pruning ingest-dedup stream run with its state root as a
@@ -129,6 +131,7 @@ def test_stream_state_on_hadoop_uri_matches_posix(spark, tmp_path):
     assert all(int(d.split("=")[1]) > through for d in uri_deltas)
 
 
+@pytest.mark.slow
 def test_compact_retain_versions_vacuums_superseded(spark, tmp_path):
     """retain_versions=N: after each publish, index versions superseded
     by more than N compactions are deleted — storage is O(N x index),
@@ -196,6 +199,7 @@ def test_vacuum_refuses_retaining_zero(spark, tmp_path):
         vacuum_index_versions(spark, str(tmp_path), 3, 0)
 
 
+@pytest.mark.slow
 def test_compaction_empty_window_is_noop(spark, tmp_path):
     """ADVICE r9 #2: a compaction window containing no committed delta
     dirs (all batches empty, or the tail was already pruned) must

@@ -589,6 +589,7 @@ def test_stream_across_compaction_boundary(spark, tmp_path):
     assert (v1 | v2 | {900, 901}) <= idx_sids
 
 
+@pytest.mark.slow
 def test_compact_stream_state_idempotent(spark, tmp_path):
     """Replay safety: re-invoking compaction with the same (or a lower)
     through_batch is a no-op returning the published manifest — the

@@ -47,6 +47,22 @@ def test_expand_frontier_single_step(spark):
     assert out == {"b", "c"}
 
 
+def test_bfs_big_frontier_leaf_prune_path_identical(spark):
+    # broadcast_rows=0 forces every level down the big-frontier branch
+    # (r15: leaf-pruning semi-join against distinct sources before the
+    # expand join, then shuffle joins) — depths must match the
+    # broadcast path exactly, including nodes whose frontier entry has
+    # no out-edges ('e' is a leaf discovered at depth 3)
+    edges = _edges(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")])
+    out = {
+        r.node: r.depth
+        for r in bfs_reachability(
+            edges, _seeds(spark, ["a"]), broadcast_rows=0
+        ).collect()
+    }
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+
 # --- connected_components convergence (r14: sum-based check for
 # numeric ids, join-based fallback otherwise) -------------------------
 
@@ -92,3 +108,23 @@ def test_components_string_ids_fallback_join_check(spark):
         schema="src: string, dst: string",
     )
     assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+
+
+def test_components_fractional_double_ids_fallback_join_check(spark):
+    # ADVICE r14: fractional Double ids must NOT take the sum check —
+    # cast('decimal(38,0)') rounds, so a chain of ids 0.6..1.4 (all
+    # rounding to 1) would collapse to equal sums after round 1 and
+    # early-exit with wrong components. The integral gate routes these
+    # to the join check; the propagation itself is type-agnostic.
+    ids = [round(0.6 + 0.1 * i, 1) for i in range(9)]  # 0.6 .. 1.4
+    chain = [(ids[i], ids[i + 1]) for i in range(8)]
+    out = _components(spark, chain, ids, schema="src: double, dst: double")
+    assert out == {i: 0.6 for i in ids}
+
+
+def test_components_empty_nodes_terminates_immediately(spark):
+    # empty graph: the label sum is NULL every round; the overflow
+    # guard ("None sum = changed") must not spin to max_iters here —
+    # n_nodes == 0 proves the (empty) fixpoint in round 1
+    out = _components(spark, [], [], schema="src: long, dst: long")
+    assert out == {}
